@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Determinism helpers (SURVEY.md §7.4): every numeric that crosses the
+  * Spark↔DuckDB oracle boundary goes through an exact-arithmetic path so
+  * both engines produce bit-identical values regardless of accumulation
+  * order.
+  *
+  * Rules encoded here:
+  *  - Never hash a raw floating-point *aggregate*: sum/avg accumulate in
+  *    engine-specific order → last-ulp drift. Cast to DECIMAL(38,4)
+  *    before aggregating (exact in both engines), convert to double only
+  *    at the very end (single deterministic IEEE conversion).
+  *  - Per-row double arithmetic (a*b, 1-x) is fine: both engines execute
+  *    the same IEEE ops in the same order on identical inputs.
+  *  - Event timestamps are ns-precision in parquet; Spark truncates to µs
+  *    while DuckDB keeps ns. Truncate to whole seconds on BOTH sides
+  *    before any cross-engine comparison or ordering (`secs`/`epochS`).
+  */
+object Det {
+  /** Exact money/measure type: wide enough to never overflow a 100 TB sum
+    * (38-4 = 34 integral digits), exact in Spark and DuckDB. */
+  val Money: DecimalType = DecimalType(38, 4)
+
+  /** Cast to the exact decimal type before aggregation. */
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Exact sum of a (possibly double-typed, per-row-computed) measure,
+    * surfaced as a deterministic double. */
+  def sumMoney(c: Column): Column = round(sum(dec(c)), 4).cast(DoubleType)
+
+  /** Deterministic double from an exact decimal expression. */
+  def money(c: Column): Column = round(c, 4).cast(DoubleType)
+
+  /** Event-time truncated to whole seconds (cross-engine-safe). */
+  def secs(c: Column): Column = date_trunc("second", c)
+
+  /** Epoch seconds as long (after whole-second truncation). */
+  def epochS(c: Column): Column = date_trunc("second", c).cast(LongType)
+}

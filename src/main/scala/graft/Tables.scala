@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (schemas documented in FIXTURES.md).
+  *
+  * Parquet footers are self-describing, so reading without an explicit
+  * schema is deterministic (the `inferSchema` hazard only applies to
+  * CSV/JSON sampling). Explicit `StructType`s for semi-structured
+  * sources live next to their readers (see graft.wikidata.EntitySchema).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos-since-epoch
+    * (legacy conf) and surface a µs-truncated TimestampType column —
+    * any cross-engine comparison truncates further to whole seconds
+    * (Det.secs), so the ns→µs floor is harmless (SURVEY.md §7.4).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L)
+          .cast(org.apache.spark.sql.types.LongType)))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register all fixture tables as temp views (for spark.sql queries).
+    * events goes through its ns-safe reader. */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, dir) else table(s, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

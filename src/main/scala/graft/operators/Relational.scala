@@ -1,0 +1,508 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Det, Tables}
+import Det._
+
+/** Relational core (SURVEY.md §2.2 filters/projections, §2.3 joins,
+  * §2.4 aggregations, §2.6 sort/limit, §2.7 set ops).
+  *
+  * Every query is expressed declaratively over DataFrames so Catalyst
+  * applies predicate pushdown / column pruning / join selection; hints
+  * appear only where a key deliberately pins a physical strategy.
+  * Determinism discipline per SURVEY.md §7.4: exact decimal aggregation
+  * (Det.sumMoney), fully-ordered output with unique tiebreaker chains.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- §2.1 scan ----
+    "scan_parquet" -> ((s, d) => {
+      // Projection narrows the parquet scan to 2 columns (ReadSchema);
+      // count/sum fold map-side. At 100 TB this is a pure columnar scan.
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // ---- §2.2 projection / filter ----
+    "project_arith" -> ((s, d) => {
+      // Per-row double arithmetic is deterministic cross-engine (same
+      // IEEE ops, same order) — only aggregates need the decimal path.
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "revenue", "charge")
+    }),
+
+    "filter_pred" -> ((s, d) => {
+      // Compound AND/OR + IN + BETWEEN + LIKE; all sargable → pushed to
+      // the parquet scan as PushedFilters.
+      Tables.part(s, d).filter(
+        (col("p_size").between(10, 30)
+          && col("p_type").isin("ECONOMY", "PROMO")
+          && col("p_name").like("%red%"))
+          || (col("p_retailprice") > 990.0 && col("p_brand").like("Brand#1%")))
+        .orderBy("p_partkey")
+    }),
+
+    "filter_null_semantics" -> ((s, d) => {
+      // Three-valued logic: nulls are synthesized via nullif so the
+      // query is meaningful even on a null-free fixture.
+      val st = expr("nullif(o_orderstatus, 'O')")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        st.as("st"),
+        st.isNull.as("st_null"),
+        coalesce(st, lit("NONE")).as("st_coal"),
+        (st <=> lit("F")).as("st_is_f"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- §2.3 joins ----
+    "join_broadcast" -> ((s, d) => {
+      // part is the small dim → explicit broadcast: no shuffle of the
+      // fact side; at 100 TB this is THE join shape for dim enrichment.
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    "join_sortmerge" -> ((s, d) => {
+      // Large-large equi-join pinned to SortMergeJoin: both sides shuffle
+      // on the key once; robust (spillable) at any scale.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_shuffled_hash" -> ((s, d) => {
+      // Same semantics, pinned to ShuffledHashJoin (no sort; build side
+      // must fit per-partition — the skew-sensitive but faster option).
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "join_star_5way" -> ((s, d) => {
+      // TPC-H Q5 shape: one big fact, chain of shrinking dims. nation/
+      // region auto-broadcast (tiny); AQE may demote the rest at runtime.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          money(coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(Money))).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      // Both sides have keys the other lacks: high-balance customers with
+      // no orders vs ordering customers below the balance cut.
+      val hi = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val oc = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      hi.join(oc, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_acctbal"), col("n_orders"))
+        .orderBy("k")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      // EXISTS: customers having ≥1 open-ended ('P') order. Semi-join
+      // never duplicates the left side — no fanout at scale.
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_theta_nestedloop" -> ((s, d) => {
+      // Inequality-only condition → BroadcastNestedLoopJoin. Both inputs
+      // are deliberately pre-filtered samples: NLJ is O(n·m) and must
+      // only ever run on bounded sides (the 100 TB rule).
+      val p = Tables.part(s, d).filter(col("p_partkey") < 100)
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables.supplier(s, d).filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      p.join(sup, col("s_acctbal") > col("p_retailprice")
+        && col("s_acctbal") <= col("p_retailprice") * 3.0)
+        .select(col("p_partkey"), col("s_suppkey"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    "join_range_interval" -> ((s, d) => {
+      // Equi (custkey) + range (30-day window) self-join: the equi key
+      // keeps it a hash/merge join with the range as a join filter —
+      // never a nested loop, so it scales with per-key density only.
+      val o = Tables.orders(s, d)
+      val a = o.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("k1"), col("o_orderdate").as("d1"))
+      val b = o.select(col("o_custkey").as("custkey2"),
+        col("o_orderkey").as("k2"), col("o_orderdate").as("d2"))
+      a.join(b, col("custkey") === col("custkey2")
+        && col("d2") >= col("d1")
+        && col("d2") < col("d1") + expr("INTERVAL 30 DAY")
+        && col("k1") =!= col("k2"))
+        .groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("custkey")
+    }),
+
+    "join_asof" -> ((s, d) => {
+      // As-of join (no native Spark op): for each purchase, the latest
+      // click at-or-before it, per user. Equi on user + range filter,
+      // then row_number()=1 — the scalable as-of idiom (SURVEY §2.3).
+      // Event-times truncated to whole seconds (ns vs µs hazard, §7.4).
+      val ev = Tables.events(s, d).withColumn("sec", secs(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("sec").as("p_sec"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("sec").as("c_sec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+        .orderBy(col("c_sec").desc_nulls_last, col("click_id").desc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") && col("c_sec") <= col("p_sec"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    // ---- §2.4 aggregations ----
+    "agg_groupby_pricing" -> ((s, d) => {
+      // TPC-H Q1 shape. HashAggregate partial+final around one shuffle;
+      // decimal sums exact, avg derived from exact sum / exact count.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base"),
+          sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          round(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_suppkey")
+    }),
+
+    "agg_approx_distinct" -> ((s, d) => {
+      // HLL++ sketch — the ONLY way to count distincts at 100 TB without
+      // an expand shuffle. No oracle (sketch differs from DuckDB's).
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    "agg_collect_sorted" -> ((s, d) => {
+      // collect_list is unordered across tasks → sort_array makes it
+      // deterministic. Bounded per-group (orders per customer).
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- §2.6 sort / limit ----
+    "sort_multi_nulls" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+          col("c_acctbal"))
+        .orderBy(asc_nulls_last("seg"), desc("c_acctbal"), asc("c_custkey"))
+    }),
+
+    "limit_topk" -> ((s, d) => {
+      // orderBy().limit(k) → TakeOrderedAndProject: per-partition heap +
+      // driver merge of k rows — the only top-k that works at 100 TB.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+          asc("l_linenumber"), asc("l_partkey"))
+        .limit(10)
+    }),
+
+    // ---- §2.7 set ops ----
+    "set_union_all" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"), lit("f_orders").as("src"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("k"), lit("rich").as("src"))
+      a.unionByName(b).orderBy("src", "k")
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("k"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      a.intersect(b).orderBy("k")
+    }),
+
+    "set_except" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("k"))
+      a.except(b).orderBy("k")
+    })
+  )
+
+  /** DuckDB oracle SQL — identical formulation discipline (SURVEY §7.4):
+    * same decimal casts, same ordering chains, same null placement. */
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT count(*) AS n_rows,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_qty,
+         count(DISTINCT l_orderkey) AS n_orders FROM lineitem""",
+
+    "project_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * (1 - l_discount) AS revenue,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, revenue, charge""",
+
+    "filter_pred" ->
+      """SELECT * FROM part
+         WHERE (p_size BETWEEN 10 AND 30 AND p_type IN ('ECONOMY','PROMO')
+                AND p_name LIKE '%red%')
+            OR (p_retailprice > 990.0 AND p_brand LIKE 'Brand#1%')
+         ORDER BY p_partkey""",
+
+    "filter_null_semantics" ->
+      """SELECT o_orderkey, nullif(o_orderstatus,'O') AS st,
+         (nullif(o_orderstatus,'O') IS NULL) AS st_null,
+         coalesce(nullif(o_orderstatus,'O'), 'NONE') AS st_coal,
+         (nullif(o_orderstatus,'O') IS NOT DISTINCT FROM 'F') AS st_is_f
+         FROM orders ORDER BY o_orderkey""",
+
+    "join_broadcast" ->
+      """SELECT p_brand,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))),4) AS DOUBLE) AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "join_sortmerge" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "join_shuffled_hash" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))),4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "join_star_5way" ->
+      """SELECT n_name,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))),4) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,4))), 0), 4) AS DOUBLE) AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k, c_acctbal, n_orders
+         FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000) c
+         FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                          FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o_custkey
+         ORDER BY k""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "join_theta_nestedloop" ->
+      """SELECT p_partkey, s_suppkey
+         FROM (SELECT p_partkey, p_retailprice FROM part WHERE p_partkey < 100) p
+         JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey < 50) s
+           ON s_acctbal > p_retailprice AND s_acctbal <= p_retailprice * 3.0
+         ORDER BY p_partkey, s_suppkey""",
+
+    "join_range_interval" ->
+      """SELECT a.o_custkey AS custkey, count(*) AS n_pairs
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey
+          AND b.o_orderdate >= a.o_orderdate
+          AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+          AND a.o_orderkey <> b.o_orderkey
+         GROUP BY a.o_custkey ORDER BY custkey""",
+
+    "join_asof" ->
+      """SELECT user_id, purchase_id, click_id FROM (
+           SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                  c.event_id AS click_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY date_trunc('second', c.ts) DESC NULLS LAST,
+                             c.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id
+            AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)
+         ) WHERE rn = 1 ORDER BY user_id, purchase_id""",
+
+    "agg_groupby_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_base,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_disc,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_count_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+         CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+         count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "sort_multi_nulls" ->
+      """SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg, c_acctbal
+         FROM customer
+         ORDER BY seg ASC NULLS LAST, c_acctbal DESC, c_custkey""",
+
+    "limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
+         LIMIT 10""",
+
+    "set_union_all" ->
+      """SELECT * FROM (
+           SELECT o_custkey AS k, 'f_orders' AS src FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL
+           SELECT c_custkey AS k, 'rich' AS src FROM customer WHERE c_acctbal > 8000)
+         ORDER BY src, k""",
+
+    "set_intersect" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+         INTERSECT
+         SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+         ORDER BY k""",
+
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY k"""
+  )
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Pre-flight oracle runner (SURVEY.md §5.3) — dev tool, not shipped code.
+
+Mirrors the driver's t2 gate locally: for each key in oracle_sql.json,
+load the Spark result parquet written by graft.Verify, run the oracle SQL
+in DuckDB over the same fixture parquet, sort columns by name, and
+compare values exactly. Usage:
+
+    python3 tools/preflight.py <sfDir> <verifyOutDir> [key ...]
+"""
+import sys, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Canonical cell form, tolerant of container/ts dtype differences."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    t = type(v).__name__
+    if t in ("ndarray", "list", "tuple"):
+        return tuple(canon(x) for x in v)
+    if t == "Timestamp":
+        return v.isoformat()
+    if t in ("date", "datetime"):
+        return v.isoformat()
+    if t == "Decimal":
+        return float(v)
+    if t in ("int64", "int32", "int8", "uint64", "bool_"):
+        return v.item() if hasattr(v, "item") else v
+    if t in ("float64", "float32"):
+        f = float(v)
+        return "NaN" if math.isnan(f) else f
+    return v
+
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for k in sorted(oracle):
+        if only and k not in only:
+            continue
+        sql = oracle[k]
+        try:
+            sdf = con.sql(
+                f"SELECT * FROM read_parquet('{out}/{k}/*.parquet')").df()
+        except Exception as e:
+            print(f"FAIL {k}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {k}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {k}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            n_fail += 1
+            continue
+        sdf = sdf[sorted(sdf.columns)]
+        odf = odf[sorted(odf.columns)]
+        if len(sdf) != len(odf):
+            print(f"FAIL {k}: rows spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        svals = [tuple(canon(v) for v in row) for row in sdf.itertuples(index=False)]
+        ovals = [tuple(canon(v) for v in row) for row in odf.itertuples(index=False)]
+        bad = None
+        for i, (a, b) in enumerate(zip(svals, ovals)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        # dtype mismatches matter if the driver hashes typed values
+        dt = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+              for c in sdf.columns if str(sdf[c].dtype) != str(odf[c].dtype)]
+        if bad:
+            print(f"FAIL {k}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            note = f"  [dtype diff: {dt}]" if dt else ""
+            print(f"PASS {k} ({len(sdf)} rows){note}")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

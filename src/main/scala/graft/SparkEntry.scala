@@ -15,10 +15,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Windows.queries
+    Relational.queries ++ Windows.queries ++
+      graft.functions.Functions.queries ++
+      graft.sources.Sources.queries ++
+      graft.wikidata.Wd.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Windows.oracles
+    Relational.oracles ++ Windows.oracles ++
+      graft.functions.Functions.oracles ++
+      graft.sources.Sources.oracles ++
+      graft.wikidata.Wd.oracles
 }

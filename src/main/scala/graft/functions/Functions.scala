@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Scalar-function surface (SURVEY.md §2.8): string / date / math /
+  * conditional / array / map / JSON — all built-in codegen'd expressions,
+  * zero UDFs (UDFs live in §2.11 with their cost documented).
+  *
+  * Cross-engine dialect pins (SURVEY §7.4): POSIX-safe regexes only
+  * (Java regex ∩ RE2), DuckDB regexp_replace needs the 'g' flag to match
+  * Spark's replace-all, DuckDB dayofweek is 0-based (Spark 1-based),
+  * transcendental results rounded to 4 dp.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 4).as("sub4"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        length(col("p_name")).as("len"),
+        split(col("p_name"), " ").as("toks"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_date" -> ((s, d) => {
+      // Distinct ship dates keep the output compact; every derived
+      // column uses an engine-agreeing formulation (see oracle).
+      Tables.lineitem(s, d)
+        .select(to_date(col("l_shipdate")).as("d")).distinct()
+        .select(
+          col("d"),
+          year(col("d")).as("y"),
+          month(col("d")).as("m"),
+          dayofmonth(col("d")).as("dom"),
+          dayofweek(col("d")).as("dow"),
+          trunc(col("d"), "month").as("mstart"),
+          datediff(col("d"), lit("1995-01-01")).as("days_since"),
+          add_months(col("d"), 3).as("plus3m"),
+          last_day(col("d")).as("eom"))
+        .orderBy("d")
+    }),
+
+    "fn_math" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        ceil(col("p_retailprice") / 10.0).as("cl"),
+        floor(col("p_retailprice") / 10.0).as("fl"),
+        abs(col("p_size") - 25).as("ab"),
+        pow(col("p_size").cast(DoubleType), 2.0).as("pw"),
+        round(log(col("p_retailprice")), 4).as("lnv"),
+        round(sqrt(col("p_retailprice")), 4).as("sq"),
+        signum(col("p_size") - 25).cast(IntegerType).as("sgn"),
+        pmod(col("p_size"), lit(7)).as("pm"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_conditional" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("klass"),
+        expr("nullif(c_nationkey, 5)").as("nk"),
+        greatest(col("c_acctbal"), lit(0.0)).as("g"),
+        least(col("c_acctbal"), lit(5000.0)).as("l"))
+        .orderBy("c_custkey")
+    }),
+
+    "fn_array_explode" -> ((s, d) => {
+      // Tokenize → explode: Spark's built-in Generator surface. The
+      // trailing-empty-token filter matches FIXTURES.md's note.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .orderBy("doc_id", "token")
+    }),
+
+    "fn_array_hof" -> ((s, d) => {
+      // Higher-order lambdas over the 64-dim embedding, no UDF: floats
+      // are cast to double inside the lambda so both engines accumulate
+      // in double precision in identical list order.
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+        round(aggregate(filter(col("embedding"), x => x > lit(0.0f)),
+          lit(0.0), (acc, x) => acc + x.cast(DoubleType)), 4).as("sum_pos"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 4).as("sumsq"))
+        .orderBy("vec_id")
+    }),
+
+    "fn_map_ops" -> ((s, d) => {
+      // Wikidata-style map manipulation on fixture data: per-source map
+      // of language→doc-count. collect_list is task-order-dependent →
+      // sort_array before map_from_entries for determinism.
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("lang"), col("n")))))
+          .as("lang_counts"))
+        .select(
+          col("source"),
+          size(col("lang_counts")).as("n_langs"),
+          element_at(col("lang_counts"), "en").as("en_docs"),
+          map_keys(col("lang_counts")).as("langs"))
+        .orderBy("source")
+    }),
+
+    "fn_json_extract" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json_struct" -> ((s, d) => {
+      // Full parse to struct + field access + to_json round-trip.
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .withColumn("ps", from_json(col("props"), schema))
+        .select(
+          col("event_id"),
+          col("ps.k").as("k"),
+          to_json(col("ps")).as("jstr"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json_variant" -> ((s, d) => {
+      // Spark 4 VARIANT: the open-schema path for polymorphic values
+      // (Wikidata datavalue microcosm, SURVEY §1.1). Shares the
+      // fn_json_extract oracle — variant extraction must agree with the
+      // string-path extraction.
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("try_variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+             lower(p_name) AS lo, upper(p_name) AS up,
+             substring(p_name, 1, 4) AS sub4,
+             concat_ws('|', p_brand, p_type) AS cat,
+             trim('  ' || p_name || '  ') AS trimmed,
+             CAST(length(p_name) AS INTEGER) AS len,
+             string_split(p_name, ' ') AS toks,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
+         FROM part ORDER BY p_partkey""",
+
+    "fn_date" ->
+      """SELECT d,
+             CAST(year(d) AS INTEGER) AS y,
+             CAST(month(d) AS INTEGER) AS m,
+             CAST(day(d) AS INTEGER) AS dom,
+             CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+             CAST(date_trunc('month', d) AS DATE) AS mstart,
+             CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER) AS days_since,
+             CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             last_day(d) AS eom
+         FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+         ORDER BY d""",
+
+    "fn_math" ->
+      """SELECT p_partkey,
+             CAST(ceil(p_retailprice / 10.0) AS BIGINT) AS cl,
+             CAST(floor(p_retailprice / 10.0) AS BIGINT) AS fl,
+             CAST(abs(p_size - 25) AS INTEGER) AS ab,
+             pow(CAST(p_size AS DOUBLE), 2.0) AS pw,
+             round(ln(p_retailprice), 4) AS lnv,
+             round(sqrt(p_retailprice), 4) AS sq,
+             CAST(sign(p_size - 25) AS INTEGER) AS sgn,
+             CAST(p_size % 7 AS INTEGER) AS pm
+         FROM part ORDER BY p_partkey""",
+
+    "fn_conditional" ->
+      """SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS klass,
+             nullif(c_nationkey, 5) AS nk,
+             greatest(c_acctbal, 0.0) AS g,
+             least(c_acctbal, 5000.0) AS l
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_array_explode" ->
+      """SELECT doc_id, token FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents)
+         WHERE token <> '' ORDER BY doc_id, token""",
+
+    "fn_array_hof" ->
+      """SELECT vec_id,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+             round(coalesce(list_aggregate(
+               list_transform(list_filter(embedding, x -> x > 0),
+                              x -> CAST(x AS DOUBLE)), 'sum'), 0.0), 4) AS sum_pos,
+             round(list_aggregate(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum'), 4) AS sumsq
+         FROM embeddings ORDER BY vec_id""",
+
+    "fn_json_extract" ->
+      """SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+
+    "fn_json_struct" ->
+      """SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             '{"k":' || json_extract_string(props, '$.k') || '}' AS jstr
+         FROM events ORDER BY event_id""",
+
+    "fn_json_variant" ->
+      """SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Det, Tables}
+import Det._
+
+/** Source/sink operators (SURVEY.md §2.1). Sample inputs are literal
+  * constants materialized to fixed /tmp paths at query time — never
+  * derived from nondeterministic state — so the DuckDB oracle can read
+  * the same bytes.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val csvPath = "/tmp/graft_sample.csv"
+  private val csvContent =
+    """id,name,val,note
+      |1,alpha,1.5,
+      |2,beta,,x
+      |3,gamma,2.25,y
+      |4,delta,-0.75,
+      |5,,3.5,z
+      |""".stripMargin
+  private val csvSchema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("name", StringType),
+    StructField("val", DoubleType),
+    StructField("note", StringType)))
+
+  private def ensureCsv(): String = synchronized {
+    Files.write(Paths.get(csvPath), csvContent.getBytes(StandardCharsets.UTF_8))
+    csvPath
+  }
+
+  private val bz2Path = "/tmp/graft_dump.txt.bz2"
+  private val dumpLines = Seq(
+    "[",
+    """{"id":"Q1","type":"item"},""",
+    """{"id":"Q2","type":"item"},""",
+    """{"id":"P31","type":"property"}""",
+    "]")
+
+  /** Write the fake dump through Hadoop's BZip2 codec — the same codec
+    * Spark uses to split real .bz2 dumps across tasks (unlike the
+    * reference's single-process `bzcat` pipe). */
+  private def ensureBz2(s: SparkSession): String = synchronized {
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(s.sparkContext.hadoopConfiguration)
+    val out = codec.createOutputStream(
+      new BufferedOutputStream(new FileOutputStream(bz2Path)))
+    try out.write(dumpLines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    bz2Path
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_csv" -> ((s, _) => {
+      // Explicit schema + header + nullValue: the deterministic CSV
+      // ingest contract (inferSchema is banned — SURVEY §1.3).
+      s.read.schema(csvSchema)
+        .option("header", "true")
+        .option("nullValue", "")
+        .csv(ensureCsv())
+        .orderBy("id")
+    }),
+
+    "scan_bz2_text" -> ((s, _) => {
+      // Transparent decompress-on-scan; bz2 is block-splittable so a
+      // 100 GB dump fans out across tasks with zero extra code.
+      ensureBz2(s)
+      s.read.text(bz2Path)
+        .select(col("value"), length(col("value")).as("len"))
+        .orderBy("value")
+    }),
+
+    "sink_parquet" -> ((s, d) => {
+      // Materialize-and-reread round trip: the result IS the sink's
+      // output, so the oracle (direct SQL) proves write fidelity.
+      val out = "/tmp/graft_sink_parquet"
+      val agg = Tables.nation(s, d)
+        .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sumMoney(col("c_acctbal")).as("total_bal"))
+      ParquetSink(out).write(agg)
+      s.read.parquet(out).orderBy("n_name")
+    }),
+
+    "sink_jdbc_postgres" -> ((s, d) => {
+      // The reference's core sink, behind the Sink trait. Offline gate
+      // (no pgjdbc jar resolvable — SURVEY §7.5): Sink.forUrl dispatches
+      // a filesystem URL to the ParquetSink twin; with a
+      // jdbc:postgresql:// URL the identical call path bulk-loads
+      // Postgres (JdbcSink options unit-tested in SinkSpec).
+      val out = "/tmp/graft_sink_jdbc_twin"
+      val load = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+      Sink.forUrl(out, table = "order_summary").write(load)
+      s.read.parquet(out).orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_csv" ->
+      """SELECT * FROM read_csv('/tmp/graft_sample.csv', header=true,
+           columns={'id': 'INTEGER', 'name': 'VARCHAR',
+                    'val': 'DOUBLE', 'note': 'VARCHAR'})
+         ORDER BY id""",
+
+    "sink_parquet" ->
+      """SELECT n_name, count(*) AS n_customers,
+             CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal
+         FROM nation JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "sink_jdbc_postgres" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,53 @@
+package graft.wikidata
+
+import org.apache.spark.sql.types._
+
+/** Explicit StructType for Wikidata entity JSON (SURVEY.md §1.1, from the
+  * public Wikibase JSON format spec — never `inferSchema`, which samples
+  * nondeterministically).
+  *
+  * `datavalue.value` is polymorphic on `datavalue.type` (string vs object
+  * shapes). It is declared StringType: Spark's JSON parser captures the
+  * raw JSON text when a StringType field meets an object, which preserves
+  * the value losslessly for typed extraction downstream (VARIANT or
+  * from_json per dv-type). This also survives values that exceed Spark's
+  * native types: year ±9999 times, arbitrary-precision quantity amounts.
+  */
+object EntitySchema {
+  private val langValue = StructType(Seq(
+    StructField("language", StringType),
+    StructField("value", StringType)))
+
+  val snak: StructType = StructType(Seq(
+    StructField("snaktype", StringType), // value | somevalue | novalue
+    StructField("property", StringType),
+    StructField("datatype", StringType),
+    StructField("datavalue", StructType(Seq(
+      StructField("value", StringType), // raw JSON (polymorphic)
+      StructField("type", StringType))))))
+
+  val statement: StructType = StructType(Seq(
+    StructField("mainsnak", snak),
+    StructField("type", StringType),
+    StructField("id", StringType),
+    StructField("rank", StringType), // preferred | normal | deprecated
+    StructField("qualifiers", MapType(StringType, ArrayType(snak))),
+    StructField("qualifiers-order", ArrayType(StringType)),
+    StructField("references", ArrayType(StructType(Seq(
+      StructField("hash", StringType),
+      StructField("snaks", MapType(StringType, ArrayType(snak)))))))))
+
+  val entity: StructType = StructType(Seq(
+    StructField("type", StringType), // item | property
+    StructField("id", StringType),
+    StructField("labels", MapType(StringType, langValue)),
+    StructField("descriptions", MapType(StringType, langValue)),
+    StructField("aliases", MapType(StringType, ArrayType(langValue))),
+    StructField("claims", MapType(StringType, ArrayType(statement))),
+    StructField("sitelinks", MapType(StringType, StructType(Seq(
+      StructField("site", StringType),
+      StructField("title", StringType),
+      StructField("badges", ArrayType(StringType)))))),
+    StructField("lastrevid", LongType),
+    StructField("modified", StringType)))
+}

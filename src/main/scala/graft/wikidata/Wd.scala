@@ -1,0 +1,96 @@
+package graft.wikidata
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference tool's signature capability re-expressed Spark-first:
+  * stream Wikidata-shaped entity NDJSON, parse with an explicit schema,
+  * flatten the nested maps to relational rows (SURVEY.md §2.8
+  * `wd_entity_flatten`, §2.1 `scan_ndjson_entities`).
+  *
+  * At 100 TB: spark.read.json over splittable bz2 gives parallel ingest
+  * of the real dump; `from_json` is codegen'd and the explicit schema
+  * avoids a schema-inference pass over the corpus. The checked-in
+  * fixture (src/main/resources/wd_entities.ndjson, hand-written from the
+  * public Wikibase JSON spec) stands in for the dump.
+  */
+object Wd {
+  /** Fixed path so the DuckDB oracle can read the same bytes. */
+  val fixturePath = "/tmp/graft_wd_entities.ndjson"
+
+  /** Materialize the classpath fixture to a stable filesystem path. */
+  def ensureFixture(): String = synchronized {
+    val in = getClass.getResourceAsStream("/wd_entities.ndjson")
+    require(in != null, "wd_entities.ndjson missing from classpath")
+    try Files.copy(in, Paths.get(fixturePath), StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    fixturePath
+  }
+
+  /** Parse the NDJSON with the explicit entity schema. */
+  def entities(s: SparkSession): DataFrame =
+    s.read.schema(EntitySchema.entity).json(ensureFixture())
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Per-entity structural profile; proves the full nested schema reads.
+    "scan_ndjson_entities" -> ((s, _) => {
+      entities(s).select(
+        col("id"), col("type"),
+        coalesce(size(col("labels")), lit(0)).as("n_labels"),
+        coalesce(size(col("claims")), lit(0)).as("n_claim_props"),
+        coalesce(size(col("sitelinks")), lit(0)).as("n_sitelinks"),
+        col("lastrevid"))
+        .orderBy("id")
+    }),
+
+    // The signature transform: one row per (entity, language, label).
+    "wd_entity_flatten" -> ((s, _) => {
+      entities(s)
+        .select(col("id"), col("type"),
+          coalesce(size(col("claims")), lit(0)).as("n_claim_props"),
+          explode(col("labels")).as(Seq("lang", "lv")))
+        .select(col("id"), col("type"), col("lang"),
+          col("lv.value").as("label"), col("n_claim_props"))
+        .orderBy("id", "lang")
+    }),
+
+    // Typed extraction from the polymorphic datavalue: every statement's
+    // mainsnak as one row, with the raw JSON payload preserved.
+    "wd_claims_flatten" -> ((s, _) => {
+      entities(s)
+        .select(col("id"), explode(col("claims")).as(Seq("pid", "stmts")))
+        .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
+        .select(
+          col("id"), col("pid"),
+          col("st.id").as("statement_id"),
+          col("st.rank").as("rank"),
+          col("st.mainsnak.snaktype").as("snaktype"),
+          col("st.mainsnak.datavalue.type").as("dv_type"),
+          col("st.mainsnak.datavalue.value").as("dv_raw"),
+          coalesce(size(col("st.qualifiers")), lit(0)).as("n_qualifier_props"),
+          coalesce(size(col("st.references")), lit(0)).as("n_refs"))
+        .orderBy("id", "pid", "statement_id")
+    })
+  )
+
+  /** wd_entity_flatten gets a real oracle: DuckDB reads the same fixture
+    * bytes (written to a fixed path by the query itself during Verify,
+    * which always runs before the driver's DuckDB pass). */
+  val oracles: Map[String, String] = Map(
+    "wd_entity_flatten" ->
+      """SELECT id, type, lang,
+             json_extract_string(labels, '$.' || lang || '.value') AS label,
+             CAST(coalesce(len(json_keys(claims)), 0) AS INTEGER) AS n_claim_props
+         FROM (
+           SELECT id, type, labels, claims, unnest(json_keys(labels)) AS lang
+           FROM read_json('/tmp/graft_wd_entities.ndjson',
+                          format='newline_delimited',
+                          columns={id: 'VARCHAR', type: 'VARCHAR',
+                                   labels: 'JSON', claims: 'JSON'})
+         ) ORDER BY id, lang"""
+  )
+}

@@ -17,14 +17,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++
       graft.functions.Functions.queries ++
+      graft.functions.Udfs.queries ++
       graft.sources.Sources.queries ++
-      graft.wikidata.Wd.queries
+      graft.wikidata.Wd.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++
       graft.functions.Functions.oracles ++
+      graft.functions.Udfs.oracles ++
       graft.sources.Sources.oracles ++
-      graft.wikidata.Wd.oracles
+      graft.wikidata.Wd.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** UDF / UDAF surface (SURVEY.md §2.11).
+  *
+  * Cost note recorded for the 100 TB design: a Scala UDF is opaque to
+  * Catalyst — no predicate pushdown through it, no codegen fusion, extra
+  * serialization at the lambda boundary. udf_normalize exists to pin the
+  * pattern; production normalization should be the equivalent built-in
+  * chain (lower + regexp_replace), which IS what the oracle uses to
+  * prove equivalence. Custom aggregates use typed Aggregator + udaf() —
+  * the same pattern an HLL/TDigest sketch would use
+  * (TypedImperativeAggregate only if codegen-level perf demands it).
+  */
+object Udfs {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Text normalizer: lower, strip non-alphanumerics, collapse runs of
+    * spaces. [ ]+ (not \s+) to stay inside the cross-engine regex
+    * subset (SURVEY §7.4.4). */
+  private val normalize = udf { s: String =>
+    if (s == null) null
+    else s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll("[ ]+", " ").trim
+  }
+
+  /** Geometric mean via typed Aggregator: exp(mean(ln x)). */
+  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1)
+    override def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    override def finish(r: (Double, Long)): Double =
+      if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Q] = Map(
+    "udf_normalize" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          normalize(concat(lit("  "), upper(col("p_name")), lit("!!  "))).as("norm"))
+        .orderBy("p_partkey")
+    }),
+
+    "udaf_geomean" -> ((s, d) => {
+      val gm = udaf(GeoMean)
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(round(gm(col("p_retailprice")), 4).as("gm"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Proves the UDF ≡ the built-in chain it should be replaced by.
+    "udf_normalize" ->
+      """SELECT p_partkey,
+             trim(regexp_replace(regexp_replace(
+               lower('  ' || upper(p_name) || '!!  '),
+               '[^a-z0-9 ]', ' ', 'g'), '[ ]+', ' ', 'g')) AS norm
+         FROM part ORDER BY p_partkey""",
+
+    "udaf_geomean" ->
+      """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS gm,
+             count(*) AS n
+         FROM part GROUP BY p_brand ORDER BY p_brand"""
+  )
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators (SURVEY.md §2.10 + north-star additions).
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * exact dedup is one hash-groupBy; MinHash and SimHash shrink documents
+  * to constant-size signatures and only join within LSH bands/chunks
+  * (candidate generation is equi-join-shaped, so it shuffles on band
+  * keys and never materializes the cross product); n-gram Jaccard and
+  * embedding near-dup run the exact computation only on bounded
+  * candidate sets. All hashing uses xxhash64 with FIXED literal seed
+  * strings (SURVEY §7.4.5 — deterministic, resumable).
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = filter(split(col("text"), " "), t => t =!= lit(""))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, d) => {
+      // Normalize → hash → keep lowest doc_id per hash. One shuffle.
+      val h = md5(lower(trim(col("text"))))
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("h"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_near_minhash" -> ((s, d) => {
+      // Hand-rolled MinHash+LSH: 3-token shingles → 32 minhash slots
+      // (xxhash64 with literal seed prefixes) → 8 bands × 4 rows →
+      // band-equi-self-join → candidate pairs + signature similarity.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("shingles", expr(
+          """filter(
+               transform(tk, (t, i) -> IF(i + 3 <= size(tk),
+                 concat_ws(' ', element_at(tk, i+1), element_at(tk, i+2), element_at(tk, i+3)),
+                 null)),
+               x -> x IS NOT NULL)"""))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("sigs", expr(
+          """transform(sequence(1, 32),
+               s -> array_min(transform(shingles,
+                 sh -> xxhash64(concat(cast(s AS string), ':', sh)))))"""))
+      val banded = docs
+        .select(col("doc_id"), col("sigs"), posexplode(expr(
+          """transform(sequence(0, 7),
+               b -> xxhash64(concat_ws(',',
+                 transform(slice(sigs, b*4 + 1, 4), x -> cast(x AS string)))))"""))
+          .as(Seq("band", "bh")))
+      val a = banded.select(col("doc_id").as("a"), col("sigs").as("siga"),
+        col("band"), col("bh"))
+      val b = banded.select(col("doc_id").as("b"), col("sigs").as("sigb"),
+        col("band").as("band2"), col("bh").as("bh2"))
+      a.join(b, col("band") === col("band2") && col("bh") === col("bh2")
+          && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(expr(
+            """aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)),
+                 0, (acc, v) -> acc + v)""").cast(DoubleType) / 32.0, 4).as("est_jaccard"))
+        .distinct()
+        .orderBy("a", "b")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      // 32-bit SimHash over distinct tokens; near-dups = hamming ≤ 2,
+      // candidates via 8-bit chunk pigeonhole (dist ≤ 2 < 4 chunks ⇒ ≥1
+      // equal chunk) so the join is equi on (chunk_idx, chunk_val) —
+      // never a cross product.
+      val th = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+        .withColumn("h", xxhash64(concat(lit("simhash:"), col("t"))))
+      val bitSums = (0 until 32).map(bit =>
+        sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit"))
+      val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(bit =>
+            when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val chunked = sim.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> (simhash >> (c * 8)) & 255)"))
+          .as(Seq("chunk", "cv")))
+      val a = chunked.select(col("doc_id").as("a"), col("simhash").as("sha"),
+        col("chunk"), col("cv"))
+      val b = chunked.select(col("doc_id").as("b"), col("simhash").as("shb"),
+        col("chunk").as("chunk2"), col("cv").as("cv2"))
+      a.join(b, col("chunk") === col("chunk2") && col("cv") === col("cv2")
+          && col("a") < col("b"))
+        .select(col("a"), col("b"), col("sha"), col("shb"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+        .filter(col("hamming") <= 2)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy("a", "b")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      // Exact bigram-set Jaccard on a bounded candidate set (doc_id<60
+      // here; at scale the candidate pairs come from MinHash above).
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = grams.select(col("doc_id").as("a"), col("gram"))
+        .join(grams.select(col("doc_id").as("b"), col("gram")), "gram")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), "b")
+        .select(col("a"), col("b"),
+          round(col("inter").cast(DoubleType)
+            / (col("sa") + col("sb") - col("inter")), 4).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    "dedup_embedding" -> ((s, d) => {
+      // Embedding-cosine near-dup pairs on a bounded id range, computed
+      // with the exact decimal dot-product path (Det §7.4: float
+      // products cast to DECIMAL(38,18) before the order-sensitive sum).
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v").cast(DoubleType).as("v"))
+      val norms = e.groupBy("vec_id")
+        .agg(sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18)))
+          .cast(DoubleType)).as("nrm"))
+      val dots = e.select(col("vec_id").as("a"), col("pos"), col("v").as("va"))
+        .join(e.select(col("vec_id").as("b"), col("pos"), col("v").as("vb")), "pos")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(sum((col("va") * col("vb")).cast(DecimalType(38, 18)))
+          .cast(DoubleType).as("dotd"))
+      dots
+        .join(norms.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
+        .join(norms.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
+        .select(col("a"), col("b"),
+          round(col("dotd") / (col("na") * col("nb")), 4).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .orderBy("a", "b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, h FROM (
+           SELECT doc_id, h,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+           FROM (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents))
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH grams AS (
+           SELECT DISTINCT doc_id, tok || ' ' || nxt AS gram FROM (
+             SELECT doc_id, tok, pos,
+                    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+                         FROM documents WHERE doc_id < 60)))
+           WHERE nxt IS NOT NULL),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT i.a, i.b,
+                round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.a = sa.doc_id
+         JOIN sizes sb ON i.b = sb.doc_id
+         ORDER BY a, b""",
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings WHERE vec_id < 300)),
+         norms AS (SELECT vec_id,
+                     sqrt(CAST(sum(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                   FROM e GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                    CAST(sum(CAST(a.v*b.v AS DECIMAL(38,18))) AS DOUBLE) AS dotd
+                  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2)
+         SELECT d.a, d.b, round(d.dotd / (na.nrm * nb.nrm), 4) AS cos
+         FROM dots d
+         JOIN norms na ON d.a = na.vec_id
+         JOIN norms nb ON d.b = nb.vec_id
+         WHERE round(d.dotd / (na.nrm * nb.nrm), 4) >= 0.25
+         ORDER BY a, b"""
+  )
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column operators (SURVEY.md §2.10): media as opaque
+  * binary columns with typed metadata, bundled into one struct column.
+  *
+  * The decode stage is a clearly-marked STUB (no image/audio libs in
+  * this container): the Spark-side plumbing — binary schema, struct
+  * metadata, per-partition batching via mapPartitions (the seam where a
+  * real decoder library is called once per batch, amortizing model/lib
+  * init), deterministic output schema — is real and tested.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** STUB decoder: stands in for image/audio decode + feature extract.
+    * Deterministic rolling checksum so tests can golden it. A real
+    * implementation replaces ONLY this function body (e.g. JNI decode →
+    * resize → feature vector). */
+  private[operators] def stubDecodeFeature(bytes: Array[Byte]): Long =
+    if (bytes == null) -1L
+    else bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_bundle" -> ((s, d) => {
+      // One struct column bundling text + vector + typed metadata;
+      // nested field access + nested filter. Parquet nested-schema
+      // pruning keeps the scan narrow when only m.meta.* is selected.
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), struct(
+          col("text").as("text"),
+          col("embedding").as("embedding"),
+          struct(col("lang").as("lang"), col("source").as("source"),
+            col("n_chars").as("n_chars")).as("meta")).as("m"))
+        .filter(col("m.meta.lang") === "en" && size(col("m.embedding")) === 64)
+        .select(col("doc_id"),
+          col("m.meta.source").as("source"),
+          col("m.meta.n_chars").as("n_chars"),
+          size(col("m.embedding")).as("dim"))
+        .orderBy("doc_id")
+    }),
+
+    "multimodal_decode" -> ((s, d) => {
+      // Binary media column (text bytes stand in for image payloads) →
+      // per-partition batched "decode". mapPartitions keeps the decoder
+      // call per-batch, the 100 TB shape for expensive per-row codecs.
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast(BinaryType).as("media"),
+          (col("doc_id") % 640 + 32).cast(IntegerType).as("width"),
+          (col("doc_id") % 480 + 32).cast(IntegerType).as("height"))
+        .as[(Long, Array[Byte], Int, Int)]
+      media.mapPartitions { batch =>
+        batch.map { case (id, bytes, w, h) =>
+          (id, if (bytes == null) 0 else bytes.length, w * h,
+            stubDecodeFeature(bytes))
+        }
+      }.toDF("doc_id", "n_bytes", "n_pixels", "feature")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_bundle" ->
+      """SELECT doc_id, source, n_chars, CAST(len(embedding) AS INTEGER) AS dim
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE lang = 'en' AND len(embedding) = 64
+         ORDER BY doc_id"""
+  )
+}

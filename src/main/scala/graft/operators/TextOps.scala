@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.10
+  * + the north-star additions: language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything is built from codegen'd built-ins over the `documents`
+  * table — tokenize with split+filter, position logic with
+  * posexplode+lead, never a UDF. At 100 TB each of these is a single
+  * scan + one shuffle (groupBy term / doc), with maps partial-aggregated.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens minus the trailing empty token (FIXTURES.md). */
+  private def toks: Column = filter(split(col("text"), " "), t => t =!= lit(""))
+
+  val queries: Map[String, Q] = Map(
+    "text_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(toks).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    "text_ngrams" -> ((s, d) => {
+      // Bigrams via lead-over-position (the cross-engine formulation).
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(20)
+    }),
+
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"), explode(toks).as("term"))
+      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = t.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(nd) // 1-row broadcast, not a real cross product
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + 1).cast(DoubleType) / (col("df") + 1)), 4))
+        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    "text_lang_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    "text_langid" -> ((s, d) => {
+      // Lexicon-hit language ID: deterministic n-gram-free heuristic.
+      // The real corpus analogue swaps the literal lexicon for a
+      // broadcast dictionary table — identical plan shape at 100 TB.
+      import s.implicits._
+      val lex = Seq(
+        ("the", "en"), ("fast", "en"), ("small", "en"), ("slow", "en"),
+        ("le", "fr"), ("vite", "fr"), ("petit", "fr"),
+        ("el", "es"), ("rapido", "es"),
+        ("der", "de"), ("schnell", "de")).toDF("w", "lg")
+      val docs = Tables.documents(s, d)
+      val hits = docs.select(col("doc_id"), explode(toks).as("term"))
+        .join(broadcast(lex), col("term") === col("w"))
+        .groupBy("doc_id", "lg").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lg"))
+      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lg"), col("hits"))
+      docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lg"), lit("und")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, d) => {
+      // Length/stopword heuristics; every ratio is exact-int division
+      // surfaced as a rounded double.
+      val stop = Seq("the", "a", "of", "and", "to")
+      val t = toks
+      val nTok = size(t)
+      val nStop = size(filter(t, x => x.isin(stop: _*)))
+      val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        nTok.as("n_tokens"),
+        round(sumLen.cast(DoubleType) / nTok, 4).as("avg_tok_len"),
+        round(nStop.cast(DoubleType) / nTok, 4).as("stop_ratio"),
+        round(least(lit(1.0), nTok.cast(DoubleType) / 100.0)
+          * (lit(1.0) - nStop.cast(DoubleType) / nTok), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_tokencount" -> ((s, d) => {
+      // Whitespace count + a BPE-ish estimate (⌈len/4⌉ subwords per
+      // token — the standard chars/4 heuristic), all in-array, no UDF.
+      val t = toks
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).as("ws_tokens"),
+        size(array_distinct(t)).as("distinct_tokens"),
+        aggregate(t, lit(0L),
+          (acc, x) => acc + ceil(length(x) / lit(4.0)).cast(LongType)).as("bpe_est"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      // Canonical content fingerprint: md5 over the sorted distinct
+      // token set (order-insensitive dedup key), plus corpus-wide
+      // collision count per fingerprint.
+      val fp = md5(concat_ws(" ", sort_array(array_distinct(toks))))
+      val w = Window.partitionBy("fp")
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"))
+        .withColumn("n_same_fp", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "text_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         FROM (SELECT unnest($toksSql) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+
+    "text_ngrams" ->
+      s"""SELECT gram, count(*) AS cnt FROM (
+           SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+           FROM (SELECT doc_id, unnest(tokens) AS tok,
+                        unnest(range(1, len(tokens)+1)) AS pos
+                 FROM (SELECT doc_id, $toksSql AS tokens FROM documents)))
+         WHERE gram IS NOT NULL
+         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""",
+
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+         nd AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, term, tf, df, score, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                  round(tf.tf * ln(CAST(nd.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)), 4) AS score,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY round(tf.tf * ln(CAST(nd.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)), 4) DESC,
+                             tf.term) AS rnk
+           FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+             count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "text_langid" ->
+      s"""WITH lex(w, lg) AS (VALUES
+           ('the','en'),('fast','en'),('small','en'),('slow','en'),
+           ('le','fr'),('vite','fr'),('petit','fr'),
+           ('el','es'),('rapido','es'),('der','de'),('schnell','de')),
+         t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         hits AS (SELECT doc_id, lg, count(*) AS hits
+                  FROM t JOIN lex ON term = w GROUP BY 1, 2),
+         best AS (SELECT doc_id, lg, hits FROM (
+                    SELECT doc_id, lg, hits,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY hits DESC, lg) AS rn
+                    FROM hits) WHERE rn = 1)
+         SELECT d.doc_id, coalesce(b.lg, 'und') AS pred_lang,
+                coalesce(b.hits, 0) AS hits
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         ORDER BY d.doc_id""",
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS len_chars,
+             CAST(len(tokens) AS INTEGER) AS n_tokens,
+             round(CAST(sum_len AS DOUBLE) / len(tokens), 4) AS avg_tok_len,
+             round(CAST(n_stop AS DOUBLE) / len(tokens), 4) AS stop_ratio,
+             round(least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0)
+                   * (1.0 - CAST(n_stop AS DOUBLE) / len(tokens)), 4) AS quality
+         FROM (SELECT doc_id, text, tokens,
+                 list_aggregate(list_transform(tokens, x -> CAST(length(x) AS BIGINT)), 'sum') AS sum_len,
+                 len(list_filter(tokens, x -> x IN ('the','a','of','and','to'))) AS n_stop
+               FROM (SELECT doc_id, text, $toksSql AS tokens FROM documents))
+         ORDER BY doc_id""",
+
+    "text_tokencount" ->
+      s"""SELECT doc_id,
+             CAST(len(tokens) AS INTEGER) AS ws_tokens,
+             CAST(len(list_distinct(tokens)) AS INTEGER) AS distinct_tokens,
+             list_aggregate(list_transform(tokens,
+               x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS bpe_est
+         FROM (SELECT doc_id, $toksSql AS tokens FROM documents)
+         ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+         FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+               FROM documents)
+         ORDER BY doc_id"""
+  )
+}

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.sources.Sources.queries ++
       graft.wikidata.Wd.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.sources.Sources.oracles ++
       graft.wikidata.Wd.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++
+      graft.streaming.StreamingOps.oracles
 }

@@ -21,7 +21,7 @@ object Multimodal {
     * Deterministic rolling checksum so tests can golden it. A real
     * implementation replaces ONLY this function body (e.g. JNI decode →
     * resize → feature vector). */
-  private[operators] def stubDecodeFeature(bytes: Array[Byte]): Long =
+  def stubDecodeFeature(bytes: Array[Byte]): Long =
     if (bytes == null) -1L
     else bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
 

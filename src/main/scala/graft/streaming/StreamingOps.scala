@@ -1,0 +1,212 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import org.apache.spark.sql.types._
+import graft.{Det, Tables}
+import Det._
+
+/** Structured-Streaming operators (SURVEY.md §2.9).
+  *
+  * Harness constraint: `SparkEntry.queries` must return bounded
+  * DataFrames the driver can count/write, so each key here runs the
+  * batch-equivalent plan — time-window functions, watermark declarations
+  * and stateful handlers behave identically on bounded input. True
+  * readStream execution (late-row drops, incremental state, foreachBatch
+  * sink) is exercised in StreamingSpec via MemoryStream.
+  *
+  * 100 TB notes: windowed aggs shuffle on (window, key) with partial
+  * aggregation; session/stateful ops keep per-key state bounded and
+  * watermark-evicted (RocksDB state store in production); every handler
+  * sorts its group before folding so results never depend on arrival
+  * order.
+  */
+object StreamingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Events with second-truncated time (cross-engine rule, SURVEY §7.4). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("sec", secs(col("ts")))
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+
+    "stream_sliding" -> ((s, d) => {
+      // 1-hour windows sliding every 15 minutes: each event lands in
+      // exactly 4 windows.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    }),
+
+    "stream_session" -> ((s, d) => {
+      // Native session windows (30-min gap) per user — the real
+      // operator, which the oracle reproduces via gaps-and-islands.
+      ev(s, d)
+        .groupBy(session_window(col("sec"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("sw.start").as("sess_start"),
+          (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("sess_last"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "sess_start")
+    }),
+
+    "stream_watermark_late" -> ((s, d) => {
+      // Watermark declaration + windowed agg. On bounded input the
+      // watermark is a no-op (no late data in replay) — late-row
+      // dropping is asserted in StreamingSpec with out-of-order batches.
+      Tables.events(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    }),
+
+    "stream_dedup_watermark" -> ((s, d) => {
+      // Stateful dedup within the watermark horizon. Keys-only output
+      // so the batch result is set-deterministic.
+      // dropDuplicatesWithinWatermark is streaming-only; on bounded
+      // input dropDuplicates is its exact equivalent (the watermark
+      // variant runs in StreamingSpec over a MemoryStream).
+      Tables.events(s, d)
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    "stream_stateful_custom" -> ((s, d) => {
+      // Custom per-user sessionization with explicit state
+      // (flatMapGroupsWithState — the arbitrary-state API; same handler
+      // runs under EventTimeTimeout in the streaming test). The group is
+      // sorted in-handler so output is arrival-order-independent.
+      import s.implicits._
+      val rows = ev(s, d)
+        .select(col("user_id"), col("sec").cast(LongType).as("secl"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+      rows.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          StatefulSessionizer.handle)
+        .toDF("user_id", "n_sessions", "n_events", "longest_session_s")
+        .orderBy("user_id")
+    }),
+
+    "stream_static_join" -> ((s, d) => {
+      // Stream-static enrichment (supported without watermark): events
+      // stream joined to the customer dim, aggregated per segment.
+      Tables.events(s, d)
+        .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "stream_sliding" ->
+      """SELECT ws, event_type, count(*) AS n FROM (
+           SELECT TIMESTAMP '1970-01-01 00:00:00'
+                  + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900)
+                    * INTERVAL 1 SECOND AS ws,
+                  event_type
+           FROM events, (SELECT unnest([0, 1, 2, 3]) AS k))
+         GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS sec, value,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secl,
+                  event_id
+           FROM events),
+         marked AS (SELECT *,
+             CASE WHEN secl - lag(secl) OVER w >= 1800 OR
+                       lag(secl) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secl, event_id)),
+         sess AS (SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY secl, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, min(sec) AS sess_start, max(sec) AS sess_last,
+                count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, sess_start""",
+
+    "stream_watermark_late" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+
+    "stream_stateful_custom" ->
+      """WITH e AS (SELECT user_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secl,
+                  event_id
+           FROM events),
+         marked AS (SELECT *,
+             CASE WHEN secl - lag(secl) OVER w >= 1800 OR
+                       lag(secl) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secl, event_id)),
+         sess AS (SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY secl, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked),
+         per_sess AS (SELECT user_id, sid, count(*) AS n,
+                  max(secl) - min(secl) AS dur
+           FROM sess GROUP BY user_id, sid)
+         SELECT user_id, CAST(count(*) AS INTEGER) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                CAST(max(dur) AS BIGINT) AS longest_session_s
+         FROM per_sess GROUP BY user_id ORDER BY user_id""",
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}
+
+/** Session-fold handler shared by the batch key and the streaming test.
+  * State = (sessionCount, eventCount, currentSessionStart, lastSeen,
+  * longestDur); on bounded input each group arrives once and is sorted
+  * before folding (arrival-order independence).
+  */
+object StatefulSessionizer {
+  type Row = (Long, Long, Long) // (user_id, epoch_sec, event_id)
+  type Out = (Long, Int, Long, Long) // (user_id, n_sessions, n_events, longest_s)
+
+  def handle(userId: Long, rows: Iterator[Row],
+      state: GroupState[(Int, Long, Long, Long, Long)]): Iterator[Out] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    if (sorted.isEmpty) return Iterator.empty
+    var (nSess, nEv, sessStart, last, longest) =
+      state.getOption.getOrElse((0, 0L, Long.MinValue, Long.MinValue, 0L))
+    sorted.foreach { case (_, sec, _) =>
+      if (last == Long.MinValue || sec - last >= 1800L) {
+        nSess += 1; sessStart = sec
+      }
+      longest = math.max(longest, sec - sessStart)
+      last = sec; nEv += 1
+    }
+    state.update((nSess, nEv, sessStart, last, longest))
+    Iterator.single((userId, nSess, nEv, longest))
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator semantic assertions on sf0.001 (SURVEY.md §5.3) — the
+  * properties the DuckDB oracle can't check: dedup/pairing invariants of
+  * the ✗-oracle keys, fixture goldens for the Wikidata module, stub
+  * determinism, sink option plumbing.
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+  private def q(name: String) = SparkEntry.queries(name)(spark, Spec.sf001)
+
+  test("every declared query returns rows at sf0.001") {
+    val empties = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => q(k).limit(1).count() == 0)
+    // theta/near-dup style keys may legitimately be sparse but none
+    // should be empty at sf0.001 except genuinely-filtered pair sets
+    assert(empties.filterNot(Set("dedup_near_minhash", "dedup_simhash",
+      "dedup_embedding", "sim_ann_lsh")).isEmpty,
+      s"unexpectedly empty: $empties")
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("dedup_exact is idempotent and keeps lowest doc_id") {
+    val d1 = q("dedup_exact").collect()
+    assert(d1.map(_.getString(1)).distinct.length === d1.length) // 1 row per hash
+    val docs = Tables.documents(spark, Spec.sf001).count()
+    assert(d1.length <= docs && d1.nonEmpty)
+  }
+
+  test("minhash: identical docs always collide at fixed seeds") {
+    import spark.implicits._
+    // two identical + one disjoint doc through the same pipeline shape
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    val sigs = spark.sql(
+      """SELECT doc_id,
+           transform(sequence(1, 32), s -> array_min(transform(
+             filter(transform(split(text, ' '), (t, i) ->
+               IF(i + 3 <= size(split(text, ' ')),
+                  concat_ws(' ', element_at(split(text,' '), i+1),
+                            element_at(split(text,' '), i+2),
+                            element_at(split(text,' '), i+3)), null)),
+               x -> x IS NOT NULL),
+             sh -> xxhash64(concat(cast(s AS string), ':', sh))))) AS sigs
+         FROM mh_docs""").collect()
+    val bySig = sigs.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bySig(1L) === bySig(2L), "identical docs must have identical signatures")
+    assert(bySig(1L) !== bySig(3L), "disjoint docs should differ")
+  }
+
+  test("simhash pairs: hamming bounded and symmetric-free (a<b)") {
+    val rows = q("dedup_simhash").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getInt(2) <= 2))
+  }
+
+  test("cosine: self-similarity is 1 on unit vectors") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, Spec.sf001)
+      .select(col("vec_id"), expr(
+        """CAST(aggregate(embedding, CAST(0 AS DECIMAL(38,18)),
+             (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              AS DECIMAL(38,18)) AS DECIMAL(38,18))) AS DOUBLE)""").as("ss"))
+      .as[(Long, Double)].collect()
+    e.foreach { case (_, ss) => assert(math.abs(ss - 1.0) < 1e-4) }
+  }
+
+  test("sim_cosine_topk: ranks are 1..5 per probe, cos within [-1,1]") {
+    val rows = q("sim_cosine_topk").collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+    }
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
+  }
+
+  test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
+    assert(q("scan_ndjson_entities").count() === 10L)
+    val flat = q("wd_entity_flatten").collect()
+    assert(flat.length === 21)
+    // Q6 has no labels → absent from flatten but present in scan
+    assert(!flat.map(_.getString(0)).contains("Q6"))
+    val claims = q("wd_claims_flatten").collect()
+    assert(claims.length === 14)
+    val snaktypes = claims.map(_.getString(4)).toSet
+    assert(snaktypes === Set("value", "somevalue", "novalue"))
+    // year-12000 time survives as raw JSON (beyond TimestampType range)
+    val far = claims.filter(r => r.getString(0) == "Q4" && r.getString(1) == "P585")
+    assert(far.length === 1 && far.head.getString(6).contains("+12000-01-01"))
+  }
+
+  test("multimodal stub decode is deterministic") {
+    val f1 = graft.operators.Multimodal.stubDecodeFeature("hello".getBytes("UTF-8"))
+    val f2 = graft.operators.Multimodal.stubDecodeFeature("hello".getBytes("UTF-8"))
+    assert(f1 === f2)
+    assert(f1 !== graft.operators.Multimodal.stubDecodeFeature("world".getBytes("UTF-8")))
+    val rows = q("multimodal_decode")
+    assert(rows.count() === Tables.documents(spark, Spec.sf001).count())
+  }
+
+  test("JdbcSink carries the Postgres bulk-load options; forUrl dispatches") {
+    val jdbc = graft.sources.JdbcSink("jdbc:postgresql://db:5432/wd", "entities",
+      user = "u", password = "p", batchSize = 5000, numPartitions = 8)
+    val o = jdbc.options
+    assert(o("url").contains("reWriteBatchedInserts=true"))
+    assert(o("dbtable") === "entities" && o("batchsize") === "5000"
+      && o("numPartitions") === "8" && o("isolationLevel") === "READ_COMMITTED")
+    assert(graft.sources.Sink.forUrl("jdbc:postgresql://x/y").isInstanceOf[graft.sources.JdbcSink])
+    assert(graft.sources.Sink.forUrl("/tmp/x").isInstanceOf[graft.sources.ParquetSink])
+  }
+
+  test("set algebra: (A except B) ∪ (A intersect B) = distinct A") {
+    val a = Tables.customer(spark, Spec.sf001).select(col("c_custkey").as("k"))
+    val b = Tables.orders(spark, Spec.sf001)
+      .filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k"))
+    val together = a.except(b).union(a.intersect(b)).distinct().count()
+    assert(together === a.distinct().count())
+  }
+
+  test("window/groupBy consistency: running sum final row equals total") {
+    val rs = q("win_running_sum").collect()
+    val total = rs.last.getDouble(2)
+    val direct = Tables.lineitem(spark, Spec.sf001)
+      .agg(Det.sumMoney(col("l_extendedprice"))).head().getDouble(0)
+    assert(math.abs(total - direct) < 1e-6)
+  }
+}

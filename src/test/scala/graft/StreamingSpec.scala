@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True readStream semantics for the §2.9 keys whose batch equivalents
+  * can't show them: late-row drops under a watermark, stateful dedup,
+  * session-window merging, and the foreachBatch sink (SURVEY.md §5.3).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Spec.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark drops rows later than the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_out").start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "a"))
+      q.processAllAvailable()
+      // advance watermark far past the first window...
+      in.addData((ts(40), "a"))
+      q.processAllAvailable()
+      // ...then send a row 40 min late: must be dropped
+      in.addData((ts(2), "a"))
+      q.processAllAvailable()
+      in.addData((ts(59), "a")) // flush closed windows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, n FROM wm_out").collect()
+      // first 5-min window closed with exactly 2 rows; late row excluded
+      assert(rows.map(_.getLong(1)).contains(2L))
+      assert(!rows.map(_.getLong(1)).contains(3L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dedup = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dd_out").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 1L), (ts(1), 2L))
+      q.processAllAvailable()
+      in.addData((ts(2), 1L)) // duplicate within horizon → dropped
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dd_out").head().getLong(0)
+      assert(n === 2L) // ids {1, 2} once each
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the gap and splits beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sess = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sess.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 7: 10:00, 10:20 (merge), 11:30 (new session)
+      in.addData((ts(0), 7L), (ts(20), 7L),
+        (Timestamp.valueOf("2024-01-01 11:30:00"), 7L))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 7L)) // close all
+      q.processAllAvailable()
+      val ns = spark.sql("SELECT n FROM sess_out ORDER BY n DESC").as[Long].collect()
+      assert(ns.headOption.contains(2L)) // merged first session
+      assert(ns.count(_ == 1L) >= 1)     // split second session
+    } finally q.stop()
+  }
+
+  test("foreachBatch drives the Sink abstraction from a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = "/tmp/graft_stream_sink_test"
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = in.toDF().toDF("ts", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the streaming version of the reference's Postgres load:
+        // swap ParquetSink for JdbcSink and nothing else changes
+        graft.sources.Sink.forUrl(out).write(df)
+      }.start()
+    try {
+      in.addData((ts(0), 1.5), (ts(1), 2.5))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 2L)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer is arrival-order independent") {
+    val rows = Seq( // (user, sec, event_id) deliberately out of order
+      (1L, 5000L, 3L), (1L, 1000L, 1L), (1L, 1200L, 2L),
+      (2L, 100L, 4L))
+    import org.apache.spark.sql.streaming.{GroupStateTimeout}
+    val out = rows.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        graft.streaming.StatefulSessionizer.handle)
+      .collect().sortBy(_._1)
+    // user 1: gap 1000→1200 merges, 1200→5000 splits → 2 sessions
+    assert(out === Array((1L, 2, 3L, 200L), (2L, 1, 1L, 0L)))
+  }
+}
+
+/** One shared local session for all suites (guide: one per JVM). */
+object Spec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf001 = "/root/testdata/sf0.001"
+}

@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JVM/codegen and parquet footers so the first timed query
+    // doesn't absorb session initialization cost.
+    Tables.names.foreach { t =>
+      try Tables.table(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => () }
+    }
+    try Tables.events(spark, sfDir).limit(1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -36,10 +36,14 @@ object DedupOps {
     }),
 
     "dedup_near_minhash" -> ((s, d) => {
-      // Hand-rolled MinHash+LSH: 3-token shingles → 32 minhash slots
-      // (xxhash64 with literal seed prefixes) → 8 bands × 4 rows →
-      // band-equi-self-join → candidate pairs + signature similarity.
-      val docs = Tables.documents(s, d)
+      // Hand-rolled MinHash+LSH: 3-token shingles → 16 minhash slots →
+      // 4 bands × 4 rows → band-equi-self-join → candidate pairs +
+      // signature similarity. Formulated as explode + 16 codegen'd
+      // min() aggregates (one shuffle), NOT per-row array lambdas —
+      // higher-order functions are CodegenFallback and ~10× slower on
+      // the 100 TB hot path. Seeds are literal ints (SURVEY §7.4.5).
+      val nSig = 16; val nBands = 4; val rowsPerBand = 4
+      val shingled = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("tk"))
         .withColumn("shingles", expr(
           """filter(
@@ -47,27 +51,28 @@ object DedupOps {
                  concat_ws(' ', element_at(tk, i+1), element_at(tk, i+2), element_at(tk, i+3)),
                  null)),
                x -> x IS NOT NULL)"""))
-        .filter(size(col("shingles")) > 0)
-        .withColumn("sigs", expr(
-          """transform(sequence(1, 32),
-               s -> array_min(transform(shingles,
-                 sh -> xxhash64(concat(cast(s AS string), ':', sh)))))"""))
-      val banded = docs
-        .select(col("doc_id"), col("sigs"), posexplode(expr(
-          """transform(sequence(0, 7),
-               b -> xxhash64(concat_ws(',',
-                 transform(slice(sigs, b*4 + 1, 4), x -> cast(x AS string)))))"""))
-          .as(Seq("band", "bh")))
-      val a = banded.select(col("doc_id").as("a"), col("sigs").as("siga"),
-        col("band"), col("bh"))
-      val b = banded.select(col("doc_id").as("b"), col("sigs").as("sigb"),
-        col("band").as("band2"), col("bh").as("bh2"))
-      a.join(b, col("band") === col("band2") && col("bh") === col("bh2")
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sigAggs = (1 to nSig).map(i =>
+        min(xxhash64(lit(s"seed$i"), col("sh"))).as(s"m$i"))
+      val sigs = shingled.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+      val bandCols = (0 until nBands).map(b =>
+        xxhash64(lit(s"band$b") +:
+          (1 to rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*))
+      val banded = sigs.select(
+        col("doc_id") +: (1 to nSig).map(i => col(s"m$i")) :+
+          posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
+      val aSide = banded.select(
+        col("doc_id").as("a") +: col("band") +: col("bh") +:
+          (1 to nSig).map(i => col(s"m$i").as(s"am$i")): _*)
+      val bSide = banded.select(
+        col("doc_id").as("b") +: col("band").as("band2") +: col("bh").as("bh2") +:
+          (1 to nSig).map(i => col(s"m$i").as(s"bm$i")): _*)
+      val est = (1 to nSig)
+        .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType) / nSig.toDouble
+      aSide.join(bSide, col("band") === col("band2") && col("bh") === col("bh2")
           && col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(expr(
-            """aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)),
-                 0, (acc, v) -> acc + v)""").cast(DoubleType) / 32.0, 4).as("est_jaccard"))
+        .select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
         .distinct()
         .orderBy("a", "b")
     }),
@@ -141,15 +146,15 @@ object DedupOps {
       val norms = e.groupBy("vec_id")
         .agg(sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18)))
           .cast(DoubleType)).as("nrm"))
-      val dots = e.select(col("vec_id").as("a"), col("pos"), col("v").as("va"))
+      val dots = broadcast(e.select(col("vec_id").as("a"), col("pos"), col("v").as("va")))
         .join(e.select(col("vec_id").as("b"), col("pos"), col("v").as("vb")), "pos")
         .filter(col("a") < col("b"))
         .groupBy("a", "b")
         .agg(sum((col("va") * col("vb")).cast(DecimalType(38, 18)))
           .cast(DoubleType).as("dotd"))
       dots
-        .join(norms.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
-        .join(norms.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
+        .join(broadcast(norms.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
+        .join(broadcast(norms.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .select(col("a"), col("b"),
           round(col("dotd") / (col("na") * col("nb")), 4).as("cos"))
         .filter(col("cos") >= 0.25)

@@ -37,15 +37,15 @@ object SimOps {
       val nr = norms(e)
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("a"), col("pos"), col("v").as("va"))
-      val dots = probes
+      val dots = broadcast(probes)
         .join(e.select(col("vec_id").as("b"), col("pos"), col("v").as("vb")), "pos")
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b")
         .agg(sum((col("va") * col("vb")).cast(Dec18)).cast(DoubleType).as("dotd"))
       val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
       dots
-        .join(nr.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
-        .join(nr.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
+        .join(broadcast(nr.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
+        .join(broadcast(nr.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .withColumn("cos", round(col("dotd") / (col("na") * col("nb")), 4))
         .withColumn("rnk", row_number().over(w).cast(IntegerType))
         .filter(col("rnk") <= 5)
@@ -63,14 +63,14 @@ object SimOps {
         .select(col("vec_id").as("a"), col("pos"), col("v").as("va"))
       val cands = e.select(col("vec_id").as("b"), col("label"), col("pos"),
         col("v").as("vb"))
-      val dots = probes.join(cands, "pos")
+      val dots = broadcast(probes).join(cands, "pos")
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b", "label")
         .agg(sum((col("va") * col("vb")).cast(Dec18)).cast(DoubleType).as("dotd"))
       val w = Window.partitionBy("a", "label").orderBy(col("cos").desc, col("b"))
       dots
-        .join(nr.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
-        .join(nr.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
+        .join(broadcast(nr.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
+        .join(broadcast(nr.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .withColumn("cos", round(col("dotd") / (col("na") * col("nb")), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

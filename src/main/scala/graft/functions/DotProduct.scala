@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two float-array columns,
+  * accumulated in double, fixed left-to-right order.
+  *
+  * Why a custom Expression (SURVEY.md §7.3 allows exactly this case):
+  * the composable alternative — `aggregate(zip_with(a, b, (x,y) -> x*y),
+  * 0d, (acc,v) -> acc+v)` — runs on the CodegenFallback path (Spark's
+  * higher-order functions are interpreted, one closure dispatch + boxed
+  * object per element). This kernel participates in whole-stage codegen:
+  * `doGenCode` emits a tight primitive loop fused into the surrounding
+  * operator, ~an order of magnitude faster per row — the difference
+  * between feasible and not at 10⁹ vectors/100 TB. Deterministic:
+  * sequential accumulation order is part of the contract.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $l.getFloat($i) * (double) $r.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductF {
+  /** Register `dot_f(arr, arr)` for SQL / expr() use in a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+}

@@ -97,13 +97,12 @@ object SimOps {
       val cands = bucketed
         .select(col("vec_id").as("b"), col("embedding").as("eb"),
           col("bucket").as("bucket2"))
+      // Codegen'd dot-product kernel (graft.functions.DotProductF) on
+      // the candidate pairs — unit-norm embeddings make dot == cosine.
+      graft.functions.DotProductF.register(s)
       val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
       probes.join(cands, col("bucket") === col("bucket2") && col("a") =!= col("b"))
-        .withColumn("cos", round(expr(
-          """aggregate(zip_with(ea, eb, (x, y) ->
-               CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))),
-             CAST(0 AS DECIMAL(38,18)),
-             (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))""").cast(DoubleType), 4))
+        .withColumn("cos", round(expr("dot_f(ea, eb)"), 4))
         .withColumn("rnk", row_number().over(w).cast(IntegerType))
         .filter(col("rnk") <= 3)
         .select(col("a"), col("bucket"), col("b"), col("cos"), col("rnk"))

@@ -43,15 +43,19 @@ object DedupOps {
       // higher-order functions are CodegenFallback and ~10× slower on
       // the 100 TB hot path. Seeds are literal ints (SURVEY §7.4.5).
       val nSig = 16; val nBands = 4; val rowsPerBand = 4
+      // Shingles via posexplode + lead windows — fully codegen'd. An
+      // array-lambda formulation here gets inlined 3× per row by
+      // InferFiltersFromGenerate/CollapseProject and runs interpreted.
+      val wpos = Window.partitionBy("doc_id").orderBy("pos")
       val shingled = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("tk"))
-        .withColumn("shingles", expr(
-          """filter(
-               transform(tk, (t, i) -> IF(i + 3 <= size(tk),
-                 concat_ws(' ', element_at(tk, i+1), element_at(tk, i+2), element_at(tk, i+3)),
-                 null)),
-               x -> x IS NOT NULL)"""))
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), col("tok"),
+          lead(col("tok"), 1).over(wpos).as("t1"),
+          lead(col("tok"), 2).over(wpos).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
       val sigAggs = (1 to nSig).map(i =>
         min(xxhash64(lit(s"seed$i"), col("sh"))).as(s"m$i"))
       val sigs = shingled.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -78,23 +82,29 @@ object DedupOps {
     }),
 
     "dedup_simhash" -> ((s, d) => {
-      // 32-bit SimHash over distinct tokens; near-dups = hamming ≤ 2,
-      // candidates via 8-bit chunk pigeonhole (dist ≤ 2 < 4 chunks ⇒ ≥1
+      // 64-bit SimHash over distinct tokens; near-dups = hamming ≤ 1,
+      // candidates via 16-bit chunk pigeonhole (dist ≤ 1 < 4 chunks ⇒ ≥1
       // equal chunk) so the join is equi on (chunk_idx, chunk_val) —
-      // never a cross product.
+      // never a cross product. 64 bits because this corpus's tiny
+      // vocabulary makes token sets overlap heavily: a 32-bit/dist-2 bar
+      // reports >1M "near-dup" pairs at sf0.1 (true but useless).
+      // distinct tokens via explode+distinct (codegen + one shuffle),
+      // not explode(array_distinct(hof)) — same inlining trap as above.
       val th = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(toks)).as("t"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .distinct()
         .withColumn("h", xxhash64(concat(lit("simhash:"), col("t"))))
-      val bitSums = (0 until 32).map(bit =>
+      val bitSums = (0 until 64).map(bit =>
         sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit"))
       val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          (0 until 32).map(bit =>
+          (0 until 64).map(bit =>
             when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash"))
       val chunked = sim.select(col("doc_id"), col("simhash"),
         posexplode(expr(
-          "transform(sequence(0, 3), c -> (simhash >> (c * 8)) & 255)"))
+          "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
           .as(Seq("chunk", "cv")))
       val a = chunked.select(col("doc_id").as("a"), col("simhash").as("sha"),
         col("chunk"), col("cv"))
@@ -105,7 +115,7 @@ object DedupOps {
         .select(col("a"), col("b"), col("sha"), col("shb"))
         .distinct()
         .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 1)
         .select(col("a"), col("b"), col("hamming"))
         .orderBy("a", "b")
     }),

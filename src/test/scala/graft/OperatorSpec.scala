@@ -60,7 +60,7 @@ class OperatorSpec extends AnyFunSuite {
   test("simhash pairs: hamming bounded and symmetric-free (a<b)") {
     val rows = q("dedup_simhash").collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(rows.forall(r => r.getInt(2) <= 2))
+    assert(rows.forall(r => r.getInt(2) <= 1))
   }
 
   test("cosine: self-similarity is 1 on unit vectors") {

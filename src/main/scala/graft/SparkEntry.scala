@@ -20,6 +20,7 @@ object SparkEntry {
       graft.functions.Udfs.queries ++
       graft.sources.Sources.queries ++
       graft.wikidata.Wd.queries ++
+      graft.wikidata.TypedValues.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
       Multimodal.queries ++
       graft.streaming.StreamingOps.queries

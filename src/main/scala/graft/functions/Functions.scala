@@ -216,6 +216,16 @@ object Functions {
                'sum'), 4) AS sumsq
          FROM embeddings ORDER BY vec_id""",
 
+    // DuckDB has no Spark-map equivalent, but every OUTPUT column of the
+    // map query is relational: count, lookup, sorted key list.
+    "fn_map_ops" ->
+      """WITH lc AS (SELECT source, lang, count(*) AS n
+                     FROM documents GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS INTEGER) AS n_langs,
+                CAST(max(CASE WHEN lang = 'en' THEN n END) AS BIGINT) AS en_docs,
+                list(lang ORDER BY lang) AS langs
+         FROM lc GROUP BY source ORDER BY source""",
+
     "fn_json_extract" ->
       """SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -81,6 +81,19 @@ object Wd {
     * bytes (written to a fixed path by the query itself during Verify,
     * which always runs before the driver's DuckDB pass). */
   val oracles: Map[String, String] = Map(
+    "scan_ndjson_entities" ->
+      """SELECT id, type,
+             CAST(coalesce(len(json_keys(labels)), 0) AS INTEGER) AS n_labels,
+             CAST(coalesce(len(json_keys(claims)), 0) AS INTEGER) AS n_claim_props,
+             CAST(coalesce(len(json_keys(sitelinks)), 0) AS INTEGER) AS n_sitelinks,
+             lastrevid
+         FROM read_json('/tmp/graft_wd_entities.ndjson',
+                        format='newline_delimited',
+                        columns={id: 'VARCHAR', type: 'VARCHAR',
+                                 labels: 'JSON', claims: 'JSON',
+                                 sitelinks: 'JSON', lastrevid: 'BIGINT'})
+         ORDER BY id""",
+
     "wd_entity_flatten" ->
       """SELECT id, type, lang,
              json_extract_string(labels, '$.' || lang || '.value') AS label,

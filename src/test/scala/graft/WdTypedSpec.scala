@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for typed datavalue extraction + Postgres DDL generation. */
+class WdTypedSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+
+  test("wd_values_typed extracts each dv-type; out-of-range stays raw") {
+    val rows = SparkEntry.queries("wd_values_typed")(spark, Spec.sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // wikibase-entityid
+    assert(rows(("Q1", "P31")).getString(5) === "Q36906466")
+    // in-range time parses to a timestamp
+    assert(!rows(("Q42", "P569")).isNullAt(7))
+    // year-12000: raw survives, best-effort ts is null
+    val far = rows(("Q4", "P585"))
+    assert(far.getString(6).contains("+12000") && far.isNullAt(7))
+    // arbitrary-precision quantity: raw survives, decimal overflows to null
+    val big = rows(("Q4", "P1114"))
+    assert(big.getString(8).startsWith("+1234567890123456789012345678901234567890"))
+    assert(big.isNullAt(12)) // v_amount
+    // normal quantity parses
+    assert(rows(("Q2", "P2044")).getDecimal(12).doubleValue() === 6371.0)
+    // coords + monolingual
+    assert(rows(("Q2", "P625")).getDouble(9) === 0.0)
+    assert(rows(("Q5", "P1476")).getString(11) === "a title in english")
+  }
+
+  test("PgDdl maps Spark schemas to Postgres DDL") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("label", StringType),
+      StructField("price", DecimalType(38, 4)),
+      StructField("tags", ArrayType(StringType)),
+      StructField("claims", MapType(StringType, StringType)),
+      StructField("ts", TimestampType)))
+    val ddl = graft.sources.PgDdl.createTable("entities", schema, Seq("id"))
+    assert(ddl.contains("\"id\" BIGINT NOT NULL"))
+    assert(ddl.contains("\"label\" TEXT"))
+    assert(ddl.contains("\"price\" NUMERIC(38,4)"))
+    assert(ddl.contains("\"tags\" TEXT[]"))
+    assert(ddl.contains("\"claims\" JSONB"))
+    assert(ddl.contains("\"ts\" TIMESTAMP"))
+    assert(ddl.contains("PRIMARY KEY (\"id\")"))
+  }
+}

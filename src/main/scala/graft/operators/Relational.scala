@@ -184,6 +184,26 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    "join_skew_salted" -> ((s, d) => {
+      // Explicit skew-salting recipe (SURVEY §7.5): the fact side gets a
+      // deterministic salt in [0, 8); the dim side is replicated ×8 via
+      // explode(sequence), so a hot key's rows spread over 8 reducer
+      // partitions instead of one. Same result as the plain join — the
+      // oracle proves it. (AQE's OptimizeSkewedJoin is the automatic
+      // variant; this is the hand-tool for when a key is hot at plan
+      // time, e.g. a null-heavy foreign key at 100 TB.)
+      val salts = 8
+      val fact = Tables.lineitem(s, d).withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong)))
+      val dim = Tables.orders(s, d).withColumn("salt",
+        explode(sequence(lit(0L), lit(salts - 1L))))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey")
+          && fact("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_asof" -> ((s, d) => {
       // As-of join (no native Spark op): for each purchase, the latest
       // click at-or-before it, per user. Equi on user + range filter,
@@ -418,6 +438,12 @@ object Relational {
           AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
           AND a.o_orderkey <> b.o_orderkey
          GROUP BY a.o_custkey ORDER BY custkey""",
+
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "join_asof" ->
       """SELECT user_id, purchase_id, click_id FROM (

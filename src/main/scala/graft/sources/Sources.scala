@@ -78,6 +78,17 @@ object Sources {
         .orderBy("value")
     }),
 
+    "scan_orc" -> ((s, d) => {
+      // Second columnar format: ORC write + read round-trip (vectorized
+      // reader, predicate pushdown — same scan contract as parquet).
+      val out = "/tmp/graft_orc_sample"
+      Tables.nation(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+
     "sink_parquet" -> ((s, d) => {
       // Materialize-and-reread round trip: the result IS the sink's
       // output, so the oracle (direct SQL) proves write fidelity.
@@ -113,6 +124,11 @@ object Sources {
            columns={'id': 'INTEGER', 'name': 'VARCHAR',
                     'val': 'DOUBLE', 'note': 'VARCHAR'})
          ORDER BY id""",
+
+    "scan_orc" ->
+      """SELECT r_name, count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
 
     "sink_parquet" ->
       """SELECT n_name, count(*) AS n_customers,

@@ -63,6 +63,54 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("date-partitioned layout prunes partitions at plan time") {
+    // The 100 TB layout (SURVEY §7.5): fact tables partitioned by date →
+    // a date filter never touches irrelevant files.
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_part_lineitem"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      Tables.lineitem(spark, Spec.sf001)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    }
+    val df = spark.read.parquet(path).filter(col("ship_year") === 1996)
+      .groupBy(col("l_returnflag")).count()
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("ship_year"), p.take(2000))
+    assert(df.count() > 0)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    Tables.orders(spark, Spec.sf001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_orders")
+    Tables.lineitem(spark, Spec.sf001)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_lineitem")
+    val joined = spark.table("graft_b_lineitem")
+      .join(spark.table("graft_b_orders").hint("MERGE"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    // the JOIN itself must not shuffle either side — the only exchange
+    // allowed is the one feeding the final aggregation
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey")
+      && !joinSection.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
+  }
+
+  test("dot_f resolves through GraftExtensions without manual registration") {
+    import spark.implicits._
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .selectExpr("dot_f(a, b) AS d").head().getDouble(0)
+    assert(r === 11.0)
+  }
+
   test("dot_f expression participates in codegen (no CodegenFallback wrapper)") {
     import spark.implicits._
     graft.functions.DotProductF.register(spark)

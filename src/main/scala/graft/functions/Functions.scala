@@ -65,6 +65,18 @@ object Functions {
         .orderBy("p_partkey")
     }),
 
+    "fn_bitwise" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("band"),
+        col("p_partkey").bitwiseOR(lit(15L)).as("bor"),
+        col("p_partkey").bitwiseXOR(lit(93L)).as("bxor"),
+        shiftleft(col("p_partkey"), 3).as("shl"),
+        shiftright(col("p_partkey"), 2).as("shr"),
+        bit_count(col("p_partkey")).as("nbits"))
+        .orderBy("p_partkey")
+    }),
+
     "fn_conditional" -> ((s, d) => {
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -185,6 +197,16 @@ object Functions {
              round(sqrt(p_retailprice), 4) AS sq,
              CAST(sign(p_size - 25) AS INTEGER) AS sgn,
              CAST(p_size % 7 AS INTEGER) AS pm
+         FROM part ORDER BY p_partkey""",
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+             p_partkey & 255 AS band,
+             p_partkey | 15 AS bor,
+             xor(p_partkey, 93) AS bxor,
+             p_partkey << 3 AS shl,
+             p_partkey >> 2 AS shr,
+             CAST(bit_count(p_partkey) AS INTEGER) AS nbits
          FROM part ORDER BY p_partkey""",
 
     "fn_conditional" ->

@@ -225,6 +225,35 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     }),
 
+    "join_lateral" -> ((s, d) => {
+      // LATERAL correlated subquery: top-2 orders per high-balance
+      // customer. Catalyst decorrelates this into a ranked window join —
+      // same plan family as win_topk_per_group, proven by the oracle.
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_acctbal > 9000
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    }),
+
+    "subquery_scalar" -> ((s, d) => {
+      // Scalar + correlated subqueries (RewriteCorrelatedScalarSubquery
+      // turns these into joins — no per-row re-execution).
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(38,4)), 4) AS DOUBLE) AS price
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+                            FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        ORDER BY o_orderkey""")
+    }),
+
     // ---- §2.4 aggregations ----
     "agg_groupby_pricing" -> ((s, d) => {
       // TPC-H Q1 shape. HashAggregate partial+final around one shuffle;
@@ -283,6 +312,30 @@ object Relational {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    "agg_percentile" -> ((s, d) => {
+      // Exact percentiles (linear interpolation — same definition as
+      // DuckDB quantile_cont). At 100 TB swap for approx_percentile
+      // (t-digest) — exact percentile needs a per-group sort.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_pivot" -> ((s, d) => {
+      // Pivot with an explicit value list (never inferred — inference
+      // is an extra scan AND nondeterministic column order at scale).
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sumMoney(col("l_quantity")))
+        .orderBy("l_linestatus")
     }),
 
     "agg_collect_sorted" -> ((s, d) => {
@@ -496,6 +549,42 @@ object Relational {
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                  (l_returnflag, l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_acctbal > 9000
+         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""",
+
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey,
+             CAST(round(CAST(o_totalprice AS DECIMAL(38,4)), 4) AS DOUBLE) AS price
+         FROM orders
+         WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+                            FROM orders)
+           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         ORDER BY o_orderkey""",
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+             count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+             CAST(round(sum(CASE WHEN l_returnflag = 'A'
+               THEN CAST(l_quantity AS DECIMAL(38,4)) END), 4) AS DOUBLE) AS A,
+             CAST(round(sum(CASE WHEN l_returnflag = 'N'
+               THEN CAST(l_quantity AS DECIMAL(38,4)) END), 4) AS DOUBLE) AS N,
+             CAST(round(sum(CASE WHEN l_returnflag = 'R'
+               THEN CAST(l_quantity AS DECIMAL(38,4)) END), 4) AS DOUBLE) AS R
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
 
     "agg_collect_sorted" ->
       """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys

@@ -69,6 +69,21 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    "win_rank_stats" -> ((s, d) => {
+      // Distribution-rank family: ntile / percent_rank / cume_dist /
+      // rank over a fully-tiebroken order (exact rationals — identical
+      // cross-engine; rounding is belt-and-braces).
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast(IntegerType).as("quartile"),
+        rank().over(w).cast(IntegerType).as("rnk"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     "win_running_sum" -> ((s, d) => {
       // Cumulative revenue by ship date. Input is pre-aggregated to one
       // row per day (~2.5k rows) so the global (unpartitioned) window is
@@ -124,6 +139,17 @@ object Windows {
                       ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+
+    "win_rank_stats" ->
+      """SELECT c_mktsegment, c_custkey,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             CAST(rank() OVER w AS INTEGER) AS rnk,
+             round(percent_rank() OVER w, 4) AS pct_rank,
+             round(cume_dist() OVER w, 4) AS cdist
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
 
     "win_running_sum" ->
       """SELECT d,

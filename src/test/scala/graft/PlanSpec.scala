@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")
     spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    // the in-memory catalog forgets tables across sessions but their
+    // warehouse dirs persist — remove them or saveAsTable refuses
+    Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.orders(spark, Spec.sf001)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("graft_b_orders")

@@ -35,6 +35,21 @@ object Det {
   /** Deterministic double from an exact decimal expression. */
   def money(c: Column): Column = round(c, 4).cast(DoubleType)
 
+  /** Fixed-point scale for similarity dot products: 2⁴⁰. Scaling a
+    * double by a power of two is exact (exponent shift), floor() is
+    * engine-agreed, and the resulting LONG sum is order-independent AND
+    * codegen'd — ~3× faster than the DECIMAL(38,18) path with ≤6e-11
+    * absolute error over 64 dims (invisible at round-4). Bounds: |v|≤1
+    * floats → |prod·2⁴⁰| ≤ 2⁴⁰, ×64 dims ≪ Long.Max. */
+  val FixedPoint: Double = (1L << 40).toDouble
+
+  /** Order-independent exact sum of per-row double products, as a
+    * double. Mirror in DuckDB:
+    * CAST(sum(CAST(floor(prod * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+    *   / 1099511627776.0 */
+  def sumFixed(prod: Column): Column =
+    sum(floor(prod * FixedPoint)).cast(DoubleType) / FixedPoint
+
   /** Event-time truncated to whole seconds (cross-engine-safe). */
   def secs(c: Column): Column = date_trunc("second", c)
 

@@ -147,21 +147,19 @@ object DedupOps {
 
     "dedup_embedding" -> ((s, d) => {
       // Embedding-cosine near-dup pairs on a bounded id range, computed
-      // with the exact decimal dot-product path (Det §7.4: float
-      // products cast to DECIMAL(38,18) before the order-sensitive sum).
+      // with the exact order-independent fixed-point dot-product path
+      // (Det.sumFixed; a raw double sum would drift with shuffle order).
       val e = Tables.embeddings(s, d)
         .filter(col("vec_id") < 300)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos"), col("v").cast(DoubleType).as("v"))
       val norms = e.groupBy("vec_id")
-        .agg(sqrt(sum((col("v") * col("v")).cast(DecimalType(38, 18)))
-          .cast(DoubleType)).as("nrm"))
+        .agg(sqrt(graft.Det.sumFixed(col("v") * col("v"))).as("nrm"))
       val dots = broadcast(e.select(col("vec_id").as("a"), col("pos"), col("v").as("va")))
         .join(e.select(col("vec_id").as("b"), col("pos"), col("v").as("vb")), "pos")
         .filter(col("a") < col("b"))
         .groupBy("a", "b")
-        .agg(sum((col("va") * col("vb")).cast(DecimalType(38, 18)))
-          .cast(DoubleType).as("dotd"))
+        .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
       dots
         .join(broadcast(norms.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
         .join(broadcast(norms.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
@@ -208,10 +206,12 @@ object DedupOps {
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings WHERE vec_id < 300)),
          norms AS (SELECT vec_id,
-                     sqrt(CAST(sum(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                     sqrt(CAST(sum(CAST(floor(v*v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                            / 1099511627776.0) AS nrm
                    FROM e GROUP BY vec_id),
          dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
-                    CAST(sum(CAST(a.v*b.v AS DECIMAL(38,18))) AS DOUBLE) AS dotd
+                    CAST(sum(CAST(floor(a.v*b.v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                    / 1099511627776.0 AS dotd
                   FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
                   GROUP BY 1, 2)
          SELECT d.a, d.b, round(d.dotd / (na.nrm * nb.nrm), 4) AS cos

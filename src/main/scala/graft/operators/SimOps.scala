@@ -10,15 +10,14 @@ import graft.Tables
   *
   * Brute-force top-k is the correctness baseline: probes × corpus via a
   * dimension-position join, dot products accumulated exactly in
-  * DECIMAL(38,18) (order-independent — a double sum would drift with
-  * shuffle order). The LSH variant is the 100 TB path: deterministic
+  * order-independent fixed-point longs (Det.sumFixed — a double sum
+  * would drift with shuffle order, a decimal sum is exact but
+  * BigDecimal-bound). The LSH variant is the 100 TB path: deterministic
   * hyperplane signatures shrink the search to same-bucket candidates,
   * an equi-join on the bucket key instead of a cross product.
   */
 object SimOps {
   type Q = (SparkSession, String) => DataFrame
-
-  private val Dec18 = DecimalType(38, 18)
 
   /** (vec_id, pos, v:double) exploded view of the embedding table. */
   private def exploded(s: SparkSession, d: String): DataFrame =
@@ -28,7 +27,7 @@ object SimOps {
 
   private def norms(e: DataFrame): DataFrame =
     e.groupBy("vec_id")
-      .agg(sqrt(sum((col("v") * col("v")).cast(Dec18)).cast(DoubleType)).as("nrm"))
+      .agg(sqrt(graft.Det.sumFixed(col("v") * col("v"))).as("nrm"))
 
   val queries: Map[String, Q] = Map(
     "sim_cosine_topk" -> ((s, d) => {
@@ -41,7 +40,7 @@ object SimOps {
         .join(e.select(col("vec_id").as("b"), col("pos"), col("v").as("vb")), "pos")
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b")
-        .agg(sum((col("va") * col("vb")).cast(Dec18)).cast(DoubleType).as("dotd"))
+        .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
       val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
       dots
         .join(broadcast(nr.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
@@ -66,7 +65,7 @@ object SimOps {
       val dots = broadcast(probes).join(cands, "pos")
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b", "label")
-        .agg(sum((col("va") * col("vb")).cast(Dec18)).cast(DoubleType).as("dotd"))
+        .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
       val w = Window.partitionBy("a", "label").orderBy(col("cos").desc, col("b"))
       dots
         .join(broadcast(nr.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
@@ -117,10 +116,12 @@ object SimOps {
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
          norms AS (SELECT vec_id,
-                     sqrt(CAST(sum(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                     sqrt(CAST(sum(CAST(floor(v*v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                          / 1099511627776.0) AS nrm
                    FROM e GROUP BY vec_id),
          dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
-                    CAST(sum(CAST(a.v*b.v AS DECIMAL(38,18))) AS DOUBLE) AS dotd
+                    CAST(sum(CAST(floor(a.v*b.v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                      / 1099511627776.0 AS dotd
                   FROM e a JOIN e b ON a.pos = b.pos
                    AND a.vec_id < 10 AND a.vec_id <> b.vec_id
                   GROUP BY 1, 2)
@@ -140,10 +141,12 @@ object SimOps {
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
          norms AS (SELECT vec_id,
-                     sqrt(CAST(sum(CAST(v*v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                     sqrt(CAST(sum(CAST(floor(v*v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                          / 1099511627776.0) AS nrm
                    FROM e GROUP BY vec_id),
          dots AS (SELECT a.vec_id AS a, b.vec_id AS b, b.label AS label,
-                    CAST(sum(CAST(a.v*b.v AS DECIMAL(38,18))) AS DOUBLE) AS dotd
+                    CAST(sum(CAST(floor(a.v*b.v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                      / 1099511627776.0 AS dotd
                   FROM e a JOIN e b ON a.pos = b.pos
                    AND a.vec_id < 5 AND a.vec_id <> b.vec_id
                   GROUP BY 1, 2, 3)

@@ -103,6 +103,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running per-key counts across batches") {
+    // Spark 4's arbitrary-state API (successor to flatMapGroupsWithState);
+    // requires the RocksDB state store.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val counted = in.toDS().groupByKey(_._1)
+        .transformWithState(new RunningCountProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = counted.toDF("user_id", "n").writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_out").start()
+      try {
+        in.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+        q.processAllAvailable()
+        in.addData((1L, 4.0)) // state must survive into batch 2
+        q.processAllAvailable()
+        val last = spark.sql(
+          "SELECT max(n) FROM tws_out WHERE user_id = 1").head().getLong(0)
+        assert(last === 3L) // 2 from batch 1 + 1 from batch 2
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessionizer is arrival-order independent") {
     val rows = Seq( // (user, sec, event_id) deliberately out of order
       (1L, 5000L, 3L), (1L, 1000L, 1L), (1L, 1200L, 2L),
@@ -114,6 +142,26 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     // user 1: gap 1000→1200 merges, 1200→5000 splits → 2 sessions
     assert(out === Array((1L, 2, 3L, 200L), (2L, 1, 1L, 0L)))
+  }
+}
+
+/** Running count per key via the Spark 4 StatefulProcessor API. */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders}
+
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val c = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(c)
+    Iterator.single((key, c))
   }
 }
 

@@ -77,6 +77,39 @@ object SimOps {
         .orderBy("a", "label")
     }),
 
+    "sim_ann_ivf" -> ((s, d) => {
+      // IVF-style ANN: a deterministic coarse quantizer (every 40th
+      // vector serves as a centroid — a k-means fit would be the
+      // production quantizer, seeded) assigns each vector to its
+      // nearest centroid; probes then search ONLY their own inverted
+      // list. Search cost drops from O(N) to O(N/k) per probe; the
+      // assignment pass is one broadcast join (centroids are tiny by
+      // construction — that's the point of IVF).
+      graft.functions.DotProductF.register(s)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cdot").desc, col("cent_id"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("cluster"))
+      val cands = assigned.select(col("vec_id").as("b"),
+        col("embedding").as("eb"), col("cluster").as("cluster2"))
+      val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+      probes.join(cands, col("cluster") === col("cluster2") && col("a") =!= col("b"))
+        .withColumn("cos", round(expr("dot_f(ea, eb)"), 4))
+        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select(col("a"), col("cluster"), col("b"), col("cos"), col("rnk"))
+        .orderBy("a", "rnk")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // Approximate NN, the scale path: 8 deterministic random-ish
       // hyperplanes (weights derived from xxhash64 of "plane:dim" —

@@ -133,8 +133,11 @@ object StreamingOps {
                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secl,
                   event_id
            FROM events),
+         -- session_window merges TOUCHING intervals (an event exactly
+         -- `gap` after the previous one extends the session), so a new
+         -- session starts strictly beyond the gap: diff > 1800
          marked AS (SELECT *,
-             CASE WHEN secl - lag(secl) OVER w >= 1800 OR
+             CASE WHEN secl - lag(secl) OVER w > 1800 OR
                        lag(secl) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secl, event_id)),
          sess AS (SELECT *,

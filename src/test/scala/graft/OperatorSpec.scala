@@ -83,6 +83,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
   }
 
+  test("sim_ann_ivf: results come from the probe's cluster, ranked correctly") {
+    val rows = q("sim_ann_ivf").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      // ranks contiguous from 1, cos non-increasing with rank
+      val byRank = g.sortBy(_.getInt(4))
+      assert(byRank.map(_.getInt(4)).toSeq === (1 to g.length))
+      val cosByRank = byRank.map(_.getDouble(3)).toSeq
+      assert(cosByRank.zip(cosByRank.drop(1)).forall { case (x, y) => x >= y })
+      // one cluster per probe
+      assert(g.map(_.getLong(1)).distinct.length === 1)
+    }
+    // deterministic across runs
+    val again = q("sim_ann_ivf").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
     assert(q("scan_ndjson_entities").count() === 10L)
     val flat = q("wd_entity_flatten").collect()

@@ -78,6 +78,23 @@ object Sources {
         .orderBy("value")
     }),
 
+    "scan_partitioned" -> ((s, d) => {
+      // The 100 TB at-rest layout: fact data date-partitioned so a time
+      // filter prunes whole directories at plan time (PartitionFilters,
+      // zero I/O for other years). Materialized once per sf dir.
+      val path = "/tmp/graft_part_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!Files.exists(Paths.get(s"$path/_SUCCESS"))) {
+        Tables.lineitem(s, d)
+          .withColumn("ship_year", org.apache.spark.sql.functions.year(col("l_shipdate")))
+          .write.mode("overwrite").partitionBy("ship_year").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("ship_year") === 1996)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "scan_orc" -> ((s, d) => {
       // Second columnar format: ORC write + read round-trip (vectorized
       // reader, predicate pushdown — same scan contract as parquet).
@@ -124,6 +141,12 @@ object Sources {
            columns={'id': 'INTEGER', 'name': 'VARCHAR',
                     'val': 'DOUBLE', 'note': 'VARCHAR'})
          ORDER BY id""",
+
+    "scan_partitioned" ->
+      """SELECT l_returnflag, count(*) AS n,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE year(l_shipdate) = 1996
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "scan_orc" ->
       """SELECT r_name, count(*) AS n_nations

@@ -119,6 +119,39 @@ object Sources {
       s.read.parquet(out).orderBy("n_name")
     }),
 
+    "sink_pg_copy" -> ((s, d) => {
+      // The reference's REAL ingest path, runnable offline: DDL from
+      // PgDdl, bulk load via psql \copy into a local Postgres 15, then
+      // read back out of Postgres (COPY OUT → CSV → Spark) so the
+      // result proves the full round trip. Falls back to the
+      // ParquetSink twin when no server can start — the oracle holds
+      // on both paths.
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n_orders", LongType),
+        StructField("total_price", DoubleType)))
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+      if (PgServer.ensure()) {
+        val t = "graft_order_stats"
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+        PgServer.psql(PgDdl.createTable(t, schema))
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t).write(agg)
+        val out = "/tmp/graft_pg_roundtrip.csv"
+        PgServer.psql(
+          s"""\\copy (SELECT * FROM "$t" ORDER BY o_orderstatus) TO '$out' WITH (FORMAT csv)""")
+        s.read.schema(schema).option("header", "false").csv(out)
+          .orderBy("o_orderstatus")
+      } else {
+        val out = "/tmp/graft_sink_pg_twin"
+        ParquetSink(out).write(agg)
+        s.read.parquet(out).orderBy("o_orderstatus")
+      }
+    }),
+
     "sink_jdbc_postgres" -> ((s, d) => {
       // The reference's core sink, behind the Sink trait. Offline gate
       // (no pgjdbc jar resolvable — SURVEY §7.5): Sink.forUrl dispatches
@@ -158,6 +191,11 @@ object Sources {
              CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal
          FROM nation JOIN customer ON n_nationkey = c_nationkey
          GROUP BY n_name ORDER BY n_name""",
+
+    "sink_pg_copy" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "sink_jdbc_postgres" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

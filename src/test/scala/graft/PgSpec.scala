@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{PgCopySink, PgDdl, PgServer}
+
+/** End-to-end Postgres load (the reference tool's whole job) against a
+  * throwaway local Postgres 15 instance — COPY in, verified by SQL in
+  * Postgres itself. Cancels (not fails) where no server can start.
+  */
+class PgSpec extends AnyFunSuite {
+  lazy val spark = Spec.spark
+
+  test("bulk load lands rows in Postgres and values match Spark") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    import org.apache.spark.sql.types._
+    val t = "graft_pgspec_docs"
+    val agg = Tables.documents(spark, Spec.sf001)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        Det.sumMoney(col("n_chars")).as("sum_chars"))
+    val schema = StructType(Seq(
+      StructField("lang", StringType),
+      StructField("n_docs", LongType),
+      StructField("sum_chars", DoubleType)))
+    PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+    PgServer.psql(PgDdl.createTable(t, schema))
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t).write(agg)
+
+    val pgCount = PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong
+    assert(pgCount === agg.count())
+    val en = agg.filter(col("lang") === "en").head()
+    val pgEn = PgServer.psql(
+      s"""SELECT n_docs || ',' || sum_chars FROM "$t" WHERE lang = 'en'""").get
+    val Array(pgN, pgSum) = pgEn.split(",")
+    assert(pgN.toLong === en.getLong(1))
+    assert(pgSum.toDouble === en.getDouble(2)) // PG prints 56684, Java 56684.0
+    // idempotent re-load after truncate (the batch-overwrite pattern)
+    PgServer.psql(s"""TRUNCATE "$t"""")
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t).write(agg)
+    assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === pgCount)
+  }
+
+  test("sink_pg_copy query round-trips through Postgres (or its twin)") {
+    val rows = SparkEntry.queries("sink_pg_copy")(spark, Spec.sf001).collect()
+    assert(rows.length === 3) // order statuses F, O, P
+    assert(rows.map(_.getString(0)).toSeq === Seq("F", "O", "P"))
+  }
+}

@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductF(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

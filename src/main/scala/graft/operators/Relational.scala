@@ -184,6 +184,25 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    "join_asof_native" -> ((s, d) => {
+      // Same as-of semantics as join_asof, but through the NATIVE
+      // operator (graft.plans.AsOfJoin: logical node → strategy →
+      // streaming sort-merge SparkPlan). One buffered right row per
+      // partition instead of the window idiom's full candidate fanout;
+      // the shared oracle proves the two implementations agree.
+      val ev = Tables.events(s, d).withColumn("secl", epochS(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("secl").as("p_sec"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("secl").as("c_sec"))
+      graft.plans.AsOf.join(p, c,
+        p("user_id"), c("c_user"), p("p_sec"), c("c_sec"), c("click_id"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     "join_skew_salted" -> ((s, d) => {
       // Explicit skew-salting recipe (SURVEY §7.5): the fact side gets a
       // deterministic salt in [0, 8); the dim side is replicated ×8 via
@@ -491,6 +510,21 @@ object Relational {
           AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
           AND a.o_orderkey <> b.o_orderkey
          GROUP BY a.o_custkey ORDER BY custkey""",
+
+    // identical oracle to join_asof — the native operator must agree
+    // with the window idiom row for row
+    "join_asof_native" ->
+      """SELECT user_id, purchase_id, click_id FROM (
+           SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                  c.event_id AS click_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY date_trunc('second', c.ts) DESC NULLS LAST,
+                             c.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id
+            AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)
+         ) WHERE rn = 1 ORDER BY user_id, purchase_id""",
 
     "join_skew_salted" ->
       """SELECT o_orderpriority, count(*) AS n,

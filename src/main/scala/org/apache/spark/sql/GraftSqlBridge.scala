@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into Spark's private[sql] surface — the standard
+  * pattern extension libraries use to build DataFrames from custom
+  * logical plans and to extract Catalyst expressions from the Spark 4
+  * Column API (which wraps ColumnNode, not Expression).
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

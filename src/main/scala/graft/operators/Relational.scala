@@ -333,6 +333,15 @@ object Relational {
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
 
+    "agg_histogram" -> ((s, d) => {
+      // Fixed-width histogram via integer bucketing — exact int
+      // arithmetic, no engine-specific histogram functions.
+      Tables.customer(s, d)
+        .select((floor((col("c_acctbal") + 1000.0) / 1000.0)).cast(IntegerType).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     "agg_percentile" -> ((s, d) => {
       // Exact percentiles (linear interpolation — same definition as
       // DuckDB quantile_cont). At 100 TB swap for approx_percentile
@@ -601,6 +610,11 @@ object Relational {
                             FROM orders)
            AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
          ORDER BY o_orderkey""",
+
+    "agg_histogram" ->
+      """SELECT CAST(floor((c_acctbal + 1000.0) / 1000.0) AS INTEGER) AS bucket,
+             count(*) AS n
+         FROM customer GROUP BY 1 ORDER BY bucket""",
 
     "agg_percentile" ->
       """SELECT l_returnflag,

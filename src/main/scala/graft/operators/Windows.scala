@@ -69,6 +69,22 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    "win_first_last" -> ((s, d) => {
+      // first_value / last_value / nth_value over a full unbounded frame
+      // (last_value over the default frame is a classic footgun — the
+      // explicit frame makes it the true per-group last).
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d).select(
+        col("c_mktsegment"),
+        first(col("c_custkey")).over(w).as("richest"),
+        last(col("c_custkey")).over(w).as("poorest"),
+        nth_value(col("c_custkey"), 2).over(w).as("runner_up"))
+        .distinct()
+        .orderBy("c_mktsegment")
+    }),
+
     "win_rank_stats" -> ((s, d) => {
       // Distribution-rank family: ntile / percent_rank / cume_dist /
       // rank over a fully-tiebroken order (exact rationals — identical
@@ -139,6 +155,17 @@ object Windows {
                       ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+
+    "win_first_last" ->
+      """SELECT DISTINCT c_mktsegment,
+             first_value(c_custkey) OVER w AS richest,
+             last_value(c_custkey) OVER w AS poorest,
+             nth_value(c_custkey, 2) OVER w AS runner_up
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_mktsegment""",
 
     "win_rank_stats" ->
       """SELECT c_mktsegment, c_custkey,

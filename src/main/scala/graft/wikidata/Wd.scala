@@ -94,6 +94,28 @@ object Wd {
                                  sitelinks: 'JSON', lastrevid: 'BIGINT'})
          ORDER BY id""",
 
+    // dv_raw parity holds because BOTH sides minify: Spark's JSON parser
+    // re-serializes object-valued StringType fields compactly, and
+    // DuckDB's JSON type stores minified text.
+    "wd_claims_flatten" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids)
+         SELECT id, pid,
+             json_extract_string(stj, '$.id') AS statement_id,
+             json_extract_string(stj, '$.rank') AS rank,
+             json_extract_string(stj, '$.mainsnak.snaktype') AS snaktype,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             json_extract_string(stj, '$.mainsnak.datavalue.value') AS dv_raw,
+             CAST(coalesce(len(json_keys(json_extract(stj, '$.qualifiers'))), 0) AS INTEGER)
+               AS n_qualifier_props,
+             CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
+         FROM st ORDER BY id, pid, statement_id""",
+
     "wd_entity_flatten" ->
       """SELECT id, type, lang,
              json_extract_string(labels, '$.' || lang || '.value') AS label,

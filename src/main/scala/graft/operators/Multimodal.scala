@@ -45,6 +45,31 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    "multimodal_frames" -> ((s, d) => {
+      // Frame sampling over an opaque media payload: every k-th
+      // fixed-size byte window becomes a "frame" row with its own
+      // deterministic feature — the explode-then-process shape a video
+      // pipeline uses (sampling happens BEFORE decode, so 97% of frames
+      // are never decoded). The byte-windowing stands in for container
+      // parsing; the plumbing (binary slices, per-frame rows, batch
+      // seam) is real.
+      import s.implicits._
+      val frameSize = 64
+      val stride = 4 // sample every 4th frame
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+        .as[(Long, Array[Byte])]
+      media.flatMap { case (id, bytes) =>
+        if (bytes == null) Iterator.empty
+        else bytes.grouped(frameSize).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, idx) =>
+            (id, idx, frame.length, stubDecodeFeature(frame))
+          }
+      }.toDF("doc_id", "frame_idx", "n_bytes", "feature")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "multimodal_decode" -> ((s, d) => {
       // Binary media column (text bytes stand in for image payloads) →
       // per-partition batched "decode". mapPartitions keeps the decoder

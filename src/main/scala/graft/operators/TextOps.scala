@@ -212,8 +212,8 @@ object TextOps {
       s"""SELECT doc_id,
              CAST(len(tokens) AS INTEGER) AS ws_tokens,
              CAST(len(list_distinct(tokens)) AS INTEGER) AS distinct_tokens,
-             list_aggregate(list_transform(tokens,
-               x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS bpe_est
+             CAST(list_aggregate(list_transform(tokens,
+               x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS bpe_est
          FROM (SELECT doc_id, $toksSql AS tokens FROM documents)
          ORDER BY doc_id""",
 

@@ -356,6 +356,20 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    "agg_approx_quantile" -> ((s, d) => {
+      // The scale tier for agg_percentile: approx_percentile's t-digest
+      // sketch is mergeable (partial-aggregates across executors, no
+      // per-group sort). No oracle — sketch internals differ per engine;
+      // bounded-error property vs the exact key is the check.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 4).as("p50_approx"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_pivot" -> ((s, d) => {
       // Pivot with an explicit value list (never inferred — inference
       // is an extra scan AND nondeterministic column order at scale).

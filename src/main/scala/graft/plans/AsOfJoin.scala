@@ -66,11 +66,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  /** Primitive accessor: direct getLong on the ordinal when the bound
+    * expression is a plain column reference (the common case — avoids a
+    * Long box per row per expression), generic eval otherwise. */
+  private def longGetter(e: Expression, schema: Seq[Attribute]): InternalRow => Long =
+    BindReferences.bindReference(e, schema) match {
+      case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+          if b.dataType == org.apache.spark.sql.types.LongType =>
+        // dataType guard: getLong on a non-long slot would read garbage
+        // silently; anything else takes the eval path and fails loudly
+        row => row.getLong(b.ordinal)
+      case bound => row => bound.eval(row).asInstanceOf[Long]
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = BindReferences.bindReference(leftKey, left.output)
-    val lt = BindReferences.bindReference(leftTime, left.output)
-    val rk = BindReferences.bindReference(rightKey, right.output)
-    val rt = BindReferences.bindReference(rightTime, right.output)
+    val lk = longGetter(leftKey, left.output)
+    val lt = longGetter(leftTime, left.output)
+    val rk = longGetter(rightKey, right.output)
+    val rt = longGetter(rightTime, right.output)
     val nRight = right.output.size
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -83,14 +96,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var cand: InternalRow = null
       var candKey = 0L
       lIter.map { lRow =>
-        val k = lk.eval(lRow).asInstanceOf[Long]
-        val t = lt.eval(lRow).asInstanceOf[Long]
+        val k = lk(lRow)
+        val t = lt(lRow)
         // advance the right side to the last row with key==k, time<=t
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] <= t)) {
+          val hk = rk(head)
+          if (hk < k || (hk == k && rt(head) <= t)) {
             cand = rBuf.next().copy()
             candKey = hk
           } else advancing = false

@@ -83,6 +83,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
   }
 
+  test("approx_percentile lands within sketch error of the exact percentile") {
+    val exact = q("agg_percentile").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
+    val approx = q("agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap // p50_approx
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, p50) =>
+      assert(math.abs(approx(k) - p50) <= math.max(2.0, p50 * 0.05),
+        s"group $k: exact=$p50 approx=${approx(k)}")
+    }
+  }
+
   test("sim_ann_ivf: results come from the probe's cluster, ranked correctly") {
     val rows = q("sim_ann_ivf").collect()
     assert(rows.nonEmpty)

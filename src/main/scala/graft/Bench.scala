@@ -38,10 +38,26 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Full per-query detail goes out as non-JSON debug lines: the driver
+    // captures only a bounded tail of stdout, so the machine-readable
+    // summary below must stay short and LAST. These lines are for humans.
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      println(f"BENCHQ $k%s ${v}%.3f")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact final JSON line: 3-dp timings, slowest queries first, and a
+    // hard length budget so the line (plus any build-tool epilogue) fits
+    // inside the driver's stdout tail window without truncation.
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val tail = s"""},"sf":"$sfDir"}"""
+    val budget = 1500 - head.length - tail.length
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val e = f""""$k%s":$v%.3f"""
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tail)
     spark.stop()
   }
 }

@@ -18,7 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductF(exprs.head, exprs(1))))
+        DotProductF.build(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -33,6 +33,7 @@ object SparkEntry {
       graft.functions.Udfs.oracles ++
       graft.sources.Sources.oracles ++
       graft.wikidata.Wd.oracles ++
+      graft.wikidata.TypedValues.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
       Multimodal.oracles ++
       graft.streaming.StreamingOps.oracles

@@ -31,11 +31,16 @@ object Tables {
     * (Det.secs), so the ns→µs floor is harmless (SURVEY.md §7.4).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Conf is set only if missing: mutating session conf per-read would
+    // invalidate cached plans needlessly at scale.
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") != Some("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000` stays in LONG integer arithmetic: `/` would promote
+    // to double, and epoch-nanos (~1e18) exceed double's 2^53 exact range,
+    // perturbing values near second boundaries vs DuckDB's ns-exact path.
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

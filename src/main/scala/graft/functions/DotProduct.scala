@@ -71,8 +71,22 @@ case class DotProductF(left: Expression, right: Expression)
 }
 
 object DotProductF {
+  /** Arity-checked builder shared by GraftExtensions and register():
+    * wrong argument counts fail analysis cleanly instead of throwing
+    * IndexOutOfBounds from inside the builder. */
+  def build(exprs: Seq[Expression]): DotProductF = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`dot_f`", "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    DotProductF(exprs.head, exprs(1))
+  }
+
   /** Register `dot_f(arr, arr)` for SQL / expr() use in a session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+      "dot_f", build, "built-in")
 }

@@ -27,7 +27,9 @@ object Functions {
         concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
         trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
         length(col("p_name")).as("len"),
-        split(col("p_name"), " ").as("toks"),
+        // serialized (not a raw array) so the driver's pandas hash gate
+        // can sort/hash the cell; split itself is still the codegen path.
+        array_join(split(col("p_name"), " "), ",").as("toks"),
         regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
         .orderBy("p_partkey")
@@ -126,7 +128,9 @@ object Functions {
           col("source"),
           size(col("lang_counts")).as("n_langs"),
           element_at(col("lang_counts"), "en").as("en_docs"),
-          map_keys(col("lang_counts")).as("langs"))
+          // keys are sorted by the sort_array above; serialize so the
+          // driver's pandas hash gate can hash the cell.
+          array_join(map_keys(col("lang_counts")), ",").as("langs"))
         .orderBy("source")
     }),
 
@@ -169,7 +173,7 @@ object Functions {
              concat_ws('|', p_brand, p_type) AS cat,
              trim('  ' || p_name || '  ') AS trimmed,
              CAST(length(p_name) AS INTEGER) AS len,
-             string_split(p_name, ' ') AS toks,
+             array_to_string(string_split(p_name, ' '), ',') AS toks,
              regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
              regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
          FROM part ORDER BY p_partkey""",
@@ -245,7 +249,7 @@ object Functions {
                      FROM documents GROUP BY 1, 2)
          SELECT source, CAST(count(*) AS INTEGER) AS n_langs,
                 CAST(max(CASE WHEN lang = 'en' THEN n END) AS BIGINT) AS en_docs,
-                list(lang ORDER BY lang) AS langs
+                array_to_string(list(lang ORDER BY lang), ',') AS langs
          FROM lc GROUP BY source ORDER BY source""",
 
     "fn_json_extract" ->
@@ -256,7 +260,7 @@ object Functions {
     "fn_json_struct" ->
       """SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-             '{"k":' || json_extract_string(props, '$.k') || '}' AS jstr
+             coalesce('{"k":' || json_extract_string(props, '$.k') || '}', '{}') AS jstr
          FROM events ORDER BY event_id""",
 
     "fn_json_variant" ->

@@ -27,17 +27,25 @@ object Udfs {
     else s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll("[ ]+", " ").trim
   }
 
-  /** Geometric mean via typed Aggregator: exp(mean(ln x)). */
-  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
-    override def zero: (Double, Long) = (0.0, 0L)
-    override def reduce(b: (Double, Long), a: Double): (Double, Long) =
-      (b._1 + math.log(a), b._2 + 1)
-    override def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =
+  /** Geometric mean via typed Aggregator: exp(mean(ln x)).
+    *
+    * The log-sum accumulates as fixed-point 2⁴⁰ longs (Det.FixedPoint
+    * discipline), not raw doubles: partition merge order is
+    * nondeterministic, and a raw double sum could drift across runs /
+    * engines near the oracle's 4-dp rounding boundary. floor(x·2⁴⁰) is a
+    * single exact exponent shift + engine-agreed floor, and long addition
+    * is order-independent. */
+  private object GeoMean extends Aggregator[Double, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: Double): (Long, Long) =
+      (b._1 + math.floor(math.log(a) * graft.Det.FixedPoint).toLong, b._2 + 1)
+    override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
       (b1._1 + b2._1, b1._2 + b2._2)
-    override def finish(r: (Double, Long)): Double =
-      if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
-    override def bufferEncoder: Encoder[(Double, Long)] =
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def finish(r: (Long, Long)): Double =
+      if (r._2 == 0) 0.0
+      else math.exp(r._1.toDouble / graft.Det.FixedPoint / r._2)
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
@@ -68,8 +76,12 @@ object Udfs {
                '[^a-z0-9 ]', ' ', 'g'), '[ ]+', ' ', 'g')) AS norm
          FROM part ORDER BY p_partkey""",
 
+    // Mirrors the Aggregator's fixed-point log-sum exactly: floor(ln·2⁴⁰)
+    // as BIGINT, exact integer sum, one final double division.
     "udaf_geomean" ->
-      """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS gm,
+      """SELECT p_brand,
+             round(exp(CAST(sum(CAST(floor(ln(p_retailprice) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                       / 1099511627776.0 / count(*)), 4) AS gm,
              count(*) AS n
          FROM part GROUP BY p_brand ORDER BY p_brand"""
   )

@@ -22,6 +22,58 @@ object DedupOps {
 
   private def toks: Column = filter(split(col("text"), " "), t => t =!= lit(""))
 
+  /** 64-bit SimHash near-dup pairs over `docs` (doc_id, text); near-dups
+    * = hamming ≤ 1, candidates via 16-bit chunk pigeonhole (dist ≤ 1 < 4
+    * chunks ⇒ ≥1 equal chunk) so the join is equi on (chunk_idx,
+    * chunk_val) — never a cross product. 64 bits because a tiny
+    * vocabulary makes token sets overlap heavily: a 32-bit/dist-2 bar
+    * reports >1M "near-dup" pairs at sf0.1 (true but useless).
+    * distinct tokens via explode+distinct (codegen + one shuffle), not
+    * explode(array_distinct(hof)) — the HOF inlining trap.
+    *
+    * `bucketCap` bounds hot buckets: a popular chunk value (e.g. 0x0000
+    * from a sparse vocab) makes its (chunk, cv) bucket go quadratic in
+    * the self-join. Buckets above the cap are dropped BEFORE joining —
+    * at dist ≤ 1 every near-dup pair shares ≥ 3 of its 4 chunks, so a
+    * pair is lost only if ALL its shared chunks are hot (astronomically
+    * selective at a sane cap). The count runs in the same (chunk, cv)
+    * shuffle the self-join needs anyway. */
+  def simhashPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
+    val th = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .distinct()
+      .withColumn("h", xxhash64(concat(lit("simhash:"), col("t"))))
+    val bitSums = (0 until 64).map(bit =>
+      sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit"))
+    val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(bit =>
+          when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+        .as(Seq("chunk", "cv")))
+    val wBucket = Window.partitionBy("chunk", "cv")
+    val capped = chunked
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .filter(col("bn") <= bucketCap)
+      .drop("bn")
+    val a = capped.select(col("doc_id").as("a"), col("simhash").as("sha"),
+      col("chunk"), col("cv"))
+    val b = capped.select(col("doc_id").as("b"), col("simhash").as("shb"),
+      col("chunk").as("chunk2"), col("cv").as("cv2"))
+    a.join(b, col("chunk") === col("chunk2") && col("cv") === col("cv2")
+        && col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .filter(col("hamming") <= 1)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) => {
       // Normalize → hash → keep lowest doc_id per hash. One shuffle.
@@ -81,44 +133,8 @@ object DedupOps {
         .orderBy("a", "b")
     }),
 
-    "dedup_simhash" -> ((s, d) => {
-      // 64-bit SimHash over distinct tokens; near-dups = hamming ≤ 1,
-      // candidates via 16-bit chunk pigeonhole (dist ≤ 1 < 4 chunks ⇒ ≥1
-      // equal chunk) so the join is equi on (chunk_idx, chunk_val) —
-      // never a cross product. 64 bits because this corpus's tiny
-      // vocabulary makes token sets overlap heavily: a 32-bit/dist-2 bar
-      // reports >1M "near-dup" pairs at sf0.1 (true but useless).
-      // distinct tokens via explode+distinct (codegen + one shuffle),
-      // not explode(array_distinct(hof)) — same inlining trap as above.
-      val th = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .filter(col("t") =!= "")
-        .distinct()
-        .withColumn("h", xxhash64(concat(lit("simhash:"), col("t"))))
-      val bitSums = (0 until 64).map(bit =>
-        sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit"))
-      val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(bit =>
-            when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-      val chunked = sim.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
-          .as(Seq("chunk", "cv")))
-      val a = chunked.select(col("doc_id").as("a"), col("simhash").as("sha"),
-        col("chunk"), col("cv"))
-      val b = chunked.select(col("doc_id").as("b"), col("simhash").as("shb"),
-        col("chunk").as("chunk2"), col("cv").as("cv2"))
-      a.join(b, col("chunk") === col("chunk2") && col("cv") === col("cv2")
-          && col("a") < col("b"))
-        .select(col("a"), col("b"), col("sha"), col("shb"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
-        .filter(col("hamming") <= 1)
-        .select(col("a"), col("b"), col("hamming"))
-        .orderBy("a", "b")
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d))),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
       // Exact bigram-set Jaccard on a bounded candidate set (doc_id<60

@@ -204,20 +204,45 @@ object Relational {
     }),
 
     "join_skew_salted" -> ((s, d) => {
-      // Explicit skew-salting recipe (SURVEY §7.5): the fact side gets a
-      // deterministic salt in [0, 8); the dim side is replicated ×8 via
-      // explode(sequence), so a hot key's rows spread over 8 reducer
-      // partitions instead of one. Same result as the plain join — the
-      // oracle proves it. (AQE's OptimizeSkewedJoin is the automatic
-      // variant; this is the hand-tool for when a key is hot at plan
-      // time, e.g. a null-heavy foreign key at 100 TB.)
+      // Salt-ONLY-hot-keys recipe (SURVEY §7.5): a cheap deterministic
+      // ~1% row sample finds the heaviest join keys; only rows carrying
+      // those keys are salted (fact salt in [0,8); dim replicated ×8 for
+      // hot keys alone) while everything else takes the plain join, and
+      // the two results union before the aggregate. vs salting
+      // everything this avoids ×8-duplicating the whole dim and
+      // octupling shuffle volume for cold keys — the dominant cost at
+      // 100 TB. Which keys land on the hot list only affects ROUTING,
+      // not results (both paths compute the same join), so the oracle
+      // stays the plain-join SQL. (AQE's OptimizeSkewedJoin is the
+      // automatic runtime variant; this is the plan-time hand-tool.)
       val salts = 8
-      val fact = Tables.lineitem(s, d).withColumn("salt",
-        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts.toLong)))
-      val dim = Tables.orders(s, d).withColumn("salt",
-        explode(sequence(lit(0L), lit(salts - 1L))))
-      fact.join(dim, col("l_orderkey") === col("o_orderkey")
-          && fact("salt") === dim("salt"))
+      val fact = Tables.lineitem(s, d)
+      val dim = Tables.orders(s, d)
+      // deterministic pseudo-sample of rows (hash-mod, fixed literal
+      // seed) → per-key counts → top-16 keys. Tiny by construction.
+      val hot = fact
+        .filter(pmod(xxhash64(lit("skew-probe"), col("l_orderkey"),
+          col("l_linenumber")), lit(100L)) === 0L)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("kn"))
+        .orderBy(col("kn").desc, col("l_orderkey")).limit(16)
+        .select(col("l_orderkey").as("hot_key"))
+      val factHot = fact.join(broadcast(hot),
+        col("l_orderkey") === col("hot_key"), "left_semi")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"),
+          col("l_linenumber")), lit(salts.toLong)))
+      val factCold = fact.join(broadcast(hot),
+        col("l_orderkey") === col("hot_key"), "left_anti")
+      val dimHot = dim.join(broadcast(hot),
+        col("o_orderkey") === col("hot_key"), "left_semi")
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      val hotSide = factHot.join(dimHot,
+        col("l_orderkey") === col("o_orderkey")
+          && factHot("salt") === dimHot("salt"))
+        .select(col("o_orderpriority"), col("l_quantity"))
+      val coldSide = factCold.join(dim,
+        col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_quantity"))
+      hotSide.unionAll(coldSide)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")
@@ -267,7 +292,7 @@ object Relational {
         SELECT o_orderkey, o_custkey,
                CAST(round(CAST(o_totalprice AS DECIMAL(38,4)), 4) AS DOUBLE) AS price
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(*)
                             FROM orders)
           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         ORDER BY o_orderkey""")
@@ -382,10 +407,14 @@ object Relational {
 
     "agg_collect_sorted" -> ((s, d) => {
       // collect_list is unordered across tasks → sort_array makes it
-      // deterministic. Bounded per-group (orders per customer).
+      // deterministic. Bounded per-group (orders per customer). The
+      // sorted list is serialized with array_join: the driver's pandas
+      // hash gate cannot hash array cells, and a delimited string is
+      // engine-portable byte-for-byte.
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("order_keys"))
         .orderBy("o_custkey")
     }),
 
@@ -620,7 +649,7 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
              CAST(round(CAST(o_totalprice AS DECIMAL(38,4)), 4) AS DOUBLE) AS price
          FROM orders
-         WHERE o_totalprice > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(*)
+         WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / count(*)
                             FROM orders)
            AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
          ORDER BY o_orderkey""",
@@ -649,7 +678,8 @@ object Relational {
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
 
     "agg_collect_sorted" ->
-      """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS order_keys
+      """SELECT o_custkey,
+             array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
     "sort_multi_nulls" ->

@@ -19,6 +19,46 @@ import graft.Tables
 object SimOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic hyperplane family for sim_ann_lsh.
+    *
+    * Weights come from SplitMix64 over (plane, dim) with fixed literal
+    * constants (SURVEY §7.4.5: seeded determinism, no Math.random) and
+    * are baked into the plan as float ARRAY LITERALS at build time — the
+    * per-row cost is Planes codegen'd dot_f kernels, zero hash calls.
+    */
+  private object Lsh {
+    val Planes = 16
+    val Dims = 64
+
+    private def splitmix64(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    /** Plane weight in [-1, 1) — identical on every run and JVM. */
+    private def weight(p: Int, i: Int): Float =
+      (((splitmix64(p.toLong * 1024L + i) >>> 11).toDouble
+        / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+
+    private def planeLit(p: Int) =
+      array((0 until Dims).map(i => lit(weight(p, i))): _*)
+
+    private def dotF(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.DotProductF(
+          org.apache.spark.sql.GraftSqlBridge.expr(a),
+          org.apache.spark.sql.GraftSqlBridge.expr(b)))
+
+    /** Planes-bit sign signature of a float-array embedding column. */
+    def signature(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until Planes).map { p =>
+        when(dotF(embedding, planeLit(p)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+  }
+
   /** (vec_id, pos, v:double) exploded view of the embedding table. */
   private def exploded(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -78,31 +118,41 @@ object SimOps {
     }),
 
     "sim_ann_ivf" -> ((s, d) => {
-      // IVF-style ANN: a deterministic coarse quantizer (every 40th
-      // vector serves as a centroid — a k-means fit would be the
-      // production quantizer, seeded) assigns each vector to its
-      // nearest centroid; probes then search ONLY their own inverted
-      // list. Search cost drops from O(N) to O(N/k) per probe; the
-      // assignment pass is one broadcast join (centroids are tiny by
-      // construction — that's the point of IVF).
+      // IVF-style ANN with a FIXED-k coarse quantizer: k=64 centroids
+      // chosen as the k smallest xxhash64(vec_id) — a deterministic
+      // seeded sample whose size is INDEPENDENT of table cardinality
+      // (planned as TakeOrderedAndProject: per-partition heap of k, no
+      // full sort). Production swaps the sample for seeded k-means with
+      // k ≈ min(√N, 65536); everything downstream is unchanged.
+      // Assignment is one broadcast product over the k centroids with a
+      // map-side max_by — the ×k expansion collapses BEFORE any shuffle
+      // (partial aggregation), so assignment cost is O(N·k) compute and
+      // O(N) shuffle bytes: the real IVF shape at 10⁹ vectors.
       graft.functions.DotProductF.register(s)
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") % 40 === 0)
+      val k = 64
+      val cents = emb
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cdot").desc, col("cent_id"))
+        .orderBy(xxhash64(col("cent_id")), col("cent_id"))
+        .limit(k)
       val assigned = emb.join(broadcast(cents))
         .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+        .groupBy(col("vec_id"))
+        .agg(
+          // total order (unique cent_id) → deterministic argmax
+          max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+            .as("cluster"),
+          first(col("embedding")).as("embedding"))
       val probes = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("a"), col("embedding").as("ea"),
           col("cluster"))
       val cands = assigned.select(col("vec_id").as("b"),
         col("embedding").as("eb"), col("cluster").as("cluster2"))
+      // cluster has only k distinct values — broadcast the tiny probe
+      // side so the join never shuffles the corpus on a 64-value key.
       val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
-      probes.join(cands, col("cluster") === col("cluster2") && col("a") =!= col("b"))
+      broadcast(probes)
+        .join(cands, col("cluster") === col("cluster2") && col("a") =!= col("b"))
         .withColumn("cos", round(expr("dot_f(ea, eb)"), 4))
         .withColumn("rnk", row_number().over(w).cast(IntegerType))
         .filter(col("rnk") <= 3)
@@ -111,33 +161,49 @@ object SimOps {
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
-      // Approximate NN, the scale path: 8 deterministic random-ish
-      // hyperplanes (weights derived from xxhash64 of "plane:dim" —
-      // fixed seeds, SURVEY §7.4.5) → 8-bit sign bucket per vector →
-      // probes meet candidates only inside their bucket.
+      // Banded multi-table LSH, the scale path: 16 deterministic
+      // hyperplanes (SplitMix64 of (plane,dim), fixed literal seed)
+      // give a 16-bit sign signature, split into 2 bands × 8 bits.
+      // Candidates must agree on at least one FULL band (band-OR):
+      // per-band buckets stay selective while two independent tables
+      // recover the recall a single wider code would lose.
+      //
+      // The plane matrix is materialized ONCE, driver-side, as float
+      // literal arrays — the plan carries constants and each sign bit is
+      // one codegen'd dot_f over the row; nothing recomputes weights or
+      // hashes per row (the round-1 version burned a per-row xxhash64
+      // per plane×dim on the interpreted HOF path).
+      graft.functions.DotProductF.register(s)
       val emb = Tables.embeddings(s, d)
-      val bucketed = emb.withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), 0L, (acc, p) ->
-             acc + IF(
-               aggregate(transform(embedding, (x, i) ->
-                 CAST(x AS DOUBLE) *
-                 ((CAST(pmod(xxhash64(concat('plane:', cast(p AS string), ':', cast(i AS string))), 2001) AS DOUBLE) - 1000.0) / 1000.0)),
-                 CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0.0,
-               shiftleft(1L, p), 0L))"""))
+      val bucketed = emb.withColumn("sig", Lsh.signature(col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          col("sig").bitwiseAND(lit(255L)).as("band0"),
+          shiftright(col("sig"), 8).bitwiseAND(lit(255L)).as("band1"))
+        .select(col("vec_id"), col("embedding"),
+          explode(array(
+            struct(lit(0).as("band"), col("band0").as("bucket")),
+            struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
+        .select(col("vec_id"), col("embedding"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val probes = bucketed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("a"), col("embedding").as("ea"), col("bucket"))
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("band"), col("bucket"))
       val cands = bucketed
         .select(col("vec_id").as("b"), col("embedding").as("eb"),
-          col("bucket").as("bucket2"))
-      // Codegen'd dot-product kernel (graft.functions.DotProductF) on
-      // the candidate pairs — unit-norm embeddings make dot == cosine.
-      graft.functions.DotProductF.register(s)
+          col("band").as("band2"), col("bucket").as("bucket2"))
+      // Probe side is tiny and the (band,bucket) key space is small →
+      // broadcast probes; score per band-match, then collapse the ≤2
+      // duplicate pairs (same pair found in both bands) with a map-side
+      // max (cos is identical across bands).
       val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
-      probes.join(cands, col("bucket") === col("bucket2") && col("a") =!= col("b"))
+      broadcast(probes)
+        .join(cands, col("band") === col("band2")
+          && col("bucket") === col("bucket2") && col("a") =!= col("b"))
         .withColumn("cos", round(expr("dot_f(ea, eb)"), 4))
+        .groupBy(col("a"), col("b")).agg(max(col("cos")).as("cos"))
         .withColumn("rnk", row_number().over(w).cast(IntegerType))
         .filter(col("rnk") <= 3)
-        .select(col("a"), col("bucket"), col("b"), col("cos"), col("rnk"))
+        .select(col("a"), col("b"), col("cos"), col("rnk"))
         .orderBy("a", "rnk")
     })
   )

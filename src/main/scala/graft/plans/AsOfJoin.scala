@@ -66,24 +66,31 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
-  /** Primitive accessor: direct getLong on the ordinal when the bound
-    * expression is a plain column reference (the common case — avoids a
-    * Long box per row per expression), generic eval otherwise. */
-  private def longGetter(e: Expression, schema: Seq[Attribute]): InternalRow => Long =
+  /** Primitive accessor pair (isNull, getLong): direct ordinal access
+    * when the bound expression is a plain column reference (the common
+    * case — avoids a Long box per row per expression), generic eval
+    * otherwise. Null handling is explicit: SQL join semantics say a null
+    * key or time never matches, so callers must consult the isNull side
+    * before reading the long (getLong on a null slot would silently
+    * read 0 and match key-0 rows). */
+  private def longAccess(e: Expression, schema: Seq[Attribute])
+      : (InternalRow => Boolean, InternalRow => Long) =
     BindReferences.bindReference(e, schema) match {
       case b: org.apache.spark.sql.catalyst.expressions.BoundReference
           if b.dataType == org.apache.spark.sql.types.LongType =>
         // dataType guard: getLong on a non-long slot would read garbage
         // silently; anything else takes the eval path and fails loudly
-        row => row.getLong(b.ordinal)
-      case bound => row => bound.eval(row).asInstanceOf[Long]
+        (row => row.isNullAt(b.ordinal), row => row.getLong(b.ordinal))
+      case bound =>
+        (row => bound.eval(row) == null,
+          row => bound.eval(row).asInstanceOf[Long])
     }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = longGetter(leftKey, left.output)
-    val lt = longGetter(leftTime, left.output)
-    val rk = longGetter(rightKey, right.output)
-    val rt = longGetter(rightTime, right.output)
+    val (lkNull, lk) = longAccess(leftKey, left.output)
+    val (ltNull, lt) = longAccess(leftTime, left.output)
+    val (rkNull, rk) = longAccess(rightKey, right.output)
+    val (rtNull, rt) = longAccess(rightTime, right.output)
     val nRight = right.output.size
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -96,20 +103,30 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var cand: InternalRow = null
       var candKey = 0L
       lIter.map { lRow =>
-        val k = lk(lRow)
-        val t = lt(lRow)
-        // advance the right side to the last row with key==k, time<=t
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk(head)
-          if (hk < k || (hk == k && rt(head) <= t)) {
-            cand = rBuf.next().copy()
-            candKey = hk
-          } else advancing = false
+        if (lkNull(lRow) || ltNull(lRow)) {
+          // null key/time never matches (nulls sort first, so the right
+          // cursor has not advanced yet — nothing to rewind)
+          toUnsafe(joined(lRow, nullRight))
+        } else {
+          val k = lk(lRow)
+          val t = lt(lRow)
+          // advance the right side to the last row with key==k, time<=t,
+          // dropping right rows whose key/time is null (never candidates)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            if (rkNull(head) || rtNull(head)) { rBuf.next(); () }
+            else {
+              val hk = rk(head)
+              if (hk < k || (hk == k && rt(head) <= t)) {
+                cand = rBuf.next().copy()
+                candKey = hk
+              } else advancing = false
+            }
+          }
+          val matched = cand != null && candKey == k
+          toUnsafe(joined(lRow, if (matched) cand else nullRight))
         }
-        val matched = cand != null && candKey == k
-        toUnsafe(joined(lRow, if (matched) cand else nullRight))
       }
     }
   }

@@ -11,25 +11,82 @@ import scala.util.Try
   * jar resolves (SURVEY §7.5): it only needs the local Postgres 15
   * server binaries.
   *
-  * Spark stages the DataFrame as CSV part files; each part streams
-  * through `\copy` (CSV, NULL ''). Driver-side loop here; the 100 TB
-  * variant runs the same COPY per partition via foreachPartition with a
-  * pg connection per executor — same statement, different fan-out.
+  * Two fan-outs behind one Sink:
+  *  - staged (perPartition = false): Spark stages CSV part files, the
+  *    driver streams each through `\copy` — simplest, serial.
+  *  - per-partition (perPartition = true, the 100 TB shape): every
+  *    partition COPYs itself from the executor via foreachPartition —
+  *    N concurrent COPY streams into Postgres, no driver staging, no
+  *    second pass over the data. Same statement, parallel fan-out;
+  *    Postgres ingests concurrent COPYs into one table natively.
   */
 final case class PgCopySink(sockDir: String, port: Int, db: String,
-    table: String) extends Sink {
-  override def write(df: DataFrame): Unit = {
-    val tmp = Files.createTempDirectory("graft_pgcopy").toFile
-    df.write.mode("overwrite")
-      .option("header", "false").option("nullValue", "")
-      .csv(tmp.getAbsolutePath)
-    tmp.listFiles().filter(_.getName.endsWith(".csv")).sortBy(_.getName)
-      .foreach { part =>
-        val rc = Seq("psql", "-h", sockDir, "-p", port.toString, "-d", db,
-          "-v", "ON_ERROR_STOP=1",
-          "-c", s"""\\copy "$table" FROM '${part.getAbsolutePath}' WITH (FORMAT csv, NULL '')""").!
-        require(rc == 0, s"psql \\copy failed (exit $rc) for $part")
+    table: String, perPartition: Boolean = false) extends Sink {
+  override def write(df: DataFrame): Unit =
+    if (perPartition) {
+      // close over plain fields, not `this`-heavy structures
+      val (sock, p, database, t) = (sockDir, port, db, table)
+      df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) PgCopySink.copyPartition(sock, p, database, t, rows)
       }
+    } else {
+      val tmp = Files.createTempDirectory("graft_pgcopy").toFile
+      df.write.mode("overwrite")
+        .option("header", "false").option("nullValue", "")
+        .csv(tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+        .foreach { part =>
+          val rc = Seq("psql", "-h", sockDir, "-p", port.toString, "-d", db,
+            "-v", "ON_ERROR_STOP=1",
+            "-c", s"""\\copy "$table" FROM '${part.getAbsolutePath}' WITH (FORMAT csv, NULL '')""").!
+          require(rc == 0, s"psql \\copy failed (exit $rc) for $part")
+        }
+    }
+}
+
+object PgCopySink {
+  /** CSV cell under COPY's (FORMAT csv, NULL ''): unquoted empty = NULL,
+    * quoted empty = empty string, quotes doubled. Timestamps/decimals
+    * rely on their canonical toString, which Postgres accepts. */
+  private[sources] def csvCell(v: Any): String = v match {
+    case null => ""
+    case s: String =>
+      if (s.isEmpty || s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    case other => other.toString
+  }
+
+  /** Stream one partition's rows into `\copy ... FROM STDIN`. Runs on
+    * the executor; one psql subprocess per non-empty partition. */
+  private def copyPartition(sock: String, port: Int, db: String,
+      table: String, rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val pb = new java.lang.ProcessBuilder(
+      "psql", "-h", sock, "-p", port.toString, "-d", db,
+      "-v", "ON_ERROR_STOP=1",
+      "-c", s"""\\copy "$table" FROM STDIN WITH (FORMAT csv, NULL '')""")
+    pb.redirectOutput(new File("/dev/null"))
+    pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val sb = new java.lang.StringBuilder(256)
+      while (rows.hasNext) {
+        val r = rows.next()
+        sb.setLength(0)
+        var i = 0
+        while (i < r.length) {
+          if (i > 0) sb.append(',')
+          sb.append(csvCell(r.get(i)))
+          i += 1
+        }
+        sb.append('\n')
+        out.write(sb.toString)
+      }
+    } finally out.close()
+    val rc = proc.waitFor()
+    require(rc == 0, s"psql \\copy (per-partition) failed with exit $rc")
   }
 }
 

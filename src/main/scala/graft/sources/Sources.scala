@@ -139,7 +139,10 @@ object Sources {
         val t = "graft_order_stats"
         PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
         PgServer.psql(PgDdl.createTable(t, schema))
-        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t).write(agg)
+        // per-partition fan-out: each partition COPYs from its executor
+        // (the 100 TB shape); the round trip below verifies it.
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+          perPartition = true).write(agg)
         val out = "/tmp/graft_pg_roundtrip.csv"
         PgServer.psql(
           s"""\\copy (SELECT * FROM "$t" ORDER BY o_orderstatus) TO '$out' WITH (FORMAT csv)""")

@@ -72,9 +72,52 @@ object TypedValues {
           coordSchema).getField("longitude").as("v_lon"),
         from_json(when(col("dv_type") === "monolingualtext", col("dv_raw")),
           monoSchema).getField("text").as("v_mono"))
-        // try_cast (never-throwing under ANSI): >38-digit amounts → null
-        .withColumn("v_amount", expr("try_cast(v_amount_raw AS DECIMAL(38,6))"))
+        // try_cast (never-throwing under ANSI): >38-digit amounts → null.
+        // Surfaced as the decimal's canonical string so the cross-engine
+        // hash gate compares text, not engine decimal wire formats.
+        .withColumn("v_amount",
+          expr("CAST(try_cast(v_amount_raw AS DECIMAL(38,6)) AS STRING)"))
         .orderBy("id", "pid", "statement_id")
     })
+  )
+
+  /** DuckDB mirror over the same fixture bytes (wd_claims_flatten's CTE
+    * chain + per-type json_extract). try_cast/regexp behavior is pinned
+    * on both engines: no-match regexp_extract yields '' (cast → NULL),
+    * >38-digit amounts TRY_CAST to NULL. */
+  val oracles: Map[String, String] = Map(
+    "wd_values_typed" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         flat AS (SELECT id, pid,
+             json_extract_string(stj, '$.id') AS statement_id,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             json_extract_string(stj, '$.mainsnak.datavalue.value') AS dv_raw,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.id') AS j_entity,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.time') AS j_time,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.amount') AS j_amount,
+             json_extract(stj, '$.mainsnak.datavalue.value.latitude') AS j_lat,
+             json_extract(stj, '$.mainsnak.datavalue.value.longitude') AS j_lon,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.text') AS j_text
+           FROM st)
+         SELECT id, pid, statement_id, dv_type,
+             CASE WHEN dv_type = 'string' THEN dv_raw END AS v_string,
+             CASE WHEN dv_type = 'wikibase-entityid' THEN j_entity END AS v_entity,
+             CASE WHEN dv_type = 'time' THEN j_time END AS v_time_raw,
+             TRY_CAST(regexp_extract(
+               CASE WHEN dv_type = 'time' THEN j_time END,
+               '^\+([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9:]{8})Z$', 1) AS TIMESTAMP) AS v_ts,
+             CASE WHEN dv_type = 'quantity' THEN j_amount END AS v_amount_raw,
+             CASE WHEN dv_type = 'globecoordinate' THEN CAST(j_lat AS DOUBLE) END AS v_lat,
+             CASE WHEN dv_type = 'globecoordinate' THEN CAST(j_lon AS DOUBLE) END AS v_lon,
+             CASE WHEN dv_type = 'monolingualtext' THEN j_text END AS v_mono,
+             CAST(TRY_CAST(CASE WHEN dv_type = 'quantity' THEN j_amount END
+                           AS DECIMAL(38,6)) AS VARCHAR) AS v_amount
+         FROM flat ORDER BY id, pid, statement_id"""
   )
 }

@@ -13,4 +13,6 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }

@@ -38,6 +38,32 @@ class AsOfSpec extends AnyFunSuite {
       103L -> 12L, 200L -> -1L, 300L -> -1L))
   }
 
+  test("null keys/times never match (SQL join semantics, not key-0)") {
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("k", LongType, nullable = true),
+      StructField("lid", LongType), StructField("lt", LongType, nullable = true)))
+    val rSchema = StructType(Seq(StructField("rk", LongType, nullable = true),
+      StructField("rid", LongType), StructField("rt", LongType, nullable = true)))
+    import org.apache.spark.sql.Row
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, 100L, 50L),      // null key → null match, NOT key-0's rows
+        Row(0L, 101L, null),       // null time → null match
+        Row(0L, 102L, 50L))),      // real key-0 probe → matches rid 10
+      lSchema)
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, 10L, 10L),         // legitimate key-0 right row
+        Row(null, 11L, 5L),        // null-keyed right row: never a candidate
+        Row(0L, 12L, null))),      // null-timed right row: never a candidate
+      rSchema)
+    val out = AsOf.join(l, r, l("k"), r("rk"), l("lt"), r("rt"), r("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    assert(out === Map(100L -> -1L, 101L -> -1L, 102L -> 10L))
+  }
+
   test("agrees with the window idiom on fixture data") {
     val native = SparkEntry.queries("join_asof_native")(spark, Spec.sf001).collect()
     val idiom = SparkEntry.queries("join_asof")(spark, Spec.sf001).collect()

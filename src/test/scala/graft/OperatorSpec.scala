@@ -63,6 +63,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(2) <= 1))
   }
 
+  test("simhash hot-bucket cap bounds the candidate set") {
+    import spark.implicits._
+    // 6 identical docs: every (chunk, cv) bucket holds all 6 of them
+    val hot = (1L to 6L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // cap below the bucket size → hot buckets dropped → no candidates,
+    // so the join provably cannot go quadratic on a hot value
+    assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 5).count() === 0L)
+    // generous cap → the identical docs pair up (15 a<b pairs, hamming 0)
+    assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 6).count() === 15L)
+  }
+
   test("cosine: self-similarity is 1 on unit vectors") {
     import spark.implicits._
     val e = Tables.embeddings(spark, Spec.sf001)

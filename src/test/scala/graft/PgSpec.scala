@@ -41,6 +41,35 @@ class PgSpec extends AnyFunSuite {
     assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === pgCount)
   }
 
+  test("per-partition COPY fan-out loads the same rows as the staged path") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    import org.apache.spark.sql.types._
+    val t = "graft_pgspec_parallel"
+    // multi-partition input with NULLs, quotes and commas in play
+    val df = Tables.part(spark, Spec.sf001)
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 7 === 0, null).otherwise(col("p_name")).as("p_name"),
+        concat(col("p_brand"), lit(",\"x\"")).as("tricky"))
+      .repartition(4)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("tricky", StringType)))
+    PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+    PgServer.psql(PgDdl.createTable(t, schema))
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+      perPartition = true).write(df)
+    assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === df.count())
+    assert(PgServer.psql(
+      s"""SELECT count(*) FROM "$t" WHERE p_name IS NULL""").get.toLong
+      === df.filter(col("p_name").isNull).count())
+    // quote/comma fidelity on one sampled row
+    val k = df.select(min(col("p_partkey"))).head().getLong(0)
+    val sparkVal = df.filter(col("p_partkey") === k).head().getString(2)
+    assert(PgServer.psql(
+      s"""SELECT tricky FROM "$t" WHERE p_partkey = $k""").get === sparkVal)
+  }
+
   test("sink_pg_copy query round-trips through Postgres (or its twin)") {
     val rows = SparkEntry.queries("sink_pg_copy")(spark, Spec.sf001).collect()
     assert(rows.length === 3) // order statuses F, O, P

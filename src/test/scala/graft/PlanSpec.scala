@@ -123,6 +123,38 @@ class PlanSpec extends AnyFunSuite {
     assert(r === 11.0)
   }
 
+  test("dot_f rejects wrong arity with an analysis error, not an index crash") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f), Array(2.0f))).toDF("a", "b")
+    val e = intercept[Exception] { df.selectExpr("dot_f(a)").head() }
+    assert(e.getMessage.contains("dot_f") &&
+      !e.isInstanceOf[IndexOutOfBoundsException], e.getMessage.take(300))
+    val e3 = intercept[Exception] { df.selectExpr("dot_f(a, b, a)").head() }
+    assert(e3.getMessage.contains("dot_f"))
+  }
+
+  test("sim_ann_lsh per-row path: no hash calls, no interpreted HOFs") {
+    // The signature must be plane-literal dot_f kernels — a plan that
+    // recomputes hashes or runs lambda HOFs per row is the scale bug
+    // this key had in round 1.
+    val p = plan("sim_ann_lsh")
+    assert(!p.contains("xxhash64"), "plane weights leaked into the per-row plan")
+    assert(!p.toLowerCase.contains("lambdafunction"), "interpreted HOF in LSH path")
+    assert(p.contains("dot_f"), p.take(1500))
+  }
+
+  test("sim_ann_ivf centroid count is fixed, independent of table size") {
+    import org.apache.spark.sql.functions._
+    // the quantizer inside sim_ann_ivf: k smallest xxhash64(vec_id)
+    def kCents(df: DataFrame): Long = df
+      .select(col("vec_id")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(64).count()
+    val small = Tables.embeddings(spark, Spec.sf001)
+    assert(kCents(small) === math.min(64L, small.count()))
+    assert(kCents(small.unionAll(small.withColumn("vec_id", col("vec_id") + 1000000L)))
+      === 64L)
+  }
+
   test("dot_f expression participates in codegen (no CodegenFallback wrapper)") {
     import spark.implicits._
     graft.functions.DotProductF.register(spark)

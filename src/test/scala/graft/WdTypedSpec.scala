@@ -20,8 +20,8 @@ class WdTypedSpec extends AnyFunSuite {
     val big = rows(("Q4", "P1114"))
     assert(big.getString(8).startsWith("+1234567890123456789012345678901234567890"))
     assert(big.isNullAt(12)) // v_amount
-    // normal quantity parses
-    assert(rows(("Q2", "P2044")).getDecimal(12).doubleValue() === 6371.0)
+    // normal quantity parses (decimal's canonical string at scale 6)
+    assert(rows(("Q2", "P2044")).getString(12) === "6371.000000")
     // coords + monolingual
     assert(rows(("Q2", "P625")).getDouble(9) === 0.0)
     assert(rows(("Q5", "P1476")).getString(11) === "a title in english")

@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductF.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName,
+        "heavy_hitters"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HeavyHittersAgg.build(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

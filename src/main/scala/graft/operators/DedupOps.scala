@@ -87,6 +87,25 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    "dedup_exact_keepbest" -> ((s, d) => {
+      // Quality-aware exact dedup: within a normalized-content group keep
+      // the BEST representative (longest raw text, then English, then
+      // lowest doc_id), not merely the first — the policy real training
+      // pipelines use when near-identical docs differ in metadata or
+      // whitespace. Same one-shuffle row_number shape as dedup_exact.
+      val h = md5(lower(trim(col("text"))))
+      val w = Window.partitionBy("h").orderBy(
+        col("n_chars").desc,
+        when(col("lang") === "en", 0).otherwise(1),
+        col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("h"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_near_minhash" -> ((s, d) => {
       // Hand-rolled MinHash+LSH: 3-token shingles → 16 minhash slots →
       // 4 bands × 4 rows → band-equi-self-join → candidate pairs +
@@ -192,6 +211,17 @@ object DedupOps {
            SELECT doc_id, h,
                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
            FROM (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents))
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "dedup_exact_keepbest" ->
+      """SELECT doc_id, h, lang, n_chars FROM (
+           SELECT doc_id, h, lang, n_chars,
+                  row_number() OVER (PARTITION BY h
+                    ORDER BY n_chars DESC,
+                             CASE WHEN lang = 'en' THEN 0 ELSE 1 END,
+                             doc_id) AS rn
+           FROM (SELECT doc_id, lang, n_chars,
+                        md5(lower(trim(text))) AS h FROM documents))
          WHERE rn = 1 ORDER BY doc_id""",
 
     "dedup_ngram_jaccard" ->

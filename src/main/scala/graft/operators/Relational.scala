@@ -248,6 +248,38 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    "join_bloom_pruned" -> ((s, d) => {
+      // Runtime bloom-filter pruning (Catalyst's InjectRuntimeFilter):
+      // the selective dim filter (URGENT orders) builds a bloom filter
+      // over its join keys as a subquery; the FACT side applies
+      // might_contain() BEFORE its shuffle, cutting shuffled fact bytes
+      // by roughly the dim selectivity with no manual semi-join. False
+      // positives only under-prune — the join stays exact, so the
+      // oracle is the plain-join SQL.
+      //
+      // Runs in an ISOLATED child session (shared SparkContext,
+      // private conf — the per-workload-tuning pattern): injection
+      // requires a hint-free shuffle join (any ResolvedHint defeats the
+      // creation-side pattern match), so broadcast is disabled and the
+      // fixture-scale thresholds lowered HERE without touching the
+      // caller's session. At 100 TB the dim exceeds the broadcast
+      // threshold naturally and only the threshold confs would differ.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val urgent = Tables.orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Tables.lineitem(s2, d)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     "join_asof" -> ((s, d) => {
       // As-of join (no native Spark op): for each purchase, the latest
       // click at-or-before it, per user. Equi on user + range filter,
@@ -403,6 +435,22 @@ object Relational {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sumMoney(col("l_quantity")))
         .orderBy("l_linestatus")
+    }),
+
+    "agg_heavy_hitters" -> ((s, d) => {
+      // Native mergeable Misra-Gries sketch (HeavyHittersAgg, a
+      // TypedImperativeAggregate): top frequent items in one pass with
+      // O(k) state per partition — no groupBy over the full column
+      // cardinality, no sort. p_brand has ~25 distinct values < k=64,
+      // the no-eviction regime where the sketch is provably EXACT and
+      // merge-order-independent — hence oracle-able; the eviction
+      // regime's error bounds are property-tested in OperatorSpec.
+      graft.functions.HeavyHittersAgg.register(s)
+      Tables.part(s, d)
+        .agg(expr("heavy_hitters(p_brand, 64)").as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), asc("item"))
     }),
 
     "agg_collect_sorted" -> ((s, d) => {
@@ -645,6 +693,14 @@ object Relational {
          WHERE c.c_acctbal > 9000
          ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""",
 
+    "join_bloom_pruned" ->
+      """SELECT l_returnflag, count(*) AS n,
+             CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "subquery_scalar" ->
       """SELECT o_orderkey, o_custkey,
              CAST(round(CAST(o_totalprice AS DECIMAL(38,4)), 4) AS DOUBLE) AS price
@@ -676,6 +732,11 @@ object Relational {
              CAST(round(sum(CASE WHEN l_returnflag = 'R'
                THEN CAST(l_quantity AS DECIMAL(38,4)) END), 4) AS DOUBLE) AS R
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    // exact because distinct(p_brand) < k (no-eviction regime)
+    "agg_heavy_hitters" ->
+      """SELECT p_brand AS item, count(*) AS cnt
+         FROM part GROUP BY p_brand ORDER BY cnt DESC, item""",
 
     "agg_collect_sorted" ->
       """SELECT o_custkey,

@@ -102,6 +102,30 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
+    "stream_stream_join" -> ((s, d) => {
+      // Stream-stream interval join: each purchase pairs with the same
+      // user's clicks in the preceding 30 minutes. Both sides declare
+      // watermarks and the join carries an event-time range — exactly
+      // what lets Spark bound both state stores (a click older than
+      // watermark+30min can never join a future purchase and is
+      // evicted). Batch execution of the identical plan feeds the
+      // oracle; incremental execution runs in StreamingSpec.
+      val e = ev(s, d).withColumn("secl", epochS(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("secl").as("p_sec"))
+      val c = e.filter(col("event_type") === "click")
+        .withWatermark("ts", "30 minutes")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("secl").as("c_sec"))
+      p.join(c, col("user_id") === col("c_user")
+          && col("c_sec") >= col("p_sec") - 1800L
+          && col("c_sec") <= col("p_sec"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     "stream_static_join" -> ((s, d) => {
       // Stream-static enrichment (supported without watermark): events
       // stream joined to the customer dim, aggregated per segment.
@@ -178,6 +202,18 @@ object StreamingOps {
                 CAST(sum(n) AS BIGINT) AS n_events,
                 CAST(max(dur) AS BIGINT) AS longest_session_s
          FROM per_sess GROUP BY user_id ORDER BY user_id""",
+
+    "stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secl
+           FROM events)
+         SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                c.event_id AS click_id
+         FROM e p JOIN e c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.secl >= p.secl - 1800 AND c.secl <= p.secl
+         ORDER BY p.user_id, purchase_id, click_id""",
 
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,

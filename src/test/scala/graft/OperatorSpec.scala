@@ -123,6 +123,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("heavy_hitters sketch: Misra-Gries guarantees under eviction") {
+    import spark.implicits._
+    graft.functions.HeavyHittersAgg.register(spark)
+    // 200 distinct items, k = 16 → eviction exercised. Skew: item "hot1"
+    // appears 400×, "hot2" 200×, the 198 others ~10× each (n ≈ 2580,
+    // n/k ≈ 162 — both hot items exceed the n/k bar).
+    val rows = Seq.tabulate(400)(_ => "hot1") ++ Seq.tabulate(200)(_ => "hot2") ++
+      (1 to 198).flatMap(i => Seq.tabulate(10)(_ => s"cold$i"))
+    val n = rows.length.toLong
+    val got = rows.toDF("v").repartition(8) // force multi-partition merges
+      .agg(expr("heavy_hitters(v, 16)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt")).as[(String, Long)].collect().toMap
+    val trueCnt = Map("hot1" -> 400L, "hot2" -> 200L).withDefaultValue(10L)
+    // (a) items above n/k must be present
+    assert(got.contains("hot1") && got.contains("hot2"), got.keys.toSeq.sorted.take(5))
+    // (b) reported counts obey est ≤ true ≤ est + n/k
+    got.foreach { case (item, est) =>
+      val t = trueCnt(item)
+      assert(est <= t && t <= est + n / 16 + 1, s"$item est=$est true=$t")
+    }
+    // (c) sketch size bounded by k
+    assert(got.size <= 16)
+  }
+
+  test("heavy_hitters is exact and deterministic when distinct ≤ k") {
+    val a = q("agg_heavy_hitters").collect()
+    val b = q("agg_heavy_hitters").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val direct = Tables.part(spark, Spec.sf001)
+      .groupBy(col("p_brand")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.map(r => r.getString(0) -> r.getLong(1)).toMap === direct)
+  }
+
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
     assert(q("scan_ndjson_entities").count() === 10L)
     val flat = q("wd_entity_flatten").collect()

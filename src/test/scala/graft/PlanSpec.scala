@@ -123,6 +123,12 @@ class PlanSpec extends AnyFunSuite {
     assert(r === 11.0)
   }
 
+  test("join_bloom_pruned injects might_contain on the fact side") {
+    val p = plan("join_bloom_pruned")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("SortMergeJoin"), "bloom demo must stay a shuffle join")
+  }
+
   test("dot_f rejects wrong arity with an analysis error, not an index crash") {
     import spark.implicits._
     val df = Seq((Array(1.0f), Array(2.0f))).toDF("a", "b")

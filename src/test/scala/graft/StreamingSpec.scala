@@ -85,6 +85,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within the range, incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)] // ts, user, pid
+    val clicks = MemoryStream[(Timestamp, Long, Long)]    // ts, user, cid
+    val p = purchases.toDF().toDF("pts", "user_id", "purchase_id")
+      .withWatermark("pts", "10 minutes")
+    val c = clicks.toDF().toDF("cts", "c_user", "click_id")
+      .withWatermark("cts", "10 minutes")
+    val joined = p.join(c,
+      col("user_id") === col("c_user")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    try {
+      // clicks arrive in batch 1; the purchase joining them in batch 2 —
+      // proves the click state is retained across micro-batches
+      clicks.addData((ts(0), 7L, 100L), (ts(10), 7L, 101L), (ts(10), 8L, 102L))
+      q.processAllAvailable()
+      purchases.addData((ts(20), 7L, 900L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT purchase_id, click_id FROM ssj_out ORDER BY click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // both user-7 clicks are within [19:50-30min, 10:20]; user-8's is not
+      assert(got === Seq((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch drives the Sink abstraction from a stream") {
     implicit val sqlCtx = spark.sqlContext
     val out = "/tmp/graft_stream_sink_test"

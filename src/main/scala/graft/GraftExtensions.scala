@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "heavy_hitters"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.HeavyHittersAgg.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKByAgg].getName, "topk_by"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TopKByAgg.build(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -34,6 +34,30 @@ object Windows {
         .orderBy("p_brand", "rnk", "p_partkey")
     }),
 
+    "win_topk_native" -> ((s, d) => {
+      // Identical result to win_topk_per_group through the NATIVE
+      // bounded top-k aggregate (graft.functions.TopKByAgg): a k-heap
+      // per group partial-aggregates map-side, so only ≤ k rows per
+      // group per partition cross the shuffle — vs the rank-window's
+      // full shuffle+sort of every row. The shared oracle proves the
+      // two plans agree; ord = (revenue, -p_partkey) is a total order,
+      // making the heap merge exact and deterministic.
+      graft.functions.TopKByAgg.register(s)
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(sumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      rev.groupBy(col("p_brand"))
+        .agg(expr("topk_by(struct(revenue, -p_partkey), struct(p_partkey, revenue), 3)")
+          .as("tk"))
+        .select(col("p_brand"), posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("p_brand"),
+          col("e.payload.p_partkey").as("p_partkey"),
+          col("e.payload.revenue").as("revenue"),
+          (col("i") + 1).cast(IntegerType).as("rnk"))
+        .orderBy("p_brand", "rnk", "p_partkey")
+    }),
+
     "win_dedup_latest" -> ((s, d) => {
       // Latest event per user — the canonical keep-one dedup idiom.
       val ev = Tables.events(s, d).withColumn("sec", secs(col("ts")))
@@ -117,6 +141,19 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same SQL as win_topk_per_group — the native aggregate must agree
+    // with the rank-window formulation row for row
+    "win_topk_native" ->
+      """SELECT p_brand, p_partkey, revenue, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT p_brand, p_partkey, revenue,
+                  dense_rank() OVER (PARTITION BY p_brand
+                    ORDER BY revenue DESC, p_partkey) AS rnk
+           FROM (SELECT p_brand, p_partkey,
+                   CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))),4) AS DOUBLE) AS revenue
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 GROUP BY p_brand, p_partkey)
+         ) WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""",
+
     "win_topk_per_group" ->
       """SELECT p_brand, p_partkey, revenue, CAST(rnk AS INTEGER) AS rnk FROM (
            SELECT p_brand, p_partkey, revenue,

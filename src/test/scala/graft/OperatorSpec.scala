@@ -158,6 +158,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.map(r => r.getString(0) -> r.getLong(1)).toMap === direct)
   }
 
+  test("topk_by native aggregate equals the rank-window formulation") {
+    val native = q("win_topk_native").collect().map(_.toString).toSeq
+    val window = q("win_topk_per_group").collect().map(_.toString).toSeq
+    assert(native === window && native.nonEmpty)
+  }
+
+  test("topk_by is exact across many partitions and deterministic") {
+    import spark.implicits._
+    graft.functions.TopKByAgg.register(spark)
+    // 1000 rows, unique ord → global top-5 is fully determined
+    val df = (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("v", "tag")
+      .repartition(16)
+    def run() = df
+      .agg(expr("topk_by(v, tag, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.ord"), col("e.payload")).as[(Long, String)].collect().toSeq
+    val got = run()
+    assert(got === (0 until 5).map(i => (1000L - i, s"p${1000 - i}")))
+    assert(got === run())
+  }
+
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
     assert(q("scan_ndjson_entities").count() === 10L)
     val flat = q("wd_entity_flatten").collect()

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Send the forked run's stdout straight through (no "[info] " prefix from
+// sbt's logger): the driver machine-parses Bench's final JSON line, and a
+// prefixed line is not valid JSON. See BENCH_r01/r02 "parsed": null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

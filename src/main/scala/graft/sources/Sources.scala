@@ -1,18 +1,18 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{Det, Tables}
+import graft.{Det, Stage, Tables}
 import Det._
 
 /** Source/sink operators (SURVEY.md §2.1). Sample inputs are literal
-  * constants materialized to fixed /tmp paths at query time — never
-  * derived from nondeterministic state — so the DuckDB oracle can read
-  * the same bytes.
+  * constants materialized to fixed paths at query time — never derived
+  * from nondeterministic state — so the DuckDB oracle can read the same
+  * bytes. All staging goes through [[graft.Stage]] (Hadoop FS API) so
+  * the fixtures are cluster-visible on a real deployment.
   */
 object Sources {
   type Q = (SparkSession, String) => DataFrame
@@ -32,10 +32,8 @@ object Sources {
     StructField("val", DoubleType),
     StructField("note", StringType)))
 
-  private def ensureCsv(): String = synchronized {
-    Files.write(Paths.get(csvPath), csvContent.getBytes(StandardCharsets.UTF_8))
-    csvPath
-  }
+  private def ensureCsv(s: SparkSession): String =
+    Stage.write(s, csvPath, csvContent.getBytes(StandardCharsets.UTF_8))
 
   private val bz2Path = "/tmp/graft_dump.txt.bz2"
   private val dumpLines = Seq(
@@ -52,7 +50,7 @@ object Sources {
     val codec = new org.apache.hadoop.io.compress.BZip2Codec()
     codec.setConf(s.sparkContext.hadoopConfiguration)
     val out = codec.createOutputStream(
-      new BufferedOutputStream(new FileOutputStream(bz2Path)))
+      new BufferedOutputStream(Stage.create(s, bz2Path)))
     try out.write(dumpLines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     bz2Path
@@ -65,7 +63,7 @@ object Sources {
       s.read.schema(csvSchema)
         .option("header", "true")
         .option("nullValue", "")
-        .csv(ensureCsv())
+        .csv(ensureCsv(s))
         .orderBy("id")
     }),
 
@@ -83,7 +81,7 @@ object Sources {
       // filter prunes whole directories at plan time (PartitionFilters,
       // zero I/O for other years). Materialized once per sf dir.
       val path = "/tmp/graft_part_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!Files.exists(Paths.get(s"$path/_SUCCESS"))) {
+      if (!Stage.exists(s, s"$path/_SUCCESS")) {
         Tables.lineitem(s, d)
           .withColumn("ship_year", org.apache.spark.sql.functions.year(col("l_shipdate")))
           .write.mode("overwrite").partitionBy("ship_year").parquet(path)
@@ -96,10 +94,15 @@ object Sources {
     }),
 
     "scan_orc" -> ((s, d) => {
-      // Second columnar format: ORC write + read round-trip (vectorized
-      // reader, predicate pushdown — same scan contract as parquet).
-      val out = "/tmp/graft_orc_sample"
-      Tables.nation(s, d).write.mode("overwrite").orc(out)
+      // Second columnar format: vectorized ORC scan with predicate
+      // pushdown — the same scan contract as parquet. The sample is
+      // materialized ONCE per sf dir (behind _SUCCESS, same policy as
+      // scan_partitioned) so this key times the scan it names, not a
+      // rewrite on every invocation.
+      val out = "/tmp/graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!Stage.exists(s, s"$out/_SUCCESS")) {
+        Tables.nation(s, d).write.mode("overwrite").orc(out)
+      }
       s.read.orc(out)
         .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name")).agg(count(lit(1)).as("n_nations"))

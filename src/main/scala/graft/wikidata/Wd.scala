@@ -1,6 +1,5 @@
 package graft.wikidata
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,18 +19,20 @@ object Wd {
   /** Fixed path so the DuckDB oracle can read the same bytes. */
   val fixturePath = "/tmp/graft_wd_entities.ndjson"
 
-  /** Materialize the classpath fixture to a stable filesystem path. */
-  def ensureFixture(): String = synchronized {
+  /** Materialize the classpath fixture to a stable path on the default
+    * Hadoop FS (cluster-visible on a real deployment; local file under
+    * local[*], where the DuckDB oracle reads the same bytes). */
+  def ensureFixture(s: SparkSession): String = synchronized {
     val in = getClass.getResourceAsStream("/wd_entities.ndjson")
     require(in != null, "wd_entities.ndjson missing from classpath")
-    try Files.copy(in, Paths.get(fixturePath), StandardCopyOption.REPLACE_EXISTING)
+    try graft.Stage.write(s, fixturePath, in.readAllBytes())
     finally in.close()
     fixturePath
   }
 
   /** Parse the NDJSON with the explicit entity schema. */
   def entities(s: SparkSession): DataFrame =
-    s.read.schema(EntitySchema.entity).json(ensureFixture())
+    s.read.schema(EntitySchema.entity).json(ensureFixture(s))
 
   type Q = (SparkSession, String) => DataFrame
 

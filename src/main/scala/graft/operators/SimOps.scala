@@ -27,7 +27,18 @@ object SimOps {
     * per-row cost is Planes codegen'd dot_f kernels, zero hash calls.
     */
   private object Lsh {
-    val Planes = 16
+    // 32 planes → 8 bands × 4 bits. Band width R and band count B trade
+    // recall against candidate volume: recall(pair) = 1-(1-p^R)^B with
+    // p = 1 - theta/pi. The synthetic corpus has near-orthogonal true
+    // neighbors (cos ≈ 0.35, p ≈ 0.61), where R=8 bands collapse to
+    // ~4% recall; R=4/B=8 predicts ~0.70 recall@3 (measured by the
+    // OperatorSpec recall floor) at ~N/16-per-band candidate buckets.
+    // Real text/image embeddings (near-dup cos ≥ 0.8) support wider
+    // R at the same recall — tune R up as similarity concentrates.
+    val Planes = 32
+    val Bands = 8
+    val BandBits = 4
+    val BandMask = (1L << BandBits) - 1
     val Dims = 64
 
     private def splitmix64(x: Long): Long = {
@@ -38,7 +49,7 @@ object SimOps {
     }
 
     /** Plane weight in [-1, 1) — identical on every run and JVM. */
-    private def weight(p: Int, i: Int): Float =
+    def weight(p: Int, i: Int): Float =
       (((splitmix64(p.toLong * 1024L + i) >>> 11).toDouble
         / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
 
@@ -143,13 +154,31 @@ object SimOps {
           max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
             .as("cluster"),
           first(col("embedding")).as("embedding"))
-      val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("a"), col("embedding").as("ea"),
-          col("cluster"))
+      // Multi-probe (nprobe=24): a probe searches its 24 nearest
+      // centroids' inverted lists, not just the argmax one — the
+      // standard IVF recall lever (recall@3 ~0.23 at nprobe=1 on this
+      // corpus of near-orthogonal synthetic vectors; the OperatorSpec
+      // floor pins the improvement). Cost is nprobe/k of the corpus
+      // per probe, paid only on the tiny broadcast probe side;
+      // corpus-side assignment is unchanged. Real clustered embeddings
+      // reach the same recall at much smaller nprobe/k — tune down as
+      // similarity concentrates.
+      val nprobe = 24
+      val pw = Window.partitionBy("a")
+        .orderBy(col("cdot").desc, col("cent_id"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
+        .join(broadcast(cents))
+        .withColumn("cdot", expr("dot_f(ea, cent_emb)"))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= nprobe)
+        .select(col("a"), col("ea"), col("cent_id").as("cluster"))
       val cands = assigned.select(col("vec_id").as("b"),
         col("embedding").as("eb"), col("cluster").as("cluster2"))
       // cluster has only k distinct values — broadcast the tiny probe
       // side so the join never shuffles the corpus on a 64-value key.
+      // Each candidate b lives in exactly one inverted list, so a pair
+      // (a,b) matches at most once — no post-join dedup needed.
       val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
       broadcast(probes)
         .join(cands, col("cluster") === col("cluster2") && col("a") =!= col("b"))
@@ -161,12 +190,13 @@ object SimOps {
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
-      // Banded multi-table LSH, the scale path: 16 deterministic
+      // Banded multi-table LSH, the scale path: 32 deterministic
       // hyperplanes (SplitMix64 of (plane,dim), fixed literal seed)
-      // give a 16-bit sign signature, split into 2 bands × 8 bits.
+      // give a 32-bit sign signature, split into 8 bands × 4 bits.
       // Candidates must agree on at least one FULL band (band-OR):
-      // per-band buckets stay selective while two independent tables
-      // recover the recall a single wider code would lose.
+      // per-band buckets stay selective while independent tables
+      // recover the recall a single wider code would lose (band
+      // geometry rationale at the Lsh object).
       //
       // The plane matrix is materialized ONCE, driver-side, as float
       // literal arrays — the plan carries constants and each sign bit is
@@ -177,12 +207,11 @@ object SimOps {
       val emb = Tables.embeddings(s, d)
       val bucketed = emb.withColumn("sig", Lsh.signature(col("embedding")))
         .select(col("vec_id"), col("embedding"),
-          col("sig").bitwiseAND(lit(255L)).as("band0"),
-          shiftright(col("sig"), 8).bitwiseAND(lit(255L)).as("band1"))
-        .select(col("vec_id"), col("embedding"),
-          explode(array(
-            struct(lit(0).as("band"), col("band0").as("bucket")),
-            struct(lit(1).as("band"), col("band1").as("bucket")))).as("bb"))
+          explode(array((0 until Lsh.Bands).map { bd =>
+            struct(lit(bd).as("band"),
+              shiftright(col("sig"), Lsh.BandBits * bd)
+                .bitwiseAND(lit(Lsh.BandMask)).as("bucket"))
+          }: _*)).as("bb"))
         .select(col("vec_id"), col("embedding"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val probes = bucketed.filter(col("vec_id") < 20)
@@ -208,7 +237,62 @@ object SimOps {
     })
   )
 
+  /** The 16×64 plane matrix as a DuckDB VALUES list, emitted from the
+    * SAME weight() function that bakes the Spark literals — the two
+    * engines see bit-identical float constants. Float.toString is the
+    * shortest round-tripping decimal, and the oracle re-CASTs to FLOAT
+    * before widening so DuckDB holds the exact same float, not the
+    * decimal's nearest double. pos is 1-based to line up with the
+    * range(1, len+1) unnest convention used by the other sim oracles.
+    */
+  private def planeValuesSql: String =
+    (0 until Lsh.Planes).flatMap { p =>
+      (0 until Lsh.Dims).map(i => s"($p,${i + 1},${Lsh.weight(p, i)})")
+    }.mkString(",")
+
   val oracles: Map[String, String] = Map(
+    // Mirrors the full LSH pipeline. Determinism: dot_f multiplies
+    // floats as exact doubles and accumulates in double; re-ordering a
+    // 64-term double sum perturbs ~1e-15 relative, 10 orders below the
+    // 4-dp rounding grid and the sign threshold, so DuckDB's group-sum
+    // matches Spark's sequential loop bit-for-bit after round(_, 4).
+    "sim_ann_lsh" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         planes AS (SELECT p, pos, CAST(CAST(w AS FLOAT) AS DOUBLE) AS w
+                    FROM (VALUES $planeValuesSql) t(p, pos, w)),
+         sigs AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN dot > 0
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+           FROM (SELECT ev.vec_id, pl.p, sum(ev.v * pl.w) AS dot
+                 FROM ev JOIN planes pl ON ev.pos = pl.pos
+                 GROUP BY 1, 2)
+           GROUP BY 1),
+         bucketed AS (
+           SELECT vec_id, CAST(t.band AS INTEGER) AS band,
+                  (sig >> CAST(${Lsh.BandBits} * t.band AS INTEGER))
+                    & ${Lsh.BandMask} AS bucket
+           FROM sigs, range(0, ${Lsh.Bands}) t(band)),
+         pairs AS (
+           SELECT DISTINCT pa.vec_id AS a, pb.vec_id AS b
+           FROM bucketed pa JOIN bucketed pb
+             ON pa.band = pb.band AND pa.bucket = pb.bucket
+           WHERE pa.vec_id < 20 AND pa.vec_id <> pb.vec_id),
+         dots AS (
+           SELECT pr.a, pr.b, round(sum(ea.v * eb.v), 4) AS cos
+           FROM pairs pr
+           JOIN ev ea ON ea.vec_id = pr.a
+           JOIN ev eb ON eb.vec_id = pr.b AND ea.pos = eb.pos
+           GROUP BY 1, 2)
+         SELECT a, b, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT a, b, cos,
+                  row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+           FROM dots)
+         WHERE rnk <= 3 ORDER BY a, rnk""",
+
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
              SELECT vec_id, unnest(embedding) AS v,

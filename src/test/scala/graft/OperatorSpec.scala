@@ -106,7 +106,7 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("sim_ann_ivf: results come from the probe's cluster, ranked correctly") {
+  test("sim_ann_ivf: ranked correctly, bounded probe width, deterministic") {
     val rows = q("sim_ann_ivf").collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
@@ -115,12 +115,40 @@ class OperatorSpec extends AnyFunSuite {
       assert(byRank.map(_.getInt(4)).toSeq === (1 to g.length))
       val cosByRank = byRank.map(_.getDouble(3)).toSeq
       assert(cosByRank.zip(cosByRank.drop(1)).forall { case (x, y) => x >= y })
-      // one cluster per probe
-      assert(g.map(_.getLong(1)).distinct.length === 1)
+      // multi-probe searches at most nprobe=24 inverted lists per probe
+      assert(g.map(_.getLong(1)).distinct.length <= 24)
     }
     // deterministic across runs
     val again = q("sim_ann_ivf").collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  /** recall@3 of an ANN result against the brute-force ground truth —
+    * the check that converts "runs and is shaped right" into "retrieves
+    * the right neighbors". Probes are restricted to the intersection of
+    * the two queries' probe sets (vec_id < 10). */
+  private def recallAt3(annKey: String): Double = {
+    val truth = q("sim_cosine_topk").collect()
+      .filter(r => r.getInt(3) <= 3)
+      .groupBy(_.getLong(0)).map { case (a, g) => a -> g.map(_.getLong(1)).toSet }
+    val bIdx = if (annKey == "sim_ann_ivf") 2 else 1
+    val got = q(annKey).collect()
+      .filter(r => r.getLong(0) < 10)
+      .groupBy(_.getLong(0)).map { case (a, g) => a -> g.map(_.getLong(bIdx)).toSet }
+    val recalls = truth.map { case (a, t) =>
+      (t & got.getOrElse(a, Set.empty)).size.toDouble / t.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  test("sim_ann_ivf recall@3 >= 0.6 vs brute-force ground truth") {
+    val r = recallAt3("sim_ann_ivf")
+    assert(r >= 0.6, s"IVF recall@3 = $r")
+  }
+
+  test("sim_ann_lsh recall@3 >= 0.5 vs brute-force ground truth") {
+    val r = recallAt3("sim_ann_lsh")
+    assert(r >= 0.5, s"LSH recall@3 = $r")
   }
 
   test("heavy_hitters sketch: Misra-Gries guarantees under eviction") {

@@ -86,18 +86,26 @@ object StreamingOps {
     }),
 
     "stream_stateful_custom" -> ((s, d) => {
-      // Custom per-user sessionization with explicit state
-      // (flatMapGroupsWithState — the arbitrary-state API; same handler
-      // runs under EventTimeTimeout in the streaming test). The group is
-      // sorted in-handler so output is arrival-order-independent.
+      // Custom per-user sessionization with O(1) state per user. Scale
+      // contract: the ENGINE does the ordering — repartition on user_id
+      // + sortWithinPartitions is a spillable external sort, so no
+      // group is ever materialized in the handler; the fold then
+      // streams rows carrying a constant-size state tuple. A hot user
+      // (bot traffic) costs disk sort bandwidth, never task memory —
+      // the round-2 formulation (rows.toSeq.sortBy inside a
+      // flatMapGroupsWithState handler) OOMed exactly there. The
+      // incremental variant of the same fold runs under
+      // flatMapGroupsWithState in StreamingSpec, where any in-handler
+      // sort is bounded by one micro-batch, not a user's history.
       import s.implicits._
       val rows = ev(s, d)
         .select(col("user_id"), col("sec").cast(LongType).as("secl"),
           col("event_id"))
         .as[(Long, Long, Long)]
-      rows.groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          StatefulSessionizer.handle)
+      rows
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "secl", "event_id")
+        .mapPartitions(StatefulSessionizer.foldSortedPartition)
         .toDF("user_id", "n_sessions", "n_events", "longest_session_s")
         .orderBy("user_id")
     }),
@@ -105,23 +113,26 @@ object StreamingOps {
     "stream_stream_join" -> ((s, d) => {
       // Stream-stream interval join: each purchase pairs with the same
       // user's clicks in the preceding 30 minutes. Both sides declare
-      // watermarks and the join carries an event-time range — exactly
-      // what lets Spark bound both state stores (a click older than
-      // watermark+30min can never join a future purchase and is
-      // evicted). Batch execution of the identical plan feeds the
-      // oracle; incremental execution runs in StreamingSpec.
-      val e = ev(s, d).withColumn("secl", epochS(col("ts")))
+      // watermarks and the range condition is on the WATERMARKED
+      // event-time columns themselves (pts/cts + INTERVAL) — Spark
+      // derives state-store eviction watermarks only from conditions on
+      // event-time columns, so a range on a derived BIGINT (the round-2
+      // formulation) would keep unbounded state when run incrementally.
+      // This is the exact shape StreamingSpec runs over MemoryStreams.
+      // Times are second-truncated (`sec`) to match the oracle's
+      // epoch-seconds arithmetic.
+      val e = ev(s, d)
       val p = e.filter(col("event_type") === "purchase")
-        .withWatermark("ts", "30 minutes")
         .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("secl").as("p_sec"))
+          col("sec").as("pts"))
+        .withWatermark("pts", "30 minutes")
       val c = e.filter(col("event_type") === "click")
-        .withWatermark("ts", "30 minutes")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("secl").as("c_sec"))
+          col("sec").as("cts"))
+        .withWatermark("cts", "30 minutes")
       p.join(c, col("user_id") === col("c_user")
-          && col("c_sec") >= col("p_sec") - 1800L
-          && col("c_sec") <= col("p_sec"))
+          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+          && col("cts") <= col("pts"))
         .select(col("user_id"), col("purchase_id"), col("click_id"))
         .orderBy("user_id", "purchase_id", "click_id")
     }),
@@ -223,29 +234,69 @@ object StreamingOps {
   )
 }
 
-/** Session-fold handler shared by the batch key and the streaming test.
+/** Session fold shared by the batch key and the streaming test.
   * State = (sessionCount, eventCount, currentSessionStart, lastSeen,
-  * longestDur); on bounded input each group arrives once and is sorted
-  * before folding (arrival-order independence).
+  * longestDur) — a constant-size tuple, never a row list.
   */
 object StatefulSessionizer {
   type Row = (Long, Long, Long) // (user_id, epoch_sec, event_id)
   type Out = (Long, Int, Long, Long) // (user_id, n_sessions, n_events, longest_s)
+  type St = (Int, Long, Long, Long, Long)
 
+  private val zero: St = (0, 0L, Long.MinValue, Long.MinValue, 0L)
+
+  /** Advance the state by one time-ordered event. */
+  private def step(st: St, sec: Long): St = {
+    var (nSess, nEv, sessStart, last, longest) = st
+    if (last == Long.MinValue || sec - last >= 1800L) {
+      nSess += 1; sessStart = sec
+    }
+    longest = math.max(longest, sec - sessStart)
+    (nSess, nEv + 1, sessStart, sec, longest)
+  }
+
+  /** Streaming fold over an ENGINE-sorted partition (rows ordered by
+    * (user_id, secl, event_id) by a spillable external sort upstream).
+    * One O(1) state tuple live at a time; emits a user's row when the
+    * partition moves past that user. Memory is independent of group
+    * size — the property the round-2 in-handler sort lacked.
+    */
+  def foldSortedPartition(rows: Iterator[Row]): Iterator[Out] =
+    new Iterator[Out] {
+      private var pending: Row = _
+      private var hasPending = rows.hasNext
+      if (hasPending) pending = rows.next()
+
+      override def hasNext: Boolean = hasPending
+
+      override def next(): Out = {
+        val user = pending._1
+        var st = zero
+        var advance = true
+        while (advance) {
+          st = step(st, pending._2)
+          if (rows.hasNext) {
+            pending = rows.next()
+            if (pending._1 != user) advance = false
+          } else { hasPending = false; advance = false }
+        }
+        (user, st._1, st._2, st._5)
+      }
+    }
+
+  /** Incremental handler for the streaming (micro-batch) execution in
+    * StreamingSpec. The per-call sort is bounded by ONE micro-batch's
+    * rows for the key (arrival-order independence within the batch) —
+    * not by the user's full history, which lives only as the O(1)
+    * state tuple across batches.
+    */
   def handle(userId: Long, rows: Iterator[Row],
-      state: GroupState[(Int, Long, Long, Long, Long)]): Iterator[Out] = {
+      state: GroupState[St]): Iterator[Out] = {
     val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
     if (sorted.isEmpty) return Iterator.empty
-    var (nSess, nEv, sessStart, last, longest) =
-      state.getOption.getOrElse((0, 0L, Long.MinValue, Long.MinValue, 0L))
-    sorted.foreach { case (_, sec, _) =>
-      if (last == Long.MinValue || sec - last >= 1800L) {
-        nSess += 1; sessStart = sec
-      }
-      longest = math.max(longest, sec - sessStart)
-      last = sec; nEv += 1
-    }
-    state.update((nSess, nEv, sessStart, last, longest))
-    Iterator.single((userId, nSess, nEv, longest))
+    var st = state.getOption.getOrElse(zero)
+    sorted.foreach { r => st = step(st, r._2) }
+    state.update(st)
+    Iterator.single((userId, st._1, st._2, st._5))
   }
 }

@@ -29,21 +29,29 @@ object Udfs {
 
   /** Geometric mean via typed Aggregator: exp(mean(ln x)).
     *
-    * The log-sum accumulates as fixed-point 2⁴⁰ longs (Det.FixedPoint
-    * discipline), not raw doubles: partition merge order is
-    * nondeterministic, and a raw double sum could drift across runs /
-    * engines near the oracle's 4-dp rounding boundary. floor(x·2⁴⁰) is a
-    * single exact exponent shift + engine-agreed floor, and long addition
-    * is order-independent. */
+    * The log-sum accumulates as fixed-point longs, not raw doubles:
+    * partition merge order is nondeterministic, and a raw double sum
+    * could drift across runs / engines near the oracle's 4-dp rounding
+    * boundary. Long addition is order-independent.
+    *
+    * The grid is 2²⁰, deliberately COARSER than Det.FixedPoint's 2⁴⁰:
+    * cross-engine equality also needs Java's Math.log and the oracle
+    * engine's ln() to floor to the same cell, and they are only
+    * guaranteed equal to ~1 ulp (different libms). At 2⁴⁰ a 1-ulp
+    * divergence of ln(≈900) spans ~1e-3 of a cell — flips likely; at
+    * 2²⁰ it spans ~1e-9 of a cell, while the ≤2⁻²⁰ quantization error
+    * stays ~50× below the oracle's own 4-dp rounding grid. */
+  private[functions] val GeoGrid = (1L << 20).toDouble
+
   private object GeoMean extends Aggregator[Double, (Long, Long), Double] {
     override def zero: (Long, Long) = (0L, 0L)
     override def reduce(b: (Long, Long), a: Double): (Long, Long) =
-      (b._1 + math.floor(math.log(a) * graft.Det.FixedPoint).toLong, b._2 + 1)
+      (b._1 + math.floor(math.log(a) * GeoGrid).toLong, b._2 + 1)
     override def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
       (b1._1 + b2._1, b1._2 + b2._2)
     override def finish(r: (Long, Long)): Double =
       if (r._2 == 0) 0.0
-      else math.exp(r._1.toDouble / graft.Det.FixedPoint / r._2)
+      else math.exp(r._1.toDouble / GeoGrid / r._2)
     override def bufferEncoder: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -76,12 +84,13 @@ object Udfs {
                '[^a-z0-9 ]', ' ', 'g'), '[ ]+', ' ', 'g')) AS norm
          FROM part ORDER BY p_partkey""",
 
-    // Mirrors the Aggregator's fixed-point log-sum exactly: floor(ln·2⁴⁰)
-    // as BIGINT, exact integer sum, one final double division.
+    // Mirrors the Aggregator's fixed-point log-sum exactly: floor(ln·2²⁰)
+    // as BIGINT (coarse grid — see GeoGrid's ulp rationale), exact
+    // integer sum, one final double division.
     "udaf_geomean" ->
       """SELECT p_brand,
-             round(exp(CAST(sum(CAST(floor(ln(p_retailprice) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
-                       / 1099511627776.0 / count(*)), 4) AS gm,
+             round(exp(CAST(sum(CAST(floor(ln(p_retailprice) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                       / 1048576.0 / count(*)), 4) AS gm,
              count(*) AS n
          FROM part GROUP BY p_brand ORDER BY p_brand"""
   )

@@ -33,11 +33,21 @@ object DedupOps {
     *
     * `bucketCap` bounds hot buckets: a popular chunk value (e.g. 0x0000
     * from a sparse vocab) makes its (chunk, cv) bucket go quadratic in
-    * the self-join. Buckets above the cap are dropped BEFORE joining —
-    * at dist ≤ 1 every near-dup pair shares ≥ 3 of its 4 chunks, so a
-    * pair is lost only if ALL its shared chunks are hot (astronomically
-    * selective at a sane cap). The count runs in the same (chunk, cv)
-    * shuffle the self-join needs anyway. */
+    * the self-join. A bucket over the cap degrades from CLIQUE to STAR:
+    * members pair only with the bucket's min-doc_id representative, so
+    * its join cost is O(bucket), not O(bucket²). Crucially this keeps
+    * coverage for the case that matters most at 100 TB — a duplicate
+    * cluster larger than the cap, whose members share the SAME simhash
+    * and therefore blow all 4 of their chunk buckets hot simultaneously
+    * (hot chunks are correlated, not independent; dropping hot buckets
+    * outright would report zero pairs for exactly those mega-clusters).
+    * Every member still pairs with the representative (hamming 0), so
+    * cluster membership survives via rep connectivity. The bounded loss
+    * is a near-dup pair (x, y) inside a hot bucket where neither x nor
+    * y is the rep and hamming(rep, ·) > 1 — a star can't see it; the
+    * other 3 chunks still catch it unless they are hot too. The bucket
+    * stats run in the same (chunk, cv) shuffle the self-join needs
+    * anyway. */
   def simhashPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
     val th = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -56,17 +66,28 @@ object DedupOps {
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "cv")))
     val wBucket = Window.partitionBy("chunk", "cv")
-    val capped = chunked
+    val wOrd = wBucket.orderBy("doc_id")
+    // one shuffle on (chunk, cv) feeds both window passes
+    val annotated = chunked
       .withColumn("bn", count(lit(1)).over(wBucket))
-      .filter(col("bn") <= bucketCap)
-      .drop("bn")
-    val a = capped.select(col("doc_id").as("a"), col("simhash").as("sha"),
+      .withColumn("rep", first(col("doc_id")).over(wOrd))
+      .withColumn("repsh", first(col("simhash")).over(wOrd))
+    val cold = annotated.filter(col("bn") <= bucketCap)
+    val a = cold.select(col("doc_id").as("a"), col("simhash").as("sha"),
       col("chunk"), col("cv"))
-    val b = capped.select(col("doc_id").as("b"), col("simhash").as("shb"),
+    val b = cold.select(col("doc_id").as("b"), col("simhash").as("shb"),
       col("chunk").as("chunk2"), col("cv").as("cv2"))
-    a.join(b, col("chunk") === col("chunk2") && col("cv") === col("cv2")
+    val coldPairs = a
+      .join(b, col("chunk") === col("chunk2") && col("cv") === col("cv2")
         && col("a") < col("b"))
       .select(col("a"), col("b"), col("sha"), col("shb"))
+    // hot bucket → star around the min-doc_id representative: rep < every
+    // other member by construction, so a < b holds without a join
+    val hotPairs = annotated
+      .filter(col("bn") > bucketCap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"),
+        col("repsh").as("sha"), col("simhash").as("shb"))
+    coldPairs.union(hotPairs)
       .distinct()
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= 1)

@@ -17,8 +17,19 @@ import scala.util.Try
   *  - per-partition (perPartition = true, the 100 TB shape): every
   *    partition COPYs itself from the executor via foreachPartition —
   *    N concurrent COPY streams into Postgres, no driver staging, no
-  *    second pass over the data. Same statement, parallel fan-out;
-  *    Postgres ingests concurrent COPYs into one table natively.
+  *    second pass over the data.
+  *
+  * The per-partition fan-out is IDEMPOTENT under task retries and
+  * speculative duplicates: a partition never touches the target table.
+  * It COPYs into a staging table keyed by partition id, inside one
+  * transaction that first replaces the staging table — so a retried or
+  * speculated partition overwrites its own staging output (the second
+  * attempt blocks on the DROP lock, then replaces), never appends
+  * twice. After the Spark job completes, the driver promotes every
+  * staging table into the target and drops them in a single atomic
+  * transaction. A zombie speculative task that commits after promote
+  * leaves only an orphan staging table (cleared on the next run),
+  * never duplicate target rows.
   */
 final case class PgCopySink(sockDir: String, port: Int, db: String,
     table: String, perPartition: Boolean = false) extends Sink {
@@ -26,9 +37,15 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
     if (perPartition) {
       // close over plain fields, not `this`-heavy structures
       val (sock, p, database, t) = (sockDir, port, db, table)
+      // clear staging leftovers of an aborted previous run of this
+      // target so stale partitions can never promote
+      PgCopySink.dropStaging(sock, p, database, t)
       df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        if (rows.hasNext) PgCopySink.copyPartition(sock, p, database, t, rows)
+        if (rows.hasNext)
+          PgCopySink.copyPartitionStaged(sock, p, database, t,
+            org.apache.spark.TaskContext.getPartitionId(), rows)
       }
+      PgCopySink.promoteStaged(sock, p, database, t)
     } else {
       val tmp = Files.createTempDirectory("graft_pgcopy").toFile
       df.write.mode("overwrite")
@@ -47,30 +64,82 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
 object PgCopySink {
   /** CSV cell under COPY's (FORMAT csv, NULL ''): unquoted empty = NULL,
     * quoted empty = empty string, quotes doubled. Timestamps/decimals
-    * rely on their canonical toString, which Postgres accepts. */
+    * rely on their canonical toString, which Postgres accepts. A cell
+    * of exactly `\.` is quoted too — unquoted on its own line it would
+    * read as the inline-COPY end-of-data marker. */
   private[sources] def csvCell(v: Any): String = v match {
     case null => ""
     case s: String =>
-      if (s.isEmpty || s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      if (s.isEmpty || s == "\\." ||
+          s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     case other => other.toString
   }
 
-  /** Stream one partition's rows into `\copy ... FROM STDIN`. Runs on
-    * the executor; one psql subprocess per non-empty partition. */
-  private def copyPartition(sock: String, port: Int, db: String,
-      table: String, rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+  private def stagingName(table: String, pid: Int) = s"${table}__stg_p$pid"
+
+  private def psqlBase(sock: String, port: Int, db: String): Seq[String] =
+    Seq("psql", "-h", sock, "-p", port.toString, "-d", db,
+      "-v", "ON_ERROR_STOP=1")
+
+  private def psqlValue(sock: String, port: Int, db: String,
+      sql: String): String =
+    (psqlBase(sock, port, db) ++ Seq("-Atc", sql)).!!.trim
+
+  /** Staging tables of `table` present in the database, sorted.
+    * `\_` escapes LIKE's wildcard meaning of the underscores. */
+  private def listStaging(sock: String, port: Int, db: String,
+      table: String): Seq[String] =
+    psqlValue(sock, port, db,
+      s"""SELECT tablename FROM pg_tables
+          WHERE tablename LIKE '$table\\_\\_stg\\_p%'""")
+      .split("\n").toSeq.filter(_.nonEmpty).sorted
+
+  private[sources] def dropStaging(sock: String, port: Int, db: String,
+      table: String): Unit = {
+    val stg = listStaging(sock, port, db, table)
+    if (stg.nonEmpty)
+      psqlValue(sock, port, db,
+        stg.map(x => s"""DROP TABLE IF EXISTS "$x"""").mkString("; "))
+  }
+
+  /** Atomically move every staged partition into the target: all the
+    * INSERT ... SELECTs plus the staging DROPs run as one multi-
+    * statement simple query = one implicit transaction. Readers see
+    * the whole load or none of it, and re-running promote is a no-op
+    * (the staging tables are gone). */
+  private[sources] def promoteStaged(sock: String, port: Int, db: String,
+      table: String): Unit = {
+    val stg = listStaging(sock, port, db, table)
+    if (stg.nonEmpty) {
+      val inserts = stg.map(x => s"""INSERT INTO "$table" SELECT * FROM "$x"""")
+      val drop = s"DROP TABLE ${stg.map(x => s""""$x"""").mkString(", ")}"
+      psqlValue(sock, port, db, (inserts :+ drop).mkString("; "))
+    }
+  }
+
+  /** Stream one partition's rows into its staging table. Runs on the
+    * executor; one psql subprocess per non-empty partition. The whole
+    * script is one transaction (-1): replace staging, COPY inline —
+    * so a task retry or speculative duplicate REPLACES the partition's
+    * staging rows rather than appending a second copy.
+    */
+  private def copyPartitionStaged(sock: String, port: Int, db: String,
+      table: String, partitionId: Int,
+      rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val stg = stagingName(table, partitionId)
     val pb = new java.lang.ProcessBuilder(
-      "psql", "-h", sock, "-p", port.toString, "-d", db,
-      "-v", "ON_ERROR_STOP=1",
-      "-c", s"""\\copy "$table" FROM STDIN WITH (FORMAT csv, NULL '')""")
+      (psqlBase(sock, port, db) ++ Seq("-1", "-f", "-")): _*)
     pb.redirectOutput(new File("/dev/null"))
     pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
     try {
+      out.write(s"""DROP TABLE IF EXISTS "$stg";\n""")
+      out.write(s"""CREATE TABLE "$stg" (LIKE "$table");\n""")
+      out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
       val sb = new java.lang.StringBuilder(256)
       while (rows.hasNext) {
         val r = rows.next()
@@ -84,9 +153,10 @@ object PgCopySink {
         sb.append('\n')
         out.write(sb.toString)
       }
+      out.write("\\.\n")
     } finally out.close()
     val rc = proc.waitFor()
-    require(rc == 0, s"psql \\copy (per-partition) failed with exit $rc")
+    require(rc == 0, s"psql staged COPY (partition $partitionId) failed with exit $rc")
   }
 }
 

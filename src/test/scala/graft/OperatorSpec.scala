@@ -63,13 +63,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(2) <= 1))
   }
 
-  test("simhash hot-bucket cap bounds the candidate set") {
+  test("simhash hot-bucket cap: clique degrades to star, coverage survives") {
     import spark.implicits._
-    // 6 identical docs: every (chunk, cv) bucket holds all 6 of them
+    // 6 identical docs: every (chunk, cv) bucket holds all 6 of them —
+    // the mega-duplicate-cluster case where all chunks go hot TOGETHER
     val hot = (1L to 6L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
-    // cap below the bucket size → hot buckets dropped → no candidates,
-    // so the join provably cannot go quadratic on a hot value
-    assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 5).count() === 0L)
+    // cap below the bucket size → star around doc 1: five (1, x) pairs,
+    // O(bucket) not O(bucket²), and every cluster member still flagged
+    val star = graft.operators.DedupOps.simhashPairs(hot, bucketCap = 5).collect()
+    assert(star.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (2L to 6L).map(b => (1L, b)).toSet)
     // generous cap → the identical docs pair up (15 a<b pairs, hamming 0)
     assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 6).count() === 15L)
   }

@@ -96,6 +96,28 @@ object Multimodal {
       """SELECT doc_id, source, n_chars, CAST(len(embedding) AS INTEGER) AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id
          WHERE lang = 'en' AND len(embedding) = 64
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // Mirrors the byte-window sampling + rolling checksum exactly. The
+    // corpus is pure ASCII (verified: octet_length(encode(text)) =
+    // length(text) at every sf), so character windows == byte windows
+    // and unicode(char) == the byte value the Spark side hashes; the
+    // fold replays (acc*31 + b) % 1000003 via list_reduce with a
+    // prepended 0 seed.
+    "multimodal_frames" ->
+      """WITH fr AS (
+           SELECT doc_id, text,
+                  unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT))) AS k
+           FROM documents),
+         frames AS (
+           SELECT doc_id, k, substring(text, CAST(k*64+1 AS INTEGER), 64) AS frame
+           FROM fr WHERE k % 4 = 0)
+         SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+                CAST(length(frame) AS INTEGER) AS n_bytes,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  [unicode(substring(frame, CAST(i AS INTEGER), 1))
+                   FOR i IN range(1, CAST(length(frame) AS INTEGER)+1)]),
+                  (acc, x) -> (acc * 31 + x) % 1000003) AS feature
+         FROM frames ORDER BY doc_id, frame_idx"""
   )
 }

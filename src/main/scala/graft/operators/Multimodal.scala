@@ -104,6 +104,20 @@ object Multimodal {
     // and unicode(char) == the byte value the Spark side hashes; the
     // fold replays (acc*31 + b) % 1000003 via list_reduce with a
     // prepended 0 seed.
+    // Same ASCII-equivalence argument as multimodal_frames, over the
+    // whole payload; the CASE keeps the empty-document row at feature 0
+    // exactly like the stub's empty fold.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_bytes,
+             CAST((doc_id % 640 + 32) * (doc_id % 480 + 32) AS INTEGER) AS n_pixels,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [unicode(substring(text, CAST(i AS INTEGER), 1))
+                     FOR i IN range(1, CAST(length(text) AS INTEGER)+1)]),
+                    (acc, x) -> (acc * 31 + x) % 1000003) END AS feature
+         FROM documents ORDER BY doc_id""",
+
     "multimodal_frames" ->
       """WITH fr AS (
            SELECT doc_id, text,

@@ -175,6 +175,17 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB cannot open bz2, but the decompressed content is the fixed
+    // dumpLines literal — the oracle is generated from the SAME Scala
+    // value the codec writes, so the hash gate still proves the
+    // decompress-on-scan path reproduces the bytes (both engines sort
+    // binary, so ORDER BY value agrees).
+    "scan_bz2_text" ->
+      s"""SELECT * FROM (VALUES ${
+        dumpLines.map(l => s"('${l.replace("'", "''")}', ${l.length})")
+          .mkString(", ")}) t(value, len)
+         ORDER BY value""",
+
     "scan_csv" ->
       """SELECT * FROM read_csv('/tmp/graft_sample.csv', header=true,
            columns={'id': 'INTEGER', 'name': 'VARCHAR',

@@ -130,11 +130,14 @@ object SimOps {
 
     "sim_ann_ivf" -> ((s, d) => {
       // IVF-style ANN with a FIXED-k coarse quantizer: k=64 centroids
-      // chosen as the k smallest xxhash64(vec_id) — a deterministic
-      // seeded sample whose size is INDEPENDENT of table cardinality
-      // (planned as TakeOrderedAndProject: per-partition heap of k, no
-      // full sort). Production swaps the sample for seeded k-means with
-      // k ≈ min(√N, 65536); everything downstream is unchanged.
+      // chosen as the k smallest md5(vec_id) — a deterministic uniform
+      // sample whose size is INDEPENDENT of table cardinality (planned
+      // as TakeOrderedAndProject: per-partition heap of k, no full
+      // sort). md5 rather than xxhash64 so the DuckDB oracle can
+      // replicate the exact sample (identical hex strings on both
+      // engines); any uniform hash works, and production swaps the
+      // sample for seeded k-means with k ≈ min(√N, 65536) — everything
+      // downstream is unchanged.
       // Assignment is one broadcast product over the k centroids with a
       // map-side max_by — the ×k expansion collapses BEFORE any shuffle
       // (partial aggregation), so assignment cost is O(N·k) compute and
@@ -144,7 +147,7 @@ object SimOps {
       val k = 64
       val cents = emb
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        .orderBy(xxhash64(col("cent_id")), col("cent_id"))
+        .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
         .limit(k)
       val assigned = emb.join(broadcast(cents))
         .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
@@ -251,6 +254,45 @@ object SimOps {
     }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the full IVF pipeline: identical md5-ordered centroid
+    // sample, argmax inverted-list assignment (row_number replays
+    // max_by's (cdot desc, cent_id) total order), nprobe=24 multi-probe,
+    // same double-sum dot determinism argument as sim_ann_lsh.
+    "sim_ann_ivf" ->
+      """WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         cents AS (SELECT vec_id AS cent_id FROM embeddings
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+         cev AS (SELECT c.cent_id, e.pos, e.v
+                 FROM cents c JOIN ev e ON e.vec_id = c.cent_id),
+         cdots AS (SELECT e.vec_id, c.cent_id, sum(e.v * c.v) AS cdot
+                   FROM ev e JOIN cev c ON e.pos = c.pos
+                   GROUP BY 1, 2),
+         ranked AS (SELECT vec_id, cent_id,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cdot DESC, cent_id) AS rn
+                    FROM cdots),
+         assigned AS (SELECT vec_id, cent_id AS cluster
+                      FROM ranked WHERE rn = 1),
+         probes AS (SELECT vec_id AS a, cent_id AS cluster
+                    FROM ranked WHERE vec_id < 10 AND rn <= 24),
+         pairs AS (SELECT p.a, s.vec_id AS b, s.cluster
+                   FROM probes p JOIN assigned s
+                     ON s.cluster = p.cluster AND s.vec_id <> p.a),
+         dots AS (SELECT pr.a, pr.cluster, pr.b,
+                    round(sum(ea.v * eb.v), 4) AS cos
+                  FROM pairs pr
+                  JOIN ev ea ON ea.vec_id = pr.a
+                  JOIN ev eb ON eb.vec_id = pr.b AND ea.pos = eb.pos
+                  GROUP BY 1, 2, 3)
+         SELECT a, cluster, b, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT a, cluster, b, cos,
+                  row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
+           FROM dots)
+         WHERE rnk <= 3 ORDER BY a, rnk""",
+
     // Mirrors the full LSH pipeline. Determinism: dot_f multiplies
     // floats as exact doubles and accumulates in double; re-ordering a
     // 64-term double sum perturbs ~1e-15 relative, 10 orders below the

@@ -151,9 +151,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("sim_ann_ivf centroid count is fixed, independent of table size") {
     import org.apache.spark.sql.functions._
-    // the quantizer inside sim_ann_ivf: k smallest xxhash64(vec_id)
+    // the quantizer inside sim_ann_ivf: k smallest md5(vec_id)
     def kCents(df: DataFrame): Long = df
-      .select(col("vec_id")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(64).count()
     val small = Tables.embeddings(spark, Spec.sf001)
     assert(kCents(small) === math.min(64L, small.count()))

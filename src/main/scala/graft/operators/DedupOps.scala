@@ -14,8 +14,9 @@ import graft.Tables
   * (candidate generation is equi-join-shaped, so it shuffles on band
   * keys and never materializes the cross product); n-gram Jaccard and
   * embedding near-dup run the exact computation only on bounded
-  * candidate sets. All hashing uses xxhash64 with FIXED literal seed
-  * strings (SURVEY §7.4.5 — deterministic, resumable).
+  * candidate sets. All hashing is deterministic with FIXED literal
+  * seed strings (SURVEY §7.4.5 — resumable); the near-dup keys use md5
+  * as the hash family so the DuckDB oracle can replay them exactly.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -49,11 +50,20 @@ object DedupOps {
     * stats run in the same (chunk, cv) shuffle the self-join needs
     * anyway. */
   def simhashPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
+    // 60-bit token hash from md5's first 15 hex chars — md5 produces
+    // identical hex on every engine, so the DuckDB oracle can replay
+    // the whole pipeline (xxhash64 cannot be mirrored; the md5+conv
+    // path benches ~1.1 s over xxhash64 at sf0.1, the price of the
+    // hash gate). Bits 60-63 of the simhash are then constant 0:
+    // hamming and the chunk pigeonhole are unaffected, chunk 3 just
+    // carries 12 live bits. Production can swap any faster uniform
+    // 64-bit hash here without touching the shape.
     val th = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .distinct()
-      .withColumn("h", xxhash64(concat(lit("simhash:"), col("t"))))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('simhash:', t)), 1, 15), 16, 10) AS BIGINT)"))
     val bitSums = (0 until 64).map(bit =>
       sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit"))
     val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -133,7 +143,12 @@ object DedupOps {
       // signature similarity. Formulated as explode + 16 codegen'd
       // min() aggregates (one shuffle), NOT per-row array lambdas —
       // higher-order functions are CodegenFallback and ~10× slower on
-      // the 100 TB hot path. Seeds are literal ints (SURVEY §7.4.5).
+      // the 100 TB hot path. Seeds are literal strings (SURVEY §7.4.5).
+      // The hash family is md5 hex strings (lexicographic min of a
+      // uniform hex string is a valid MinHash permutation), chosen so
+      // the DuckDB oracle can replay the pipeline byte-for-byte;
+      // production can swap a faster 64-bit hash without touching the
+      // shape.
       val nSig = 16; val nBands = 4; val rowsPerBand = 4
       // Shingles via posexplode + lead windows — fully codegen'd. An
       // array-lambda formulation here gets inlined 3× per row by
@@ -149,11 +164,11 @@ object DedupOps {
         .select(col("doc_id"),
           concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
       val sigAggs = (1 to nSig).map(i =>
-        min(xxhash64(lit(s"seed$i"), col("sh"))).as(s"m$i"))
+        min(md5(concat_ws(":", lit(s"seed$i"), col("sh")))).as(s"m$i"))
       val sigs = shingled.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
       val bandCols = (0 until nBands).map(b =>
-        xxhash64(lit(s"band$b") +:
-          (1 to rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*))
+        md5(concat_ws("|", lit(s"band$b") +:
+          (1 to rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*)))
       val banded = sigs.select(
         col("doc_id") +: (1 to nSig).map(i => col(s"m$i")) :+
           posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
@@ -226,7 +241,112 @@ object DedupOps {
     })
   )
 
+  /** Generated pieces of the dedup_near_minhash oracle — emitted from
+    * the same nSig/nBands constants as the Spark side. */
+  private val mhMinAggs = (1 to 16)
+    .map(i => s"min(md5('seed$i:' || sh)) AS m$i").mkString(",\n                  ")
+  private val mhBandArms = (0 until 4).map { b =>
+    val ms = (1 to 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5('band$b|' || $ms) AS bh, ${(1 to 16).map("m" + _).mkString(", ")} FROM sigs"
+  }.mkString("\n                  UNION ALL ")
+  private val mhEstSum = (1 to 16)
+    .map(i => s"CASE WHEN p.am$i = q.bm$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // Replays the md5 pipeline: 15-hex-char token hash parsed to a
+    // 60-bit BIGINT, per-bit ±1 sums, chunk pigeonhole with the
+    // clique→star hot-bucket degradation (count/first_value windows
+    // mirror the Spark wBucket/wOrd pair).
+    "dedup_simhash" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, t FROM (
+             SELECT doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             FROM documents)),
+         th AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [strpos('0123456789abcdef',
+                            substring(md5('simhash:' || t), CAST(i AS INTEGER), 1)) - 1
+                     FOR i IN range(1, 16)]),
+                    (acc, x) -> acc * 16 + x) AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, CAST(b AS INTEGER) AS b,
+                  sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+           FROM th, range(0, 64) t(b)
+           GROUP BY 1, 2),
+         sim AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b
+                           ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+         chunked AS (
+           SELECT doc_id, simhash, CAST(c AS INTEGER) AS chunk,
+                  (simhash >> CAST(c * 16 AS INTEGER)) & 65535 AS cv
+           FROM sim, range(0, 4) t(c)),
+         ann AS (
+           SELECT doc_id, simhash, chunk, cv,
+                  count(*) OVER (PARTITION BY chunk, cv) AS bn,
+                  first_value(doc_id) OVER
+                    (PARTITION BY chunk, cv ORDER BY doc_id) AS rep,
+                  first_value(simhash) OVER
+                    (PARTITION BY chunk, cv ORDER BY doc_id) AS repsh
+           FROM chunked),
+         coldpairs AS (
+           SELECT pa.doc_id AS a, pb.doc_id AS b,
+                  pa.simhash AS sha, pb.simhash AS shb
+           FROM ann pa JOIN ann pb
+             ON pa.chunk = pb.chunk AND pa.cv = pb.cv AND pa.doc_id < pb.doc_id
+           WHERE pa.bn <= 1000 AND pb.bn <= 1000),
+         hotpairs AS (
+           SELECT rep AS a, doc_id AS b, repsh AS sha, simhash AS shb
+           FROM ann WHERE bn > 1000 AND doc_id <> rep),
+         pairs AS (
+           SELECT DISTINCT a, b, sha, shb FROM (
+             SELECT * FROM coldpairs UNION ALL SELECT * FROM hotpairs))
+         SELECT a, b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+         FROM pairs WHERE bit_count(xor(sha, shb)) <= 1
+         ORDER BY a, b""",
+
+    // Replays the md5 MinHash: filtered-token 3-shingles via lead
+    // windows, 16 min(md5) slots, 4 banded md5 keys, band-equi
+    // self-join, Jaccard estimate from slot equality.
+    "dedup_near_minhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id, tok, pos FROM (
+             SELECT doc_id, unnest(tokens) AS tok,
+                    unnest(range(1, len(tokens)+1)) AS pos
+             FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+                   FROM documents))),
+         sh3 AS (
+           SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS sh FROM (
+             SELECT doc_id, tok,
+                    lead(tok, 1) OVER w AS t1,
+                    lead(tok, 2) OVER w AS t2
+             FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           WHERE t2 IS NOT NULL),
+         sigs AS (
+           SELECT doc_id,
+                  $mhMinAggs
+           FROM sh3 GROUP BY doc_id),
+         banded AS (
+                  $mhBandArms),
+         pairs AS (
+           SELECT p.doc_id AS a, q.doc_id AS b,
+                  round(CAST($mhEstSum AS DOUBLE) / 16.0, 4) AS est_jaccard
+           FROM (SELECT doc_id, band, bh,
+                   ${(1 to 16).map(i => s"m$i AS am$i").mkString(", ")}
+                 FROM banded) p
+           JOIN (SELECT doc_id, band, bh,
+                   ${(1 to 16).map(i => s"m$i AS bm$i").mkString(", ")}
+                 FROM banded) q
+             ON p.band = q.band AND p.bh = q.bh AND p.doc_id < q.doc_id)
+         SELECT DISTINCT a, b, est_jaccard FROM pairs ORDER BY a, b""",
+
     "dedup_exact" ->
       """SELECT doc_id, h FROM (
            SELECT doc_id, h,

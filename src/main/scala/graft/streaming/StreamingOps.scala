@@ -243,10 +243,12 @@ object StatefulSessionizer {
   type Out = (Long, Int, Long, Long) // (user_id, n_sessions, n_events, longest_s)
   type St = (Int, Long, Long, Long, Long)
 
-  private val zero: St = (0, 0L, Long.MinValue, Long.MinValue, 0L)
+  private[graft] val zero: St = (0, 0L, Long.MinValue, Long.MinValue, 0L)
 
-  /** Advance the state by one time-ordered event. */
-  private def step(st: St, sec: Long): St = {
+  /** Advance the state by one time-ordered event. Shared by the batch
+    * fold, the flatMapGroupsWithState handler, and the
+    * transformWithState processor in StreamingSpec. */
+  private[graft] def step(st: St, sec: Long): St = {
     var (nSess, nEv, sessStart, last, longest) = st
     if (last == Long.MinValue || sec - last >= 1800L) {
       nSess += 1; sessStart = sec

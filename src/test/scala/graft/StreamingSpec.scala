@@ -161,6 +161,38 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState sessionizer matches the fMGWS fold across batches") {
+    // Spark 4's successor API running the SAME O(1) session fold
+    // (StatefulSessionizer.step): state survives between micro-batches,
+    // per-batch rows are sorted only within the bounded batch.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long)] // (user, sec, event_id)
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new TwsSessionizer(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val q = out.toDF("user_id", "n_sessions", "n_events", "longest_s")
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_sess").start()
+      try {
+        // batch 1 out of order within the batch; batch 2 extends state
+        in.addData((1L, 1200L, 2L), (1L, 1000L, 1L), (2L, 100L, 4L))
+        q.processAllAvailable()
+        in.addData((1L, 5000L, 3L)) // gap >= 1800 -> second session
+        q.processAllAvailable()
+        val last = spark.sql(
+          """SELECT n_sessions, n_events, longest_s FROM tws_sess
+             WHERE user_id = 1 ORDER BY n_events DESC LIMIT 1""").head()
+        // same result the fMGWS test pins: 2 sessions, 3 events, 200 s
+        assert((last.getInt(0), last.getLong(1), last.getLong(2)) === ((2, 3L, 200L)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessionizer is arrival-order independent") {
     val rows = Seq( // (user, sec, event_id) deliberately out of order
       (1L, 5000L, 3L), (1L, 1000L, 1L), (1L, 1200L, 2L),
@@ -192,6 +224,37 @@ class RunningCountProcessor
     val c = (if (count.exists()) count.get() else 0L) + rows.size
     count.update(c)
     Iterator.single((key, c))
+  }
+}
+
+/** Per-user sessionizer on the Spark 4 StatefulProcessor API: the same
+  * constant-size state tuple and step() fold as the batch key — never a
+  * row list; the only sort is over ONE micro-batch's rows for the key. */
+class TwsSessionizer
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Int, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  import graft.streaming.StatefulSessionizer
+
+  @transient private var st: ValueState[StatefulSessionizer.St] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[StatefulSessionizer.St]("sess",
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    if (sorted.isEmpty) return Iterator.empty
+    var s = if (st.exists()) st.get() else StatefulSessionizer.zero
+    sorted.foreach { r => s = StatefulSessionizer.step(s, r._2) }
+    st.update(s)
+    Iterator.single((key, s._1, s._2, s._5))
   }
 }
 

@@ -77,6 +77,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 6).count() === 15L)
   }
 
+  test("dedup_components: endpoints of every near-dup edge share a component") {
+    val edges = q("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = q("dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"edge ($a,$b) split across components")
+    }
+    // labels are component minima
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+
   test("cosine: self-similarity is 1 on unit vectors") {
     import spark.implicits._
     val e = Tables.embeddings(spark, Spec.sf001)

@@ -219,8 +219,9 @@ object DedupOps {
       byY.localCheckpoint(); byY.count()
       var lab = byY.values.distinct(part.numPartitions)
         .map(x => (x, x)).partitionBy(part)
-      lab.localCheckpoint(); lab.count()
+      lab.localCheckpoint()
       var prevSum = -1L
+      // the sum doubles as the checkpoint-materializing action
       var curSum = lab.values.sum().toLong
       var rounds = 0
       while (curSum != prevSum) {
@@ -235,7 +236,7 @@ object DedupOps {
           .join(stepped)
           .map { case (c, (x, cc)) => (x, math.min(c, cc)) }
           .partitionBy(part)
-        jumped.localCheckpoint(); jumped.count()
+        jumped.localCheckpoint()
         lab = jumped
         prevSum = curSum
         curSum = lab.values.sum().toLong

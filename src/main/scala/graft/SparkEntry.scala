@@ -22,7 +22,7 @@ object SparkEntry {
       graft.wikidata.Wd.queries ++
       graft.wikidata.TypedValues.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
-      Multimodal.queries ++
+      SampleOps.queries ++ Multimodal.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +35,6 @@ object SparkEntry {
       graft.wikidata.Wd.oracles ++
       graft.wikidata.TypedValues.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
-      Multimodal.oracles ++
+      SampleOps.oracles ++ Multimodal.oracles ++
       graft.streaming.StreamingOps.oracles
 }

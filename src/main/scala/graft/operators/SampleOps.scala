@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Dataset-splitting / sampling operators a training pipeline needs
+  * around the corpus (SURVEY §2.10 north-star family).
+  *
+  * Both are DETERMINISTIC by hash of the stable doc_id, never RNG:
+  * reproducible across runs, partitionings and clusters, and adding
+  * documents never reassigns existing ones (the property that keeps a
+  * frozen eval set frozen as the corpus grows). md5 is the mirrorable
+  * cross-engine hash family (same trade as DedupOps).
+  */
+object SampleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 0..9 bucket from the first 4 hex chars of md5(doc_id). */
+  private def hashBucket =
+    expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+            AS BIGINT) % 10""")
+
+  val queries: Map[String, Q] = Map(
+    "split_train_test" -> ((s, d) => {
+      // 80/10/10 train/valid/test split. One narrow scan, no shuffle
+      // until the (tiny) presentation sort: assignment is a pure
+      // per-row expression, so the split of a 100 TB corpus is a
+      // map-only pass that composes with any downstream filter.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), hashBucket.as("b"))
+        .withColumn("split",
+          when(col("b") < 8, "train")
+            .when(col("b") === 8, "valid")
+            .otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "sample_stratified" -> ((s, d) => {
+      // Deterministic k-per-language sample (eval-set construction):
+      // rank by md5(doc_id) within language, keep 20. The rank-window
+      // formulation is exact and fine while strata counts are modest;
+      // at 100 TB with few giant strata swap in the native `topk_by`
+      // bounded-heap aggregate (win_topk_native) so only k rows per
+      // stratum per partition cross the shuffle.
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w).cast(IntegerType))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    })
+  )
+
+  /** 4-hex-char → BIGINT parse, the DuckDB twin of Spark's conv(). */
+  private val hexBucketSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+          FOR i IN range(1, 5)]),
+         (acc, x) -> acc * 16 + x) % 10"""
+
+  val oracles: Map[String, String] = Map(
+    "split_train_test" ->
+      s"""SELECT doc_id, lang,
+             CASE WHEN b < 8 THEN 'train'
+                  WHEN b = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang, $hexBucketSql AS b FROM documents)
+         ORDER BY doc_id""",
+
+    "sample_stratified" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20 ORDER BY lang, rn"""
+  )
+}

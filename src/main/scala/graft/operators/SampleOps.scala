@@ -39,6 +39,51 @@ object SampleOps {
         .orderBy("doc_id")
     }),
 
+    "pack_sequences" -> ((s, d) => {
+      // Pretraining sequence packing, concat-and-chunk style: the
+      // corpus is one virtual token stream in doc_id order, cut into
+      // fixed 512-token training chunks; each output row is a doc's
+      // overlap with one chunk (docs straddle boundaries, as in
+      // standard pretraining packing).
+      //
+      // Scale shape: the global token offset is NOT one global window
+      // (a single-partition sort is the classic bottleneck). Offsets
+      // are two-level: doc_ids bucket into contiguous 4096-wide pid
+      // blocks (count-free, deterministic); a per-pid window computes
+      // local cumsums, and the pid-level running totals — one row per
+      // block — broadcast-join back. The only unpartitioned window
+      // runs over the tiny pid table (corpus/4096 rows; at larger
+      // scale, add another level of the same construction).
+      val budget = 512L
+      val block = 4096L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= lit("")))
+            .cast(LongType).as("t"),
+          (col("doc_id") / block).cast(LongType).as("pid"))
+        .filter(col("t") > 0)
+      val pidTotals = toks.groupBy("pid").agg(sum(col("t")).as("pt"))
+      val wPid = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pidOff = pidTotals
+        .withColumn("off", coalesce(sum(col("pt")).over(wPid), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .join(broadcast(pidOff), "pid")
+        .withColumn("s0",
+          col("off") + coalesce(sum(col("t")).over(wLocal), lit(0L)))
+        .withColumn("e0", col("s0") + col("t"))
+        .select(col("doc_id"), col("s0"), col("e0"),
+          explode(expr(s"sequence(CAST(s0 / $budget AS BIGINT), " +
+            s"CAST((e0 - 1) / $budget AS BIGINT))")).as("chunk"))
+        .select(col("chunk"), col("doc_id"),
+          (least(col("e0"), (col("chunk") + 1) * budget)
+            - greatest(col("s0"), col("chunk") * budget)).as("n_toks"))
+        .orderBy("chunk", "doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) => {
       // Deterministic k-per-language sample (eval-set construction):
       // rank by md5(doc_id) within language, keep 20. The rank-window
@@ -73,6 +118,29 @@ object SampleOps {
                   ELSE 'test' END AS split
          FROM (SELECT doc_id, lang, $hexBucketSql AS b FROM documents)
          ORDER BY doc_id""",
+
+    // The two-level offset construction computes exactly the global
+    // doc_id-ordered cumulative sum, so the oracle states it directly.
+    "pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT) AS t
+           FROM documents),
+         pos AS (
+           SELECT doc_id, t,
+                  CAST(coalesce(sum(t) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s0
+           FROM toks WHERE t > 0),
+         spans AS (SELECT doc_id, s0, s0 + t AS e0 FROM pos),
+         exploded AS (
+           SELECT doc_id, s0, e0,
+                  unnest(range(s0 // 512, (e0 - 1) // 512 + 1)) AS chunk
+           FROM spans)
+         SELECT chunk, doc_id,
+                least(e0, (chunk + 1) * 512) - greatest(s0, chunk * 512) AS n_toks
+         FROM exploded ORDER BY chunk, doc_id""",
 
     "sample_stratified" ->
       """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (

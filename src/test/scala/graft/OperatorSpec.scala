@@ -90,6 +90,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences: chunks fill to the budget and docs pack completely") {
+    val rows = q("pack_sequences").collect()
+    val perChunk = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, n) =>
+      if (c != lastChunk) assert(n === 512L, s"chunk $c holds $n tokens")
+      else assert(n > 0L && n <= 512L)
+    }
+    // every document's overlaps sum to its token count — nothing lost
+    val perDoc = rows.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val toks = Tables.documents(spark, Spec.sf001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= lit("")))
+          .cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (doc, n) => assert(n === toks(doc)) }
+  }
+
   test("cosine: self-similarity is 1 on unit vectors") {
     import spark.implicits._
     val e = Tables.embeddings(spark, Spec.sf001)

@@ -39,8 +39,11 @@ object Udfs {
     * engine's ln() to floor to the same cell, and they are only
     * guaranteed equal to ~1 ulp (different libms). At 2⁴⁰ a 1-ulp
     * divergence of ln(≈900) spans ~1e-3 of a cell — flips likely; at
-    * 2²⁰ it spans ~1e-9 of a cell, while the ≤2⁻²⁰ quantization error
-    * stays ~50× below the oracle's own 4-dp rounding grid. */
+    * 2²⁰ it spans ~1e-9 of a cell. The ≤2⁻²⁰ quantization error is in
+    * LOG space, i.e. ≤~9.5e-7 RELATIVE on the output — the hash gate
+    * holds because the oracle replays the identical quantization, not
+    * because the absolute error sits under the 4-dp grid (for gm≈1000
+    * it is ~1e-3, above it). */
   private[functions] val GeoGrid = (1L << 20).toDouble
 
   private object GeoMean extends Aggregator[Double, (Long, Long), Double] {

@@ -204,27 +204,39 @@ object DedupOps {
       // identical joins on RDDs with a shared HashPartitioner (the
       // GraphX execution model). Each round propagates the min label
       // along edges and pointer-jumps (label(x) ← label(label(x)),
-      // O(log diameter) rounds); per-round localCheckpoint truncates
-      // lineage so round N never recomputes rounds 1..N-1 (at 100 TB:
-      // durable checkpoint instead). Convergence = the strictly
-      // decreasing label sum going stable.
+      // O(log diameter) rounds); per-round checkpoint truncates
+      // lineage so round N never recomputes rounds 1..N-1 — durable
+      // (`spark.graft.components.checkpointDir`) when configured, else
+      // localCheckpoint. Convergence = zero labels changed this round,
+      // counted exactly over a co-partitioned (narrow) self-join; a
+      // floating-point label SUM would silently absorb a small
+      // last-round decrease once totals pass 2^53 (~1e8 docs), exiting
+      // before the fixpoint.
       import org.apache.spark.HashPartitioner
       val edges = simhashPairs(Tables.documents(s, d)).select(col("a"), col("b"))
       val und = edges
         .union(edges.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint(true)
-      val part = new HashPartitioner(8)
+      // Partitioner width scales with the cluster (overridable per-job);
+      // a fixed count would funnel every edge of a 100 TB near-dup graph
+      // through that many tasks regardless of executor count.
+      val nPart = s.conf.getOption("spark.graft.components.partitions")
+        .map(_.toInt)
+        .getOrElse(math.max(s.sparkContext.defaultParallelism, 8))
+      val part = new HashPartitioner(nPart)
+      val ckptDir = s.conf.getOption("spark.graft.components.checkpointDir")
+      ckptDir.foreach(s.sparkContext.setCheckpointDir)
+      def ckpt(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (ckptDir.isDefined) r.checkpoint() else { r.localCheckpoint(); () }
       // (y, x): keyed by the neighbor whose label flows to x
       val byY = und.rdd.map(r => (r.getLong(1), r.getLong(0))).partitionBy(part)
-      byY.localCheckpoint(); byY.count()
+      ckpt(byY); byY.count()
       var lab = byY.values.distinct(part.numPartitions)
         .map(x => (x, x)).partitionBy(part)
-      lab.localCheckpoint()
-      var prevSum = -1L
-      // the sum doubles as the checkpoint-materializing action
-      var curSum = lab.values.sum().toLong
+      ckpt(lab); lab.count()
+      var changed = 1L
       var rounds = 0
-      while (curSum != prevSum) {
+      while (changed != 0L) {
         require(rounds < 50, "dedup_components: no convergence in 50 rounds")
         val nmin = byY.join(lab).map { case (_, (x, l)) => (x, l) }
           .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
@@ -236,10 +248,11 @@ object DedupOps {
           .join(stepped)
           .map { case (c, (x, cc)) => (x, math.min(c, cc)) }
           .partitionBy(part)
-        jumped.localCheckpoint()
+        ckpt(jumped)
+        // exact change count; doubles as the checkpoint-materializing action
+        changed = jumped.join(lab)
+          .filter { case (_, (n, o)) => n != o }.count()
         lab = jumped
-        prevSum = curSum
-        curSum = lab.values.sum().toLong
         rounds += 1
       }
       val sess = s

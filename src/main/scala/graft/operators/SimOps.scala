@@ -240,7 +240,7 @@ object SimOps {
     })
   )
 
-  /** The 16×64 plane matrix as a DuckDB VALUES list, emitted from the
+  /** The Planes×Dims (32×64) plane matrix as a DuckDB VALUES list, emitted from the
     * SAME weight() function that bakes the Spark literals — the two
     * engines see bit-identical float constants. Float.toString is the
     * shortest round-tripping decimal, and the oracle re-CASTs to FLOAT

@@ -27,9 +27,12 @@ import scala.util.Try
   * attempt blocks on the DROP lock, then replaces), never appends
   * twice. After the Spark job completes, the driver promotes every
   * staging table into the target and drops them in a single atomic
-  * transaction. A zombie speculative task that commits after promote
-  * leaves only an orphan staging table (cleared on the next run),
-  * never duplicate target rows.
+  * transaction. Staging names embed a per-run epoch, and promote only
+  * promotes THIS run's epoch — so a zombie task surviving from an
+  * ABORTED earlier run of the same target can at worst re-create its
+  * old-epoch staging table (dropped, never promoted, on the next run),
+  * and a zombie of this run committing after promote leaves only an
+  * orphan staging table. Never duplicate or stale target rows.
   */
 final case class PgCopySink(sockDir: String, port: Int, db: String,
     table: String, perPartition: Boolean = false) extends Sink {
@@ -37,15 +40,18 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
     if (perPartition) {
       // close over plain fields, not `this`-heavy structures
       val (sock, p, database, t) = (sockDir, port, db, table)
-      // clear staging leftovers of an aborted previous run of this
-      // target so stale partitions can never promote
+      // per-run epoch: promote only ever touches THIS run's staging
+      // tables, so an old-epoch zombie committing between dropStaging
+      // and promote can never be promoted
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      // clear staging leftovers (any epoch) of previous runs of this target
       PgCopySink.dropStaging(sock, p, database, t)
       df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext)
-          PgCopySink.copyPartitionStaged(sock, p, database, t,
+          PgCopySink.copyPartitionStaged(sock, p, database, t, runId,
             org.apache.spark.TaskContext.getPartitionId(), rows)
       }
-      PgCopySink.promoteStaged(sock, p, database, t)
+      PgCopySink.promoteStaged(sock, p, database, t, runId)
     } else {
       val tmp = Files.createTempDirectory("graft_pgcopy").toFile
       df.write.mode("overwrite")
@@ -77,7 +83,8 @@ object PgCopySink {
     case other => other.toString
   }
 
-  private def stagingName(table: String, pid: Int) = s"${table}__stg_p$pid"
+  private def stagingName(table: String, runId: String, pid: Int) =
+    s"${table}__stg_${runId}_p$pid"
 
   private def psqlBase(sock: String, port: Int, db: String): Seq[String] =
     Seq("psql", "-h", sock, "-p", port.toString, "-d", db,
@@ -87,14 +94,20 @@ object PgCopySink {
       sql: String): String =
     (psqlBase(sock, port, db) ++ Seq("-Atc", sql)).!!.trim
 
-  /** Staging tables of `table` present in the database, sorted.
+  /** Staging tables of `table` present in the database, sorted;
+    * `epoch` narrows to one run's tables (None = every epoch).
     * `\_` escapes LIKE's wildcard meaning of the underscores. */
   private def listStaging(sock: String, port: Int, db: String,
-      table: String): Seq[String] =
+      table: String, epoch: Option[String] = None): Seq[String] = {
+    val pat = epoch match {
+      case Some(r) => s"$table\\_\\_stg\\_$r\\_p%"
+      case None => s"$table\\_\\_stg\\_%"
+    }
     psqlValue(sock, port, db,
       s"""SELECT tablename FROM pg_tables
-          WHERE tablename LIKE '$table\\_\\_stg\\_p%'""")
+          WHERE tablename LIKE '$pat'""")
       .split("\n").toSeq.filter(_.nonEmpty).sorted
+  }
 
   private[sources] def dropStaging(sock: String, port: Int, db: String,
       table: String): Unit = {
@@ -104,14 +117,16 @@ object PgCopySink {
         stg.map(x => s"""DROP TABLE IF EXISTS "$x"""").mkString("; "))
   }
 
-  /** Atomically move every staged partition into the target: all the
-    * INSERT ... SELECTs plus the staging DROPs run as one multi-
-    * statement simple query = one implicit transaction. Readers see
-    * the whole load or none of it, and re-running promote is a no-op
-    * (the staging tables are gone). */
+  /** Atomically move every staged partition of THIS run's epoch into
+    * the target: all the INSERT ... SELECTs plus the staging DROPs run
+    * as one multi-statement simple query = one implicit transaction.
+    * Readers see the whole load or none of it, re-running promote is a
+    * no-op (the staging tables are gone), and old-epoch staging tables
+    * — e.g. committed by a zombie task of an aborted earlier run after
+    * this run's dropStaging — are never promoted. */
   private[sources] def promoteStaged(sock: String, port: Int, db: String,
-      table: String): Unit = {
-    val stg = listStaging(sock, port, db, table)
+      table: String, runId: String): Unit = {
+    val stg = listStaging(sock, port, db, table, Some(runId))
     if (stg.nonEmpty) {
       val inserts = stg.map(x => s"""INSERT INTO "$table" SELECT * FROM "$x"""")
       val drop = s"DROP TABLE ${stg.map(x => s""""$x"""").mkString(", ")}"
@@ -126,9 +141,9 @@ object PgCopySink {
     * staging rows rather than appending a second copy.
     */
   private def copyPartitionStaged(sock: String, port: Int, db: String,
-      table: String, partitionId: Int,
+      table: String, runId: String, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row]): Unit = {
-    val stg = stagingName(table, partitionId)
+    val stg = stagingName(table, runId, partitionId)
     val pb = new java.lang.ProcessBuilder(
       (psqlBase(sock, port, db) ++ Seq("-1", "-f", "-")): _*)
     pb.redirectOutput(new File("/dev/null"))

@@ -57,22 +57,24 @@ class PgSpec extends AnyFunSuite {
       StructField("tricky", StringType)))
     PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
     PgServer.psql(PgDdl.createTable(t, schema))
-    // stale staging from a (simulated) aborted earlier run of this
-    // target: must be cleared before the new load, never promoted
-    PgServer.psql(s"""DROP TABLE IF EXISTS "${t}__stg_p99"""")
-    PgServer.psql(s"""CREATE TABLE "${t}__stg_p99"
+    // stale old-epoch staging from a (simulated) aborted earlier run of
+    // this target: must be cleared before the new load, never promoted
+    // (promote filters on this run's epoch, so even a zombie re-creating
+    // this table mid-run could not get it promoted)
+    PgServer.psql(s"""DROP TABLE IF EXISTS "${t}__stg_deadbeef_p99"""")
+    PgServer.psql(s"""CREATE TABLE "${t}__stg_deadbeef_p99"
       (p_partkey BIGINT, p_name TEXT, tricky TEXT)""")
-    PgServer.psql(s"""INSERT INTO "${t}__stg_p99" VALUES (-1, 'stale', 'junk')""")
+    PgServer.psql(s"""INSERT INTO "${t}__stg_deadbeef_p99" VALUES (-1, 'stale', 'junk')""")
     PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
       perPartition = true).write(df)
     assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === df.count())
     // the stale row never reached the target...
     assert(PgServer.psql(
       s"""SELECT count(*) FROM "$t" WHERE p_partkey = -1""").get.toLong === 0L)
-    // ...and promote left no staging tables behind
+    // ...and promote left no staging tables behind (any epoch)
     assert(PgServer.psql(
       s"""SELECT count(*) FROM pg_tables
-          WHERE tablename LIKE '$t\\_\\_stg\\_p%'""").get.toLong === 0L)
+          WHERE tablename LIKE '$t\\_\\_stg\\_%'""").get.toLong === 0L)
     // re-running the whole load after TRUNCATE lands identical counts
     // (the batch-overwrite pattern under the staged fan-out)
     PgServer.psql(s"""TRUNCATE "$t"""")

@@ -21,6 +21,7 @@ object SparkEntry {
       graft.sources.Sources.queries ++
       graft.wikidata.Wd.queries ++
       graft.wikidata.TypedValues.queries ++
+      graft.wikidata.Etl.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
       SampleOps.queries ++ Multimodal.queries ++
       graft.streaming.StreamingOps.queries
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.sources.Sources.oracles ++
       graft.wikidata.Wd.oracles ++
       graft.wikidata.TypedValues.oracles ++
+      graft.wikidata.Etl.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
       SampleOps.oracles ++ Multimodal.oracles ++
       graft.streaming.StreamingOps.oracles

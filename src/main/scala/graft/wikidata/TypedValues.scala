@@ -44,10 +44,10 @@ object TypedValues {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
-    "wd_values_typed" -> ((s, _) => {
-      val claims = Wd.queries("wd_claims_flatten")(s, "")
-      claims.select(
+  /** Typed-extraction core (unsorted) over a claims-flatten frame —
+    * shared by the standalone key and the composed ETL chain. */
+  def typed(claims: DataFrame): DataFrame =
+    claims.select(
         col("id"), col("pid"), col("statement_id"), col("dv_type"),
         // string: the raw payload IS the value (quotes stripped by the
         // JSON parser only when the payload was a JSON string literal —
@@ -72,13 +72,16 @@ object TypedValues {
           coordSchema).getField("longitude").as("v_lon"),
         from_json(when(col("dv_type") === "monolingualtext", col("dv_raw")),
           monoSchema).getField("text").as("v_mono"))
-        // try_cast (never-throwing under ANSI): >38-digit amounts → null.
-        // Surfaced as the decimal's canonical string so the cross-engine
-        // hash gate compares text, not engine decimal wire formats.
-        .withColumn("v_amount",
-          expr("CAST(try_cast(v_amount_raw AS DECIMAL(38,6)) AS STRING)"))
-        .orderBy("id", "pid", "statement_id")
-    })
+      // try_cast (never-throwing under ANSI): >38-digit amounts → null.
+      // Surfaced as the decimal's canonical string so the cross-engine
+      // hash gate compares text, not engine decimal wire formats.
+      .withColumn("v_amount",
+        expr("CAST(try_cast(v_amount_raw AS DECIMAL(38,6)) AS STRING)"))
+
+  val queries: Map[String, Q] = Map(
+    "wd_values_typed" -> ((s, _) =>
+      typed(Wd.queries("wd_claims_flatten")(s, ""))
+        .orderBy("id", "pid", "statement_id"))
   )
 
   /** DuckDB mirror over the same fixture bytes (wd_claims_flatten's CTE

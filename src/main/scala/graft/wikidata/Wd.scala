@@ -34,6 +34,24 @@ object Wd {
   def entities(s: SparkSession): DataFrame =
     s.read.schema(EntitySchema.entity).json(ensureFixture(s))
 
+  /** Claims flatten core (unsorted): one row per statement mainsnak,
+    * raw JSON payload preserved. Parameterized on the entity frame so
+    * the standalone key and the composed ETL chain share one plan
+    * shape regardless of which source (plain or bz2 NDJSON) fed it. */
+  def claimsFlatten(ents: DataFrame): DataFrame =
+    ents
+      .select(col("id"), explode(col("claims")).as(Seq("pid", "stmts")))
+      .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
+      .select(
+        col("id"), col("pid"),
+        col("st.id").as("statement_id"),
+        col("st.rank").as("rank"),
+        col("st.mainsnak.snaktype").as("snaktype"),
+        col("st.mainsnak.datavalue.type").as("dv_type"),
+        col("st.mainsnak.datavalue.value").as("dv_raw"),
+        coalesce(size(col("st.qualifiers")), lit(0)).as("n_qualifier_props"),
+        coalesce(size(col("st.references")), lit(0)).as("n_refs"))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -61,21 +79,8 @@ object Wd {
 
     // Typed extraction from the polymorphic datavalue: every statement's
     // mainsnak as one row, with the raw JSON payload preserved.
-    "wd_claims_flatten" -> ((s, _) => {
-      entities(s)
-        .select(col("id"), explode(col("claims")).as(Seq("pid", "stmts")))
-        .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
-        .select(
-          col("id"), col("pid"),
-          col("st.id").as("statement_id"),
-          col("st.rank").as("rank"),
-          col("st.mainsnak.snaktype").as("snaktype"),
-          col("st.mainsnak.datavalue.type").as("dv_type"),
-          col("st.mainsnak.datavalue.value").as("dv_raw"),
-          coalesce(size(col("st.qualifiers")), lit(0)).as("n_qualifier_props"),
-          coalesce(size(col("st.references")), lit(0)).as("n_refs"))
-        .orderBy("id", "pid", "statement_id")
-    })
+    "wd_claims_flatten" -> ((s, _) =>
+      claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id"))
   )
 
   /** wd_entity_flatten gets a real oracle: DuckDB reads the same fixture

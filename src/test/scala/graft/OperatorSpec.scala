@@ -77,6 +77,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 6).count() === 15L)
   }
 
+  test("agg_approx_distinct stays within HLL error bounds of the exact count") {
+    // the un-oracle-able sketch key gets a hard numeric check instead:
+    // configured rsd=0.01, asserted at 6x headroom per group at sf0.01
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, Spec.sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, Spec.sf01)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val rel = math.abs(approx(k).toDouble - ex) / ex
+      assert(rel <= 0.06, s"$k: approx=${approx(k)} exact=$ex rel=$rel")
+    }
+  }
+
+  test("agg_approx_quantile within rank-error bounds of the exact distribution") {
+    // t-digest accuracy=1000 => rank error ~1e-3; assert the returned
+    // value's rank window overlaps the target at 10x headroom. The
+    // window [frac(<v), frac(<=v)] handles the heavy ties of the
+    // integer-valued quantity column.
+    val rows = SparkEntry.queries("agg_approx_quantile")(spark, Spec.sf01).collect()
+    assert(rows.nonEmpty)
+    Tables.lineitem(spark, Spec.sf01)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .createOrReplaceTempView("aq_li")
+    def rankWindow(flag: String, colName: String, v: Double): (Double, Double) = {
+      val r = spark.sql(
+        s"""SELECT sum(IF($colName < $v, 1, 0)) / count(*) AS lo,
+                   sum(IF($colName <= $v, 1, 0)) / count(*) AS hi
+            FROM aq_li WHERE l_returnflag = '$flag'""").head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val (lo50, hi50) = rankWindow(flag, "l_quantity", r.getDouble(1))
+      assert(lo50 <= 0.51 && hi50 >= 0.49, s"$flag p50 rank=[$lo50,$hi50]")
+      val (lo95, hi95) = rankWindow(flag, "l_extendedprice", r.getDouble(2))
+      assert(lo95 <= 0.96 && hi95 >= 0.94, s"$flag p95 rank=[$lo95,$hi95]")
+    }
+  }
+
   test("dedup_components: endpoints of every near-dup edge share a component") {
     val edges = q("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
     val comp = q("dedup_components").collect()

@@ -274,4 +274,5 @@ object Spec {
     s
   }
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }

@@ -135,9 +135,9 @@ object SimOps {
       // as TakeOrderedAndProject: per-partition heap of k, no full
       // sort). md5 rather than xxhash64 so the DuckDB oracle can
       // replicate the exact sample (identical hex strings on both
-      // engines); any uniform hash works, and production swaps the
-      // sample for seeded k-means with k ≈ min(√N, 65536) — everything
-      // downstream is unchanged.
+      // engines); any uniform hash works. The sample then seeds the
+      // Lloyd refinement below — production raises k ≈ min(√N, 65536)
+      // and the round count; everything downstream is unchanged.
       // Assignment is one broadcast product over the k centroids with a
       // map-side max_by — the ×k expansion collapses BEFORE any shuffle
       // (partial aggregation), so assignment cost is O(N·k) compute and
@@ -145,10 +145,36 @@ object SimOps {
       graft.functions.DotProductF.register(s)
       val emb = Tables.embeddings(s, d)
       val k = 64
-      val cents = emb
+      val cents0 = emb
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
         .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
         .limit(k)
+      // Seeded k-means refinement (one Lloyd round): assign every vector
+      // to its nearest sampled centroid, replace each centroid with its
+      // cluster mean. Means accumulate in order-independent fixed-point
+      // (Det.sumFixed) and round through FLOAT so both engines carry
+      // bit-identical refined centroids. Cost is one more broadcast
+      // assignment pass + a (k×dims)-row aggregate — at 10⁹ vectors the
+      // same O(N·k) map-side shape as assignment itself; more rounds
+      // repeat this block (converged centroids cut the cross-cluster
+      // leakage that costs recall at fixed nprobe).
+      val assign0 = emb.join(broadcast(cents0))
+        .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+            .as("cluster"),
+          first(col("embedding")).as("embedding"))
+      val cents = assign0
+        .select(col("cluster").as("cent_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
+          .as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
       val assigned = emb.join(broadcast(cents))
         .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
         .groupBy(col("vec_id"))
@@ -157,7 +183,7 @@ object SimOps {
           max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
             .as("cluster"),
           first(col("embedding")).as("embedding"))
-      // Multi-probe (nprobe=24): a probe searches its 24 nearest
+      // Multi-probe (nprobe=28): a probe searches its 28 nearest
       // centroids' inverted lists, not just the argmax one — the
       // standard IVF recall lever (recall@3 ~0.23 at nprobe=1 on this
       // corpus of near-orthogonal synthetic vectors; the OperatorSpec
@@ -166,7 +192,7 @@ object SimOps {
       // corpus-side assignment is unchanged. Real clustered embeddings
       // reach the same recall at much smaller nprobe/k — tune down as
       // similarity concentrates.
-      val nprobe = 24
+      val nprobe = 28
       val pw = Window.partitionBy("a")
         .orderBy(col("cdot").desc, col("cent_id"))
       val probes = emb.filter(col("vec_id") < 10)
@@ -217,9 +243,18 @@ object SimOps {
           }: _*)).as("bb"))
         .select(col("vec_id"), col("embedding"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // Multiprobe: each probe also searches the Hamming-radius-1
+      // neighborhood of its band bucket (bucket XOR one flipped bit).
+      // Per-band match probability rises from p^R to p^R + R·p^(R-1)(1-p)
+      // — on this corpus (p ≈ 0.61) that is 0.14 → 0.50 per band, ~0.99
+      // across 8 bands — while the corpus-side candidate lists are
+      // untouched: the ×(1+BandBits) expansion is paid ONLY on the tiny
+      // broadcast probe side, the standard query-directed-probing trade.
+      val flips = (lit(0L) +: (0 until Lsh.BandBits).map(j => lit(1L << j)))
       val probes = bucketed.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("a"), col("embedding").as("ea"),
-          col("band"), col("bucket"))
+        .select(col("vec_id").as("a"), col("embedding").as("ea"), col("band"),
+          explode(array(flips.map(f => col("bucket").bitwiseXOR(f)): _*))
+            .as("bucket"))
       val cands = bucketed
         .select(col("vec_id").as("b"), col("embedding").as("eb"),
           col("band").as("band2"), col("bucket").as("bucket2"))
@@ -255,18 +290,35 @@ object SimOps {
 
   val oracles: Map[String, String] = Map(
     // Mirrors the full IVF pipeline: identical md5-ordered centroid
-    // sample, argmax inverted-list assignment (row_number replays
-    // max_by's (cdot desc, cent_id) total order), nprobe=24 multi-probe,
+    // sample, one Lloyd refinement round (fixed-point cluster means
+    // rounded through FLOAT — bit-identical refined centroids on both
+    // engines), argmax inverted-list assignment (row_number replays
+    // max_by's (cdot desc, cent_id) total order), nprobe=28 multi-probe,
     // same double-sum dot determinism argument as sim_ann_lsh.
     "sim_ann_ivf" ->
       """WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
              SELECT vec_id, unnest(embedding) AS v,
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
-         cents AS (SELECT vec_id AS cent_id FROM embeddings
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
-         cev AS (SELECT c.cent_id, e.pos, e.v
-                 FROM cents c JOIN ev e ON e.vec_id = c.cent_id),
+         cents0 AS (SELECT vec_id AS cent_id FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+         cev0 AS (SELECT c.cent_id, e.pos, e.v
+                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
+         cdots0 AS (SELECT e.vec_id, c.cent_id, sum(e.v * c.v) AS cdot
+                    FROM ev e JOIN cev0 c ON e.pos = c.pos
+                    GROUP BY 1, 2),
+         assign0 AS (SELECT vec_id, cent_id AS cluster FROM (
+                       SELECT vec_id, cent_id,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cdot DESC, cent_id) AS rn
+                       FROM cdots0)
+                     WHERE rn = 1),
+         cev AS (SELECT a.cluster AS cent_id, e.pos,
+                   CAST(CAST(
+                     (CAST(sum(CAST(floor(e.v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                       / 1099511627776.0) / count(*) AS FLOAT) AS DOUBLE) AS v
+                 FROM assign0 a JOIN ev e ON e.vec_id = a.vec_id
+                 GROUP BY 1, 2),
          cdots AS (SELECT e.vec_id, c.cent_id, sum(e.v * c.v) AS cdot
                    FROM ev e JOIN cev c ON e.pos = c.pos
                    GROUP BY 1, 2),
@@ -277,7 +329,7 @@ object SimOps {
          assigned AS (SELECT vec_id, cent_id AS cluster
                       FROM ranked WHERE rn = 1),
          probes AS (SELECT vec_id AS a, cent_id AS cluster
-                    FROM ranked WHERE vec_id < 10 AND rn <= 24),
+                    FROM ranked WHERE vec_id < 10 AND rn <= 28),
          pairs AS (SELECT p.a, s.vec_id AS b, s.cluster
                    FROM probes p JOIN assigned s
                      ON s.cluster = p.cluster AND s.vec_id <> p.a),
@@ -318,11 +370,18 @@ object SimOps {
                   (sig >> CAST(${Lsh.BandBits} * t.band AS INTEGER))
                     & ${Lsh.BandMask} AS bucket
            FROM sigs, range(0, ${Lsh.Bands}) t(band)),
+         probe_buckets AS (
+           SELECT vec_id, band,
+                  xor(bucket, CASE WHEN f.j = 0 THEN 0
+                      ELSE (CAST(1 AS BIGINT) << CAST(f.j - 1 AS INTEGER)) END)
+                    AS bucket
+           FROM bucketed, range(0, ${Lsh.BandBits + 1}) f(j)
+           WHERE vec_id < 20),
          pairs AS (
            SELECT DISTINCT pa.vec_id AS a, pb.vec_id AS b
-           FROM bucketed pa JOIN bucketed pb
+           FROM probe_buckets pa JOIN bucketed pb
              ON pa.band = pb.band AND pa.bucket = pb.bucket
-           WHERE pa.vec_id < 20 AND pa.vec_id <> pb.vec_id),
+           WHERE pa.vec_id <> pb.vec_id),
          dots AS (
            SELECT pr.a, pr.b, round(sum(ea.v * eb.v), 4) AS cos
            FROM pairs pr

@@ -218,14 +218,16 @@ class OperatorSpec extends AnyFunSuite {
     recalls.sum / recalls.size
   }
 
-  test("sim_ann_ivf recall@3 >= 0.6 vs brute-force ground truth") {
+  test("sim_ann_ivf recall@3 >= 0.8 vs brute-force ground truth") {
     val r = recallAt3("sim_ann_ivf")
-    assert(r >= 0.6, s"IVF recall@3 = $r")
+    info(f"IVF recall@3 = $r%.3f")
+    assert(r >= 0.8, s"IVF recall@3 = $r")
   }
 
-  test("sim_ann_lsh recall@3 >= 0.5 vs brute-force ground truth") {
+  test("sim_ann_lsh recall@3 >= 0.7 vs brute-force ground truth") {
     val r = recallAt3("sim_ann_lsh")
-    assert(r >= 0.5, s"LSH recall@3 = $r")
+    info(f"LSH recall@3 = $r%.3f")
+    assert(r >= 0.7, s"LSH recall@3 = $r")
   }
 
   test("heavy_hitters sketch: Misra-Gries guarantees under eviction") {

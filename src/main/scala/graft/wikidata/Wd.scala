@@ -80,7 +80,35 @@ object Wd {
     // Typed extraction from the polymorphic datavalue: every statement's
     // mainsnak as one row, with the raw JSON payload preserved.
     "wd_claims_flatten" -> ((s, _) =>
-      claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id"))
+      claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id")),
+
+    // Sitelink surface: one row per (entity, wiki) — the join table a
+    // warehouse needs to resolve cross-wiki titles.
+    "wd_sitelinks_flatten" -> ((s, _) =>
+      entities(s)
+        .select(col("id"), explode(col("sitelinks")).as(Seq("wiki", "sl")))
+        .select(col("id"), col("wiki"), col("sl.site").as("site"),
+          col("sl.title").as("title"),
+          coalesce(size(col("sl.badges")), lit(0)).as("n_badges"))
+        .orderBy("id", "wiki")),
+
+    // Qualifier surface: one row per qualifier snak, positioned within
+    // its property's snak list (posexplode) so multi-snak qualifiers
+    // keep their dump order — same raw-JSON preservation as claims.
+    "wd_qualifiers_flatten" -> ((s, _) =>
+      entities(s)
+        .select(col("id"), explode(col("claims")).as(Seq("pid", "stmts")))
+        .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
+        .select(col("id"), col("pid"), col("st.id").as("statement_id"),
+          explode(col("st.qualifiers")).as(Seq("qprop", "qsnaks")))
+        .select(col("id"), col("pid"), col("statement_id"), col("qprop"),
+          posexplode(col("qsnaks")).as(Seq("qpos", "q")))
+        .select(col("id"), col("pid"), col("statement_id"), col("qprop"),
+          col("qpos"),
+          col("q.snaktype").as("snaktype"),
+          col("q.datavalue.type").as("dv_type"),
+          col("q.datavalue.value").as("dv_raw"))
+        .orderBy("id", "pid", "statement_id", "qprop", "qpos"))
   )
 
   /** wd_entity_flatten gets a real oracle: DuckDB reads the same fixture
@@ -121,6 +149,43 @@ object Wd {
                AS n_qualifier_props,
              CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
          FROM st ORDER BY id, pid, statement_id""",
+
+    "wd_sitelinks_flatten" ->
+      """SELECT id, wiki,
+             json_extract_string(sitelinks, '$.' || wiki || '.site') AS site,
+             json_extract_string(sitelinks, '$.' || wiki || '.title') AS title,
+             CAST(coalesce(json_array_length(sitelinks, '$.' || wiki || '.badges'), 0)
+               AS INTEGER) AS n_badges
+         FROM (
+           SELECT id, sitelinks, unnest(json_keys(sitelinks)) AS wiki
+           FROM read_json('/tmp/graft_wd_entities.ndjson',
+                          format='newline_delimited',
+                          columns={id: 'VARCHAR', sitelinks: 'JSON'})
+         ) ORDER BY id, wiki""",
+
+    // positional zip of the snak array with range() replays posexplode;
+    // dv_raw parity: both engines minify (see wd_claims_flatten note)
+    "wd_qualifiers_flatten" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         qp AS (SELECT id, pid,
+                  json_extract_string(stj, '$.id') AS statement_id, stj,
+                  unnest(json_keys(json_extract(stj, '$.qualifiers'))) AS qprop
+                FROM st),
+         q AS (SELECT id, pid, statement_id, qprop,
+                 unnest(CAST(json_extract(stj, '$.qualifiers.' || qprop) AS JSON[])) AS qj,
+                 unnest(range(0, CAST(json_array_length(stj, '$.qualifiers.' || qprop) AS BIGINT))) AS qpos
+               FROM qp)
+         SELECT id, pid, statement_id, qprop, CAST(qpos AS INTEGER) AS qpos,
+             json_extract_string(qj, '$.snaktype') AS snaktype,
+             json_extract_string(qj, '$.datavalue.type') AS dv_type,
+             json_extract_string(qj, '$.datavalue.value') AS dv_raw
+         FROM q ORDER BY id, pid, statement_id, qprop, qpos""",
 
     "wd_entity_flatten" ->
       """SELECT id, type, lang,

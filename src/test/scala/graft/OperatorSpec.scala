@@ -299,6 +299,17 @@ class OperatorSpec extends AnyFunSuite {
     // year-12000 time survives as raw JSON (beyond TimestampType range)
     val far = claims.filter(r => r.getString(0) == "Q4" && r.getString(1) == "P585")
     assert(far.length === 1 && far.head.getString(6).contains("+12000-01-01"))
+    // sitelinks: 4 rows (Q1, Q2×2, Q42), badges counted
+    val sl = q("wd_sitelinks_flatten").collect()
+    assert(sl.length === 4)
+    assert(sl.filter(_.getString(0) == "Q1").head.getInt(4) === 1)
+    // qualifiers: 5 snaks across 4 properties, snak-list order kept
+    val qs = q("wd_qualifiers_flatten").collect()
+    assert(qs.length === 5)
+    val q1p459 = qs.filter(r => r.getString(0) == "Q1" && r.getString(3) == "P459")
+    assert(q1p459.map(r => (r.getInt(4), r.getString(5))).toSeq
+      === Seq((0, "value"), (1, "novalue")))
+    assert(qs.map(_.getString(5)).toSet === Set("value", "novalue", "somevalue"))
   }
 
   test("multimodal stub decode is deterministic") {

@@ -143,12 +143,15 @@ object DedupOps {
       // signature similarity. Formulated as explode + 16 codegen'd
       // min() aggregates (one shuffle), NOT per-row array lambdas —
       // higher-order functions are CodegenFallback and ~10× slower on
-      // the 100 TB hot path. Seeds are literal strings (SURVEY §7.4.5).
-      // The hash family is md5 hex strings (lexicographic min of a
-      // uniform hex string is a valid MinHash permutation), chosen so
-      // the DuckDB oracle can replay the pipeline byte-for-byte;
-      // production can swap a faster 64-bit hash without touching the
-      // shape.
+      // the 100 TB hot path.
+      // Hash family: ONE md5 per shingle (not one per slot); the
+      // digest's 60-bit/56-bit halves h1/h2 feed the Kirsch–Mitzenmacher
+      // double-hash family g_i = h1 + i·h2 (pairwise independent, the
+      // published O(1)-hashes MinHash construction; no overflow —
+      // h1 < 2⁶⁰, h2 < 2⁵⁶, i ≤ 16 ⇒ g_i < 2⁶¹). md5 because the
+      // DuckDB oracle replays the identical digests and BIGINT
+      // arithmetic; production can swap a faster 128-bit hash without
+      // touching the shape.
       val nSig = 16; val nBands = 4; val rowsPerBand = 4
       // Shingles via posexplode + lead windows — fully codegen'd. An
       // array-lambda formulation here gets inlined 3× per row by
@@ -163,9 +166,13 @@ object DedupOps {
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      val hashed = shingled
+        .withColumn("d", md5(col("sh")))
+        .withColumn("h1", expr("CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("h2", expr("CAST(conv(substring(d, 17, 14), 16, 10) AS BIGINT)"))
       val sigAggs = (1 to nSig).map(i =>
-        min(md5(concat_ws(":", lit(s"seed$i"), col("sh")))).as(s"m$i"))
-      val sigs = shingled.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+      val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
       val bandCols = (0 until nBands).map(b =>
         md5(concat_ws("|", lit(s"band$b") +:
           (1 to rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*)))
@@ -313,7 +320,7 @@ object DedupOps {
   /** Generated pieces of the dedup_near_minhash oracle — emitted from
     * the same nSig/nBands constants as the Spark side. */
   private val mhMinAggs = (1 to 16)
-    .map(i => s"min(md5('seed$i:' || sh)) AS m$i").mkString(",\n                  ")
+    .map(i => s"min(h1 + $i * h2) AS m$i").mkString(",\n                  ")
   private val mhBandArms = (0 until 4).map { b =>
     val ms = (1 to 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5('band$b|' || $ms) AS bh, ${(1 to 16).map("m" + _).mkString(", ")} FROM sigs"
@@ -406,8 +413,10 @@ object DedupOps {
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
 
     // Replays the md5 MinHash: filtered-token 3-shingles via lead
-    // windows, 16 min(md5) slots, 4 banded md5 keys, band-equi
-    // self-join, Jaccard estimate from slot equality.
+    // windows, one md5 per shingle folded to two 60-bit halves (same
+    // strpos fold the simhash oracle uses to replay Spark's conv), 16
+    // double-hash min slots, 4 banded md5 keys, band-equi self-join,
+    // Jaccard estimate from slot equality.
     "dedup_near_minhash" ->
       s"""WITH toks AS (
            SELECT doc_id, tok, pos FROM (
@@ -423,10 +432,23 @@ object DedupOps {
                     lead(tok, 2) OVER w AS t2
              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
            WHERE t2 IS NOT NULL),
+         hh AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [strpos('0123456789abcdef',
+                            substring(d, CAST(i AS INTEGER), 1)) - 1
+                     FOR i IN range(1, 16)]),
+                    (acc, x) -> acc * 16 + x) AS h1,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [strpos('0123456789abcdef',
+                            substring(d, CAST(i AS INTEGER), 1)) - 1
+                     FOR i IN range(17, 31)]),
+                    (acc, x) -> acc * 16 + x) AS h2
+           FROM (SELECT doc_id, md5(sh) AS d FROM sh3)),
          sigs AS (
            SELECT doc_id,
                   $mhMinAggs
-           FROM sh3 GROUP BY doc_id),
+           FROM hh GROUP BY doc_id),
          banded AS (
                   $mhBandArms),
          pairs AS (

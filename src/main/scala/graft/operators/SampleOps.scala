@@ -18,8 +18,10 @@ import graft.Tables
 object SampleOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 0..9 bucket from the first 4 hex chars of md5(doc_id). */
-  private def hashBucket =
+  /** 0..9 bucket from the first 4 hex chars of md5(doc_id); shared with
+    * text_decontaminate so the eval set it scans against IS the frozen
+    * test split this rule defines. */
+  private[operators] def hashBucket =
     expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
             AS BIGINT) % 10""")
 
@@ -84,6 +86,31 @@ object SampleOps {
         .orderBy("chunk", "doc_id")
     }),
 
+    "sample_domain_mix" -> ((s, d) => {
+      // Domain-mixture resampling — the "data recipe" step that
+      // rebalances a crawl toward target domain shares before
+      // training. Each row is kept iff a uniform deterministic hash
+      // u(doc_id) falls under its source's acceptance weight: a pure
+      // map-only pass over a 100 TB corpus (the weight table is a
+      // broadcast join), reproducible across runs/partitionings, and
+      // stable under corpus growth. Production derives the weights as
+      // target_share / current_share from a one-pass source census.
+      // The hash is SALTED ('mix:') so acceptance is independent of
+      // the split_train_test bucketing of the same doc_ids.
+      import s.implicits._
+      val wts = Seq(("src0", 1.0), ("src1", 0.5), ("src2", 0.5),
+        ("src3", 0.25)).toDF("source", "wt")
+      val u = expr(
+        """CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))),
+             1, 12), 16, 10) AS DOUBLE) / 281474976710656.0""")
+      Tables.documents(s, d)
+        .join(broadcast(wts), Seq("source"), "left")
+        .withColumn("wt", coalesce(col("wt"), lit(0.125)))
+        .filter(u < col("wt"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) => {
       // Deterministic k-per-language sample (eval-set construction):
       // rank by md5(doc_id) within language, keep 20. The rank-window
@@ -103,7 +130,7 @@ object SampleOps {
   )
 
   /** 4-hex-char → BIGINT parse, the DuckDB twin of Spark's conv(). */
-  private val hexBucketSql =
+  private[operators] val hexBucketSql =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
          [strpos('0123456789abcdef',
                  substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
@@ -141,6 +168,21 @@ object SampleOps {
          SELECT chunk, doc_id,
                 least(e0, (chunk + 1) * 512) - greatest(s0, chunk * 512) AS n_toks
          FROM exploded ORDER BY chunk, doc_id""",
+
+    "sample_domain_mix" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [strpos('0123456789abcdef',
+                            substring(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                      CAST(i AS INTEGER), 1)) - 1
+                     FOR i IN range(1, 13)]),
+                    (acc, x) -> acc * 16 + x) AS DOUBLE) / 281474976710656.0 AS u,
+                  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+                              ELSE 0.125 END AS wt
+           FROM documents)
+         WHERE u < wt ORDER BY doc_id""",
 
     "sample_stratified" ->
       """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (

@@ -125,6 +125,69 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, d) => {
+      // Repetition signals (the Gopher/C4 filter family): per document,
+      // the duplicate-bigram fraction and the share of the single most
+      // frequent bigram. Two aggregations, both keyed on doc_id — the
+      // per-doc gram counts partial-aggregate map-side, so a 100 TB
+      // corpus pays one doc_id-keyed shuffle of (doc, gram) counts and
+      // one of per-doc rollups.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_grams"),
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"), 4)
+            .as("dup_gram_ratio"),
+          round(col("top_c").cast(DoubleType) / col("n_grams"), 4)
+            .as("top_gram_ratio"))
+        .withColumn("repetitive", col("dup_gram_ratio") > 0.3)
+        .orderBy("doc_id")
+    }),
+
+    "text_decontaminate" -> ((s, d) => {
+      // Eval-set decontamination: flag TRAIN documents sharing ≥3
+      // distinct 5-grams with the frozen TEST split (the same
+      // md5-bucket rule as split_train_test, so the eval set scanned
+      // against IS the one that rule froze). 5-grams here for the
+      // short synthetic docs; production uses the published 8–13-gram
+      // windows — same plan. The join is gram-equi: at 100 TB the eval
+      // side is the tiny one (≤10% of corpus, distinct grams only) —
+      // broadcast it or bloom-prune the train side; candidates never
+      // cross-product.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), col("tok"),
+          lead(col("tok"), 1).over(w).as("t1"),
+          lead(col("tok"), 2).over(w).as("t2"),
+          lead(col("tok"), 3).over(w).as("t3"),
+          lead(col("tok"), 4).over(w).as("t4"))
+        .filter(col("t4").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"),
+            col("t4")).as("gram"))
+        .distinct()
+        .withColumn("b", SampleOps.hashBucket)
+      val evalGrams = grams.filter(col("b") === 9)
+        .select(col("doc_id").as("eval_id"), col("gram"))
+      val trainGrams = grams.filter(col("b") < 8)
+        .select(col("doc_id"), col("gram"))
+      trainGrams.join(broadcast(evalGrams), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hit_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .filter(col("n_hit_grams") >= 3)
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       // Canonical content fingerprint: md5 over the sorted distinct
       // token set (order-insensitive dedup key), plus corpus-wide
@@ -222,6 +285,49 @@ object TextOps {
          FROM (SELECT doc_id,
                  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
                FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    "text_repetition" ->
+      s"""WITH grams AS (
+           SELECT doc_id, tok || ' ' || nxt AS gram FROM (
+             SELECT doc_id, tok,
+                    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id, $toksSql AS tokens FROM documents)))
+           WHERE nxt IS NOT NULL),
+         per AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT doc_id, n_grams,
+                round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_gram_ratio,
+                round(CAST(top_c AS DOUBLE) / n_grams, 4) AS top_gram_ratio,
+                (round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) > 0.3)
+                  AS repetitive
+         FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                      count(*) AS n_distinct, max(c) AS top_c
+               FROM per GROUP BY doc_id)
+         ORDER BY doc_id""",
+
+    "text_decontaminate" ->
+      s"""WITH grams AS (
+           SELECT DISTINCT doc_id,
+                  tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS gram
+           FROM (
+             SELECT doc_id, tok,
+                    lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+                    lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id, $toksSql AS tokens FROM documents))
+             WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           WHERE t4 IS NOT NULL),
+         bucketed AS (
+           SELECT doc_id, gram, ${SampleOps.hexBucketSql} AS b FROM grams)
+         SELECT t.doc_id, count(DISTINCT t.gram) AS n_hit_grams,
+                count(DISTINCT e.doc_id) AS n_eval_docs
+         FROM (SELECT doc_id, gram FROM bucketed WHERE b < 8) t
+         JOIN (SELECT doc_id, gram FROM bucketed WHERE b = 9) e
+           ON t.gram = e.gram
+         GROUP BY t.doc_id HAVING count(DISTINCT t.gram) >= 3
+         ORDER BY t.doc_id"""
   )
 }

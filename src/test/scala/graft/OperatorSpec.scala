@@ -119,6 +119,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline ops: domain mix keeps wt=1.0 sources whole; decontaminate flags train only") {
+    val mix = q("sample_domain_mix").collect()
+    val bySrc = mix.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val total = Tables.documents(spark, Spec.sf001)
+      .groupBy(col("source")).agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wt=1.0 ⇒ every src0 doc survives; wt<1 sources must shrink overall
+    assert(bySrc.getOrElse("src0", 0) === total("src0").toInt)
+    assert(mix.length < total.values.sum)
+    // deterministic: same rows on a second run
+    assert(q("sample_domain_mix").collect().map(_.toString).toSeq
+      === mix.map(_.toString).toSeq)
+
+    val decon = q("text_decontaminate").collect()
+    val testIds = q("split_train_test").collect()
+      .filter(_.getString(2) != "train").map(_.getLong(0)).toSet
+    // only train-split docs can be flagged, with >= 3 gram hits each
+    assert(decon.forall(r => !testIds.contains(r.getLong(0))))
+    assert(decon.forall(_.getLong(1) >= 3))
+
+    val rep = q("text_repetition").collect()
+    assert(rep.forall { r =>
+      val d = r.getDouble(2); val t = r.getDouble(3)
+      d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0
+    })
+  }
+
   test("dedup_components: endpoints of every near-dup edge share a component") {
     val edges = q("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
     val comp = q("dedup_components").collect()

@@ -175,6 +175,46 @@ object PgCopySink {
   }
 }
 
+/** Exactly-once micro-batch loader for Structured Streaming's
+  * foreachBatch: COPY the batch into a per-batch staging table, then
+  * promote it into the target IFF this batchId is not yet recorded in
+  * the `<table>__commits` ledger — promote + ledger insert + staging
+  * drop run as ONE transaction, so a foreachBatch retry redelivering
+  * the same batchId (the failure mode foreachBatch documents) promotes
+  * nothing twice. Combined with the epoch-keyed PgCopySink staging
+  * underneath, the path is idempotent at both the task level and the
+  * micro-batch level.
+  */
+object PgStreamSink {
+  private def psqlScript(sock: String, port: Int, db: String,
+      sql: String): Unit = {
+    val rc = (Seq("psql", "-h", sock, "-p", port.toString, "-d", db,
+      "-v", "ON_ERROR_STOP=1", "-1", "-c", sql)).!
+    require(rc == 0, s"psql script failed (exit $rc)")
+  }
+
+  /** Idempotently create the target's commit ledger. */
+  def ensureCommits(sock: String, port: Int, db: String,
+      table: String): Unit =
+    psqlScript(sock, port, db,
+      s"""CREATE TABLE IF NOT EXISTS "${table}__commits" (batch_id BIGINT PRIMARY KEY)""")
+
+  /** The foreachBatch body: (df, batchId) → exactly-once append. */
+  def writeBatch(sock: String, port: Int, db: String, table: String,
+      batchId: Long, df: DataFrame): Unit = {
+    val stg = s"${table}__b$batchId"
+    psqlScript(sock, port, db,
+      s"""DROP TABLE IF EXISTS "$stg"; CREATE TABLE "$stg" (LIKE "$table")""")
+    PgCopySink(sock, port, db, stg, perPartition = true).write(df)
+    val guard =
+      s"""NOT EXISTS (SELECT 1 FROM "${table}__commits" WHERE batch_id = $batchId)"""
+    psqlScript(sock, port, db,
+      s"""INSERT INTO "$table" SELECT * FROM "$stg" WHERE $guard;
+          INSERT INTO "${table}__commits" SELECT $batchId WHERE $guard;
+          DROP TABLE "$stg"""")
+  }
+}
+
 /** Manages a throwaway local Postgres 15 instance on a unix socket
   * (no TCP). Every step is best-effort: `ensure()` returns false in
   * environments without the server binaries or su rights, and callers

@@ -137,6 +137,52 @@ object StreamingOps {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    "stream_sink_pg" -> ((s, d) => {
+      // The streaming face of the tool's product: windowed aggregate →
+      // exactly-once foreachBatch load into Postgres → read-back. The
+      // batch-equivalent plan loads the full aggregate as batchId 0 and
+      // then REPLAYS the same batchId — the read-back proving the
+      // commit-ledger guard swallowed the duplicate delivery is the
+      // oracled result. The true incremental path (MemoryStream →
+      // writeStream.foreachBatch(PgStreamSink.writeBatch)) runs in
+      // StreamingSpec, including a mid-stream duplicate-batch retry.
+      import graft.sources.{ParquetSink, PgDdl, PgServer, PgStreamSink}
+      val schema = StructType(Seq(
+        StructField("ws", TimestampType),
+        StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_value", DoubleType)))
+      val agg = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value"))
+      if (PgServer.ensure()) {
+        val t = "graft_stream_agg"
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+        PgServer.psql(s"""DROP TABLE IF EXISTS "${t}__commits"""")
+        PgServer.psql(PgDdl.createTable(t, schema))
+        PgStreamSink.ensureCommits(PgServer.sockDir, PgServer.port, PgServer.db, t)
+        PgStreamSink.writeBatch(PgServer.sockDir, PgServer.port, PgServer.db,
+          t, 0L, agg)
+        // redelivery of the same micro-batch: must be a no-op
+        PgStreamSink.writeBatch(PgServer.sockDir, PgServer.port, PgServer.db,
+          t, 0L, agg)
+        val out = "/tmp/graft_stream_pg_roundtrip.csv"
+        PgServer.psql(
+          s"""\\copy (SELECT * FROM "$t" ORDER BY ws, event_type) TO '$out' WITH (FORMAT csv)""")
+        s.read.schema(schema)
+          .option("header", "false")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(out)
+          .orderBy("ws", "event_type")
+      } else {
+        val out = "/tmp/graft_stream_pg_twin"
+        ParquetSink(out).write(agg)
+        s.read.parquet(out).orderBy("ws", "event_type")
+      }
+    }),
+
     "stream_static_join" -> ((s, d) => {
       // Stream-static enrichment (supported without watermark): events
       // stream joined to the customer dim, aggregated per segment.
@@ -150,6 +196,14 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    // Same aggregate as stream_tumbling: the key's value-add (the
+    // exactly-once double-delivery through Postgres) must leave the
+    // result IDENTICAL to the plain aggregate — that is the check.
+    "stream_sink_pg" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
              CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",

@@ -133,6 +133,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch into Postgres is exactly-once under batch redelivery") {
+    assume(graft.sources.PgServer.ensure(), "local Postgres unavailable")
+    import graft.sources.{PgDdl, PgServer, PgStreamSink}
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val t = "graft_stream_spec"
+    PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+    PgServer.psql(s"""DROP TABLE IF EXISTS "${t}__commits"""")
+    PgServer.psql(PgDdl.createTable(t, StructType(Seq(
+      StructField("user_id", LongType), StructField("v", DoubleType)))))
+    PgStreamSink.ensureCommits(PgServer.sockDir, PgServer.port, PgServer.db, t)
+    var lastBatch = (-1L, Option.empty[org.apache.spark.sql.DataFrame])
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("user_id", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        PgStreamSink.writeBatch(PgServer.sockDir, PgServer.port,
+          PgServer.db, t, batchId, df)
+        lastBatch = (batchId, Some(df))
+      }.start()
+    try {
+      in.addData((1L, 1.5), (2L, 2.5))
+      q.processAllAvailable()
+      in.addData((3L, 3.5))
+      q.processAllAvailable()
+      assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === 3L)
+      // simulate the documented foreachBatch failure mode: the same
+      // micro-batch redelivered after a crash-before-commit
+      val (bid, Some(df)) = lastBatch
+      PgStreamSink.writeBatch(PgServer.sockDir, PgServer.port,
+        PgServer.db, t, bid, df)
+      assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === 3L)
+      // and the ledger holds one row per distinct batch
+      assert(PgServer.psql(
+        s"""SELECT count(*) FROM "${t}__commits"""").get.toLong === 2L)
+    } finally q.stop()
+  }
+
   test("transformWithState keeps running per-key counts across batches") {
     // Spark 4's arbitrary-state API (successor to flatMapGroupsWithState);
     // requires the RocksDB state store.

@@ -105,6 +105,55 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  private val MinhashSigs = 16
+  private val MinhashBands = 4
+  private val MinhashRows = 4
+
+  /** Banded MinHash index of a corpus: (doc_id, m1..m16, band, bh).
+    *
+    * Formulated as explode + 16 codegen'd min() aggregates (one
+    * shuffle), NOT per-row array lambdas — higher-order functions are
+    * CodegenFallback and ~10× slower on the 100 TB hot path; shingles
+    * via posexplode + lead windows (an array-lambda formulation gets
+    * inlined 3× per row by InferFiltersFromGenerate/CollapseProject
+    * and runs interpreted).
+    * Hash family: ONE md5 per shingle (not one per slot); the digest's
+    * 60-bit/56-bit halves h1/h2 feed the Kirsch–Mitzenmacher
+    * double-hash family g_i = h1 + i·h2 (pairwise independent, the
+    * published O(1)-hashes MinHash construction; no overflow —
+    * h1 < 2⁶⁰, h2 < 2⁵⁶, i ≤ 16 ⇒ g_i < 2⁶¹). md5 because the DuckDB
+    * oracle replays the identical digests and BIGINT arithmetic;
+    * production can swap a faster 128-bit hash without touching the
+    * shape. At scale this index is what a pipeline PERSISTS: the daily
+    * delta joins against the stored base index (dedup_incremental),
+    * recomputing nothing.
+    */
+  private def minhashBanded(docs: DataFrame): DataFrame = {
+    val wpos = Window.partitionBy("doc_id").orderBy("pos")
+    val shingled = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(wpos).as("t1"),
+        lead(col("tok"), 2).over(wpos).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+    val hashed = shingled
+      .withColumn("d", md5(col("sh")))
+      .withColumn("h1", expr("CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(d, 17, 14), 16, 10) AS BIGINT)"))
+    val sigAggs = (1 to MinhashSigs).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until MinhashBands).map(b =>
+      md5(concat_ws("|", lit(s"band$b") +:
+        (1 to MinhashRows).map(i => col(s"m${b * MinhashRows + i}")): _*)))
+    sigs.select(
+      col("doc_id") +: (1 to MinhashSigs).map(i => col(s"m$i")) :+
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) => {
       // Normalize → hash → keep lowest doc_id per hash. One shuffle.
@@ -140,45 +189,10 @@ object DedupOps {
     "dedup_near_minhash" -> ((s, d) => {
       // Hand-rolled MinHash+LSH: 3-token shingles → 16 minhash slots →
       // 4 bands × 4 rows → band-equi-self-join → candidate pairs +
-      // signature similarity. Formulated as explode + 16 codegen'd
-      // min() aggregates (one shuffle), NOT per-row array lambdas —
-      // higher-order functions are CodegenFallback and ~10× slower on
-      // the 100 TB hot path.
-      // Hash family: ONE md5 per shingle (not one per slot); the
-      // digest's 60-bit/56-bit halves h1/h2 feed the Kirsch–Mitzenmacher
-      // double-hash family g_i = h1 + i·h2 (pairwise independent, the
-      // published O(1)-hashes MinHash construction; no overflow —
-      // h1 < 2⁶⁰, h2 < 2⁵⁶, i ≤ 16 ⇒ g_i < 2⁶¹). md5 because the
-      // DuckDB oracle replays the identical digests and BIGINT
-      // arithmetic; production can swap a faster 128-bit hash without
-      // touching the shape.
-      val nSig = 16; val nBands = 4; val rowsPerBand = 4
-      // Shingles via posexplode + lead windows — fully codegen'd. An
-      // array-lambda formulation here gets inlined 3× per row by
-      // InferFiltersFromGenerate/CollapseProject and runs interpreted.
-      val wpos = Window.partitionBy("doc_id").orderBy("pos")
-      val shingled = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .filter(col("tok") =!= "")
-        .select(col("doc_id"), col("tok"),
-          lead(col("tok"), 1).over(wpos).as("t1"),
-          lead(col("tok"), 2).over(wpos).as("t2"))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-      val hashed = shingled
-        .withColumn("d", md5(col("sh")))
-        .withColumn("h1", expr("CAST(conv(substring(d, 1, 15), 16, 10) AS BIGINT)"))
-        .withColumn("h2", expr("CAST(conv(substring(d, 17, 14), 16, 10) AS BIGINT)"))
-      val sigAggs = (1 to nSig).map(i =>
-        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-      val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-      val bandCols = (0 until nBands).map(b =>
-        md5(concat_ws("|", lit(s"band$b") +:
-          (1 to rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*)))
-      val banded = sigs.select(
-        col("doc_id") +: (1 to nSig).map(i => col(s"m$i")) :+
-          posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
+      // signature similarity (pipeline shared with dedup_incremental
+      // via minhashBanded below).
+      val nSig = MinhashSigs
+      val banded = minhashBanded(Tables.documents(s, d))
       val aSide = banded.select(
         col("doc_id").as("a") +: col("band") +: col("bh") +:
           (1 to nSig).map(i => col(s"m$i").as(s"am$i")): _*)
@@ -193,6 +207,30 @@ object DedupOps {
         .select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
         .distinct()
         .orderBy("a", "b")
+    }),
+
+    "dedup_incremental" -> ((s, d) => {
+      // Incremental corpus dedup — the production shape for a growing
+      // corpus: only the new DELTA is checked, against the BASE's
+      // persisted band index; base-vs-base never recomputes. Sides
+      // split by the same md5 bucket rule as split_train_test (delta =
+      // buckets 8-9, ~20%) so the split is deterministic and
+      // SF-independent. The join is band-equi with the small delta
+      // side broadcast; at 100 TB the base index is the stored table
+      // and the per-day cost is O(delta), not O(corpus).
+      val docs = Tables.documents(s, d)
+        .withColumn("b", SampleOps.hashBucket)
+      val base = minhashBanded(docs.filter(col("b") < 8))
+        .select(col("doc_id").as("base_id"),
+          col("band").as("band2"), col("bh").as("bh2"))
+      val delta = minhashBanded(docs.filter(col("b") >= 8))
+        .select(col("doc_id"), col("band"), col("bh"))
+      broadcast(delta)
+        .join(base, col("band") === col("band2") && col("bh") === col("bh2"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("base_id")).as("n_base_matches"),
+          min(col("base_id")).as("first_base_match"))
+        .orderBy("doc_id")
     }),
 
     "dedup_simhash" -> ((s, d) =>
@@ -317,10 +355,45 @@ object DedupOps {
     })
   )
 
-  /** Generated pieces of the dedup_near_minhash oracle — emitted from
-    * the same nSig/nBands constants as the Spark side. */
+  /** Generated pieces of the minhash oracles — emitted from the same
+    * nSig/nBands constants as the Spark side. */
   private val mhMinAggs = (1 to 16)
     .map(i => s"min(h1 + $i * h2) AS m$i").mkString(",\n                  ")
+
+  /** Shared signature CTE chain (tokens → 3-shingles → md5 halves →
+    * 16 min slots), used by dedup_near_minhash and dedup_incremental. */
+  private lazy val mhSigCtes =
+    s"""toks AS (
+           SELECT doc_id, tok, pos FROM (
+             SELECT doc_id, unnest(tokens) AS tok,
+                    unnest(range(1, len(tokens)+1)) AS pos
+             FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+                   FROM documents))),
+         sh3 AS (
+           SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS sh FROM (
+             SELECT doc_id, tok,
+                    lead(tok, 1) OVER w AS t1,
+                    lead(tok, 2) OVER w AS t2
+             FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           WHERE t2 IS NOT NULL),
+         hh AS (
+           SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [strpos('0123456789abcdef',
+                            substring(d, CAST(i AS INTEGER), 1)) - 1
+                     FOR i IN range(1, 16)]),
+                    (acc, x) -> acc * 16 + x) AS h1,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [strpos('0123456789abcdef',
+                            substring(d, CAST(i AS INTEGER), 1)) - 1
+                     FOR i IN range(17, 31)]),
+                    (acc, x) -> acc * 16 + x) AS h2
+           FROM (SELECT doc_id, md5(sh) AS d FROM sh3)),
+         sigs AS (
+           SELECT doc_id,
+                  $mhMinAggs
+           FROM hh GROUP BY doc_id)"""
   private val mhBandArms = (0 until 4).map { b =>
     val ms = (1 to 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5('band$b|' || $ms) AS bh, ${(1 to 16).map("m" + _).mkString(", ")} FROM sigs"
@@ -418,37 +491,7 @@ object DedupOps {
     // double-hash min slots, 4 banded md5 keys, band-equi self-join,
     // Jaccard estimate from slot equality.
     "dedup_near_minhash" ->
-      s"""WITH toks AS (
-           SELECT doc_id, tok, pos FROM (
-             SELECT doc_id, unnest(tokens) AS tok,
-                    unnest(range(1, len(tokens)+1)) AS pos
-             FROM (SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS tokens
-                   FROM documents))),
-         sh3 AS (
-           SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS sh FROM (
-             SELECT doc_id, tok,
-                    lead(tok, 1) OVER w AS t1,
-                    lead(tok, 2) OVER w AS t2
-             FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-           WHERE t2 IS NOT NULL),
-         hh AS (
-           SELECT doc_id,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    [strpos('0123456789abcdef',
-                            substring(d, CAST(i AS INTEGER), 1)) - 1
-                     FOR i IN range(1, 16)]),
-                    (acc, x) -> acc * 16 + x) AS h1,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    [strpos('0123456789abcdef',
-                            substring(d, CAST(i AS INTEGER), 1)) - 1
-                     FOR i IN range(17, 31)]),
-                    (acc, x) -> acc * 16 + x) AS h2
-           FROM (SELECT doc_id, md5(sh) AS d FROM sh3)),
-         sigs AS (
-           SELECT doc_id,
-                  $mhMinAggs
-           FROM hh GROUP BY doc_id),
+      s"""WITH $mhSigCtes,
          banded AS (
                   $mhBandArms),
          pairs AS (
@@ -462,6 +505,22 @@ object DedupOps {
                  FROM banded) q
              ON p.band = q.band AND p.bh = q.bh AND p.doc_id < q.doc_id)
          SELECT DISTINCT a, b, est_jaccard FROM pairs ORDER BY a, b""",
+
+    // Same signature CTEs; sides split by the split_train_test bucket
+    // rule (delta = buckets 8-9), delta bands joined to base bands.
+    "dedup_incremental" ->
+      s"""WITH $mhSigCtes,
+         banded AS (
+                  $mhBandArms),
+         bucketed AS (
+           SELECT doc_id, band, bh, ${SampleOps.hexBucketSql} AS bk
+           FROM banded)
+         SELECT d.doc_id, count(DISTINCT b.doc_id) AS n_base_matches,
+                min(b.doc_id) AS first_base_match
+         FROM (SELECT doc_id, band, bh FROM bucketed WHERE bk >= 8) d
+         JOIN (SELECT doc_id, band, bh FROM bucketed WHERE bk < 8) b
+           ON d.band = b.band AND d.bh = b.bh
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     "dedup_exact" ->
       """SELECT doc_id, h FROM (

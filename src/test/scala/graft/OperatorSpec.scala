@@ -144,6 +144,15 @@ class OperatorSpec extends AnyFunSuite {
       val d = r.getDouble(2); val t = r.getDouble(3)
       d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0
     })
+
+    // incremental dedup: only delta-bucket docs appear, matched against
+    // base-bucket docs (split rule: train buckets < 8 are the base)
+    val trainIds = q("split_train_test").collect()
+      .filter(_.getString(2) == "train").map(_.getLong(0)).toSet
+    val inc = q("dedup_incremental").collect()
+    assert(inc.nonEmpty)
+    assert(inc.forall(r => !trainIds.contains(r.getLong(0))))
+    assert(inc.forall(r => trainIds.contains(r.getLong(2))))
   }
 
   test("dedup_components: endpoints of every near-dup edge share a component") {

@@ -116,6 +116,14 @@ class PlanSpec extends AnyFunSuite {
       && !joinSection.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
   }
 
+  test("pipeline ops keep their broadcast shapes (no corpus-side shuffle joins)") {
+    // weight table / eval grams / delta index are the small sides — the
+    // corpus must never shuffle on their account
+    assert(plan("sample_domain_mix").contains("BroadcastHashJoin"))
+    assert(plan("text_decontaminate").contains("BroadcastHashJoin"))
+    assert(plan("dedup_incremental").contains("BroadcastHashJoin"))
+  }
+
   test("dot_f resolves through GraftExtensions without manual registration") {
     import spark.implicits._
     val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")

@@ -188,6 +188,35 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_perplexity" -> ((s, d) => {
+      // Perplexity-style quality scoring (the CCNet filter), unigram
+      // proxy: score(doc) = avg_t −ln p(t) with p from the corpus's
+      // own unigram counts — unusual documents score high and get
+      // filtered/bucketed downstream. Production swaps the unigram
+      // table for a pretrained KenLM n-gram table; the plan (explode →
+      // broadcast LM join → per-doc aggregate) is unchanged.
+      // Determinism: per-token surprises quantize to a 2²⁰ log-grid
+      // and sum as longs (order-independent; 1-ulp libm divergence
+      // spans ~1e-9 of a cell — the udaf_geomean analysis).
+      val grid = (1L << 20).toDouble
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("term"))
+      val uni = t.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("total"))
+      t.join(broadcast(uni), "term")
+        .crossJoin(broadcast(tot)) // 1-row broadcast, not a real cross product
+        .select(col("doc_id"),
+          floor((log(col("total").cast(DoubleType))
+            - log(col("cnt").cast(DoubleType))) * grid)
+            .cast(LongType).as("q"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("q")).as("sq"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("sq").cast(DoubleType) / grid / col("n_tok"), 4)
+            .as("avg_surprise"))
+        .orderBy("doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       // Canonical content fingerprint: md5 over the sorted distinct
       // token set (order-insensitive dedup key), plus corpus-wide
@@ -286,6 +315,20 @@ object TextOps {
                  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
                FROM documents)
          ORDER BY doc_id""",
+
+    "text_perplexity" ->
+      s"""WITH t AS (
+           SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         uni AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+         q AS (SELECT doc_id,
+                 CAST(floor((ln(CAST(total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                   * 1048576.0) AS BIGINT) AS q
+               FROM t JOIN uni USING (term), tot)
+         SELECT doc_id, count(*) AS n_tok,
+                round(CAST(sum(q) AS DOUBLE) / 1048576.0 / count(*), 4)
+                  AS avg_surprise
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
 
     "text_repetition" ->
       s"""WITH grams AS (

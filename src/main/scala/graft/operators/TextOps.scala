@@ -188,6 +188,34 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_quality_buckets" -> ((s, d) => {
+      // Global decile bucketing WITHOUT a global sort: the ntile()
+      // formulation would funnel a 100 TB corpus through ONE window
+      // partition. Instead the 9 decile boundaries come from one
+      // percentile aggregate (a single partial+final reduce), are
+      // rounded to the score's own 4-dp grid (both engines round the
+      // same interpolated doubles — the agg_percentile determinism
+      // argument), broadcast back as one row, and each doc's decile is
+      // a map-only comparison count against the 9-element array.
+      val stop = Seq("the", "a", "of", "and", "to")
+      val t = toks
+      val nTok = size(t)
+      val nStop = size(filter(t, x => x.isin(stop: _*)))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"),
+        round(least(lit(1.0), nTok.cast(DoubleType) / 100.0)
+          * (lit(1.0) - nStop.cast(DoubleType) / nTok), 4).as("quality"))
+      val bounds = scored.agg(
+        expr("""transform(
+                  percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),
+                  b -> round(b, 4))""").as("bs"))
+      scored.crossJoin(broadcast(bounds)) // 1-row broadcast, not a real cross product
+        .select(col("doc_id"), col("quality"),
+          expr("CAST(aggregate(bs, 1, (acc, b) -> acc + IF(quality > b, 1, 0)) AS INT)")
+            .as("decile"))
+        .orderBy("doc_id")
+    }),
+
     "text_perplexity" -> ((s, d) => {
       // Perplexity-style quality scoring (the CCNet filter), unigram
       // proxy: score(doc) = avg_t −ln p(t) with p from the corpus's
@@ -315,6 +343,23 @@ object TextOps {
                  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
                FROM documents)
          ORDER BY doc_id""",
+
+    "text_quality_buckets" ->
+      s"""WITH scored AS (
+           SELECT doc_id,
+                  round(least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0)
+                    * (1.0 - CAST(len(list_filter(tokens,
+                         x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                       / len(tokens)), 4) AS quality
+           FROM (SELECT doc_id, $toksSql AS tokens FROM documents)),
+         bounds AS (
+           SELECT list_transform(
+                    quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                    b -> round(b, 4)) AS bs
+           FROM scored)
+         SELECT doc_id, quality,
+                CAST(1 + len(list_filter(bs, b -> quality > b)) AS INTEGER) AS decile
+         FROM scored, bounds ORDER BY doc_id""",
 
     "text_perplexity" ->
       s"""WITH t AS (

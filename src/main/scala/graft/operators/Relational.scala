@@ -494,6 +494,17 @@ object Relational {
       a.unionByName(b).orderBy("src", "k")
     }),
 
+    "set_union_distinct" -> ((s, d) => {
+      // UNION (distinct): union-all then a hash-dedup shuffle — Spark
+      // plans df.union(df2).distinct() exactly as SQL UNION, one
+      // HashAggregate over the combined key space.
+      val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("k"))
+      a.unionByName(b).distinct().orderBy("k")
+    }),
+
     "set_intersect" -> ((s, d) => {
       val a = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
         .select(col("o_custkey").as("k"))
@@ -753,6 +764,12 @@ object Relational {
          FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
          LIMIT 10""",
+
+    "set_union_distinct" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         UNION
+         SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000
+         ORDER BY k""",
 
     "set_union_all" ->
       """SELECT * FROM (

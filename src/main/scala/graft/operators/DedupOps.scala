@@ -262,12 +262,21 @@ object DedupOps {
       val und = edges
         .union(edges.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint(true)
-      // Partitioner width scales with the cluster (overridable per-job);
-      // a fixed count would funnel every edge of a 100 TB near-dup graph
-      // through that many tasks regardless of executor count.
+      // Partitioner width scales with DATA and CLUSTER (overridable
+      // per-job): ~20k edges per task, floored at min(8, parallelism)
+      // so a tiny graph doesn't pay 32 tasks of scheduling overhead per
+      // fixpoint round, and capped at 4x defaultParallelism so a 100 TB
+      // near-dup graph fans out with the cluster instead of funneling
+      // through a fixed count. (und is an EAGER localCheckpoint, so the
+      // count here reads materialized blocks, not a recompute.)
+      val edgeCnt = und.count()
       val nPart = s.conf.getOption("spark.graft.components.partitions")
         .map(_.toInt)
-        .getOrElse(math.max(s.sparkContext.defaultParallelism, 8))
+        .getOrElse {
+          val byData = (edgeCnt / 20000L).toInt + 1
+          math.max(math.min(byData, s.sparkContext.defaultParallelism * 4),
+            math.min(8, s.sparkContext.defaultParallelism))
+        }
       val part = new HashPartitioner(nPart)
       val ckptDir = s.conf.getOption("spark.graft.components.checkpointDir")
       ckptDir.foreach(s.sparkContext.setCheckpointDir)
@@ -276,8 +285,12 @@ object DedupOps {
       // (y, x): keyed by the neighbor whose label flows to x
       val byY = und.rdd.map(r => (r.getLong(1), r.getLong(0))).partitionBy(part)
       ckpt(byY); byY.count()
-      var lab = byY.values.distinct(part.numPartitions)
-        .map(x => (x, x)).partitionBy(part)
+      // Fused round 0: with identity labels the first min-neighbor step
+      // is just min(x, min over neighbors of x) — one reduceByKey, no
+      // join, and the undirected edge list guarantees every vertex
+      // appears as an x. Saves a full join+jump round per run.
+      var lab = byY.map { case (y, x) => (x, math.min(x, y)) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       ckpt(lab); lab.count()
       var changed = 1L
       var rounds = 0

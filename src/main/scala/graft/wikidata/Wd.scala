@@ -82,6 +82,23 @@ object Wd {
     "wd_claims_flatten" -> ((s, _) =>
       claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id")),
 
+    // Description surface: one row per (entity, language) description —
+    // labels' sibling map, same flatten.
+    "wd_descriptions_flatten" -> ((s, _) =>
+      entities(s)
+        .select(col("id"), explode(col("descriptions")).as(Seq("lang", "dv")))
+        .select(col("id"), col("lang"), col("dv.value").as("description"))
+        .orderBy("id", "lang")),
+
+    // Alias surface: aliases are a map of language → ARRAY of values;
+    // posexplode keeps each alias's position within its language list.
+    "wd_aliases_flatten" -> ((s, _) =>
+      entities(s)
+        .select(col("id"), explode(col("aliases")).as(Seq("lang", "avs")))
+        .select(col("id"), col("lang"), posexplode(col("avs")).as(Seq("apos", "av")))
+        .select(col("id"), col("lang"), col("apos"), col("av.value").as("alias"))
+        .orderBy("id", "lang", "apos")),
+
     // Sitelink surface: one row per (entity, wiki) — the join table a
     // warehouse needs to resolve cross-wiki titles.
     "wd_sitelinks_flatten" -> ((s, _) =>
@@ -149,6 +166,31 @@ object Wd {
                AS n_qualifier_props,
              CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
          FROM st ORDER BY id, pid, statement_id""",
+
+    "wd_descriptions_flatten" ->
+      """SELECT id, lang,
+             json_extract_string(descriptions, '$.' || lang || '.value') AS description
+         FROM (
+           SELECT id, descriptions, unnest(json_keys(descriptions)) AS lang
+           FROM read_json('/tmp/graft_wd_entities.ndjson',
+                          format='newline_delimited',
+                          columns={id: 'VARCHAR', descriptions: 'JSON'})
+         ) ORDER BY id, lang""",
+
+    "wd_aliases_flatten" ->
+      """WITH langs AS (
+           SELECT id, aliases, unnest(json_keys(aliases)) AS lang
+           FROM read_json('/tmp/graft_wd_entities.ndjson',
+                          format='newline_delimited',
+                          columns={id: 'VARCHAR', aliases: 'JSON'})),
+         avs AS (
+           SELECT id, lang,
+                  unnest(CAST(json_extract(aliases, '$.' || lang) AS JSON[])) AS av,
+                  unnest(range(0, CAST(json_array_length(aliases, '$.' || lang) AS BIGINT))) AS apos
+           FROM langs)
+         SELECT id, lang, CAST(apos AS INTEGER) AS apos,
+                json_extract_string(av, '$.value') AS alias
+         FROM avs ORDER BY id, lang, apos""",
 
     "wd_sitelinks_flatten" ->
       """SELECT id, wiki,

@@ -82,6 +82,29 @@ object Wd {
     "wd_claims_flatten" -> ((s, _) =>
       claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id")),
 
+    // Reference surface: one row per reference snak — position of the
+    // reference within the statement AND of the snak within its
+    // property's list both preserved, so provenance reconstructs
+    // exactly from the relational form.
+    "wd_references_flatten" -> ((s, _) =>
+      entities(s)
+        .select(col("id"), explode(col("claims")).as(Seq("pid", "stmts")))
+        .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
+        .select(col("id"), col("pid"), col("st.id").as("statement_id"),
+          posexplode(col("st.references")).as(Seq("refpos", "ref")))
+        .select(col("id"), col("pid"), col("statement_id"), col("refpos"),
+          col("ref.hash").as("ref_hash"),
+          explode(col("ref.snaks")).as(Seq("rprop", "rsnaks")))
+        .select(col("id"), col("pid"), col("statement_id"), col("refpos"),
+          col("ref_hash"), col("rprop"),
+          posexplode(col("rsnaks")).as(Seq("rpos", "rs")))
+        .select(col("id"), col("pid"), col("statement_id"), col("refpos"),
+          col("ref_hash"), col("rprop"), col("rpos"),
+          col("rs.snaktype").as("snaktype"),
+          col("rs.datavalue.type").as("dv_type"),
+          col("rs.datavalue.value").as("dv_raw"))
+        .orderBy("id", "pid", "statement_id", "refpos", "rprop", "rpos")),
+
     // Description surface: one row per (entity, language) description —
     // labels' sibling map, same flatten.
     "wd_descriptions_flatten" -> ((s, _) =>
@@ -166,6 +189,34 @@ object Wd {
                AS n_qualifier_props,
              CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
          FROM st ORDER BY id, pid, statement_id""",
+
+    "wd_references_flatten" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         refs AS (SELECT id, pid,
+                    json_extract_string(stj, '$.id') AS statement_id,
+                    unnest(CAST(json_extract(stj, '$.references') AS JSON[])) AS refj,
+                    unnest(range(0, CAST(coalesce(json_array_length(stj, '$.references'), 0) AS BIGINT))) AS refpos
+                  FROM st),
+         rp AS (SELECT id, pid, statement_id, refpos,
+                  json_extract_string(refj, '$.hash') AS ref_hash, refj,
+                  unnest(json_keys(json_extract(refj, '$.snaks'))) AS rprop
+                FROM refs),
+         rs AS (SELECT id, pid, statement_id, refpos, ref_hash, rprop,
+                  unnest(CAST(json_extract(refj, '$.snaks.' || rprop) AS JSON[])) AS rsj,
+                  unnest(range(0, CAST(json_array_length(refj, '$.snaks.' || rprop) AS BIGINT))) AS rpos
+                FROM rp)
+         SELECT id, pid, statement_id, CAST(refpos AS INTEGER) AS refpos,
+                ref_hash, rprop, CAST(rpos AS INTEGER) AS rpos,
+                json_extract_string(rsj, '$.snaktype') AS snaktype,
+                json_extract_string(rsj, '$.datavalue.type') AS dv_type,
+                json_extract_string(rsj, '$.datavalue.value') AS dv_raw
+         FROM rs ORDER BY id, pid, statement_id, refpos, rprop, rpos""",
 
     "wd_descriptions_flatten" ->
       """SELECT id, lang,

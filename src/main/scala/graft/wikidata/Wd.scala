@@ -1,6 +1,7 @@
 package graft.wikidata
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -81,6 +82,24 @@ object Wd {
     // mainsnak as one row, with the raw JSON payload preserved.
     "wd_claims_flatten" -> ((s, _) =>
       claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id")),
+
+    // Truthy statement selection — the rank semantics every Wikidata
+    // consumer applies before using claims: per (entity, property),
+    // keep preferred statements if any exist, else the normal ones;
+    // deprecated never surfaces. One max-over-partition window on the
+    // already-flattened statements (no second scan, no join).
+    "wd_statements_truthy" -> ((s, _) => {
+      val cf = claimsFlatten(entities(s))
+      val rv = when(col("rank") === "preferred", 2)
+        .when(col("rank") === "normal", 1).otherwise(0)
+      val w = Window.partitionBy("id", "pid")
+      cf.withColumn("rv", rv)
+        .withColumn("best", max(col("rv")).over(w))
+        .filter(col("rv") === col("best") && col("rv") > 0)
+        .select(col("id"), col("pid"), col("statement_id"), col("rank"),
+          col("dv_type"), col("dv_raw"))
+        .orderBy("id", "pid", "statement_id")
+    }),
 
     // Reference surface: one row per reference snak — position of the
     // reference within the statement AND of the snak within its
@@ -189,6 +208,27 @@ object Wd {
                AS n_qualifier_props,
              CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
          FROM st ORDER BY id, pid, statement_id""",
+
+    "wd_statements_truthy" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         flat AS (SELECT id, pid,
+             json_extract_string(stj, '$.id') AS statement_id,
+             json_extract_string(stj, '$.rank') AS rank,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             json_extract_string(stj, '$.mainsnak.datavalue.value') AS dv_raw,
+             CASE json_extract_string(stj, '$.rank')
+               WHEN 'preferred' THEN 2 WHEN 'normal' THEN 1 ELSE 0 END AS rv
+           FROM st),
+         best AS (SELECT *, max(rv) OVER (PARTITION BY id, pid) AS b FROM flat)
+         SELECT id, pid, statement_id, rank, dv_type, dv_raw
+         FROM best WHERE rv = b AND rv > 0
+         ORDER BY id, pid, statement_id""",
 
     "wd_references_flatten" ->
       """WITH ent AS (

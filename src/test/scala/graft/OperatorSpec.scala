@@ -329,7 +329,13 @@ class OperatorSpec extends AnyFunSuite {
     // Q6 has no labels → absent from flatten but present in scan
     assert(!flat.map(_.getString(0)).contains("Q6"))
     val claims = q("wd_claims_flatten").collect()
-    assert(claims.length === 14)
+    assert(claims.length === 16)
+    // truthy: preferred shadows normal per (id,pid); deprecated never shows
+    val truthy = q("wd_statements_truthy").collect()
+    val q1p580 = truthy.filter(r => r.getString(0) == "Q1" && r.getString(1) == "P580")
+    assert(q1p580.map(_.getString(2)).toSeq === Seq("Q1$st3"))
+    assert(!truthy.exists(_.getString(0) == "Q7")) // deprecated-only entity
+    assert(truthy.forall(_.getString(3) != "deprecated"))
     val snaktypes = claims.map(_.getString(4)).toSet
     assert(snaktypes === Set("value", "somevalue", "novalue"))
     // year-12000 time survives as raw JSON (beyond TimestampType range)

@@ -94,13 +94,13 @@ class PgSpec extends AnyFunSuite {
   test("etl_wikidata_pg composes the full dump->Postgres pipeline") {
     val rows = SparkEntry.queries("etl_wikidata_pg")(spark, Spec.sf001).collect()
     // one row per statement in the fixture (incl. somevalue/novalue snaks)
-    assert(rows.length === 14)
+    assert(rows.length === 16)
     val byId = rows.groupBy(_.getString(0))
     assert(byId("Q42").forall(_.getString(1) === "Douglas Adams"))
     // entity without labels: en_label survives as NULL through the load
     assert(byId("Q6").forall(_.isNullAt(1)))
-    // typed columns: the one in-range time parsed, coordinates landed
-    assert(rows.count(r => !r.isNullAt(8)) === 1) // v_ts: Q42 P569 1952
+    // typed columns: the two in-range times parsed, coordinates landed
+    assert(rows.count(r => !r.isNullAt(8)) === 2) // v_ts: Q42 P569, Q1 P580pref
     assert(rows.count(r => !r.isNullAt(10)) === 1) // v_lat: Q2 P625
     // the >38-digit quantity stayed NULL after try_cast, raw preserved
     val q4amt = rows.filter(r => r.getString(0) == "Q4" && r.getString(2) == "P1114")

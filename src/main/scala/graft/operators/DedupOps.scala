@@ -215,9 +215,14 @@ object DedupOps {
       // persisted band index; base-vs-base never recomputes. Sides
       // split by the same md5 bucket rule as split_train_test (delta =
       // buckets 8-9, ~20%) so the split is deterministic and
-      // SF-independent. The join is band-equi with the small delta
-      // side broadcast; at 100 TB the base index is the stored table
+      // SF-independent. At 100 TB the base index is the stored table
       // and the per-day cost is O(delta), not O(corpus).
+      // The broadcast hint reflects the REAL workload's invariant — a
+      // daily delta is orders of magnitude smaller than the corpus —
+      // not this fixture's 20% slice; if a delta outgrows the
+      // broadcast limit, drop the hint and the band-equi join degrades
+      // gracefully to a shuffle on the band keys (AQE re-picks from
+      // runtime sizes).
       val docs = Tables.documents(s, d)
         .withColumn("b", SampleOps.hashBucket)
       val base = minhashBanded(docs.filter(col("b") < 8))
@@ -280,8 +285,19 @@ object DedupOps {
       val part = new HashPartitioner(nPart)
       val ckptDir = s.conf.getOption("spark.graft.components.checkpointDir")
       ckptDir.foreach(s.sparkContext.setCheckpointDir)
+      // Reliable checkpoints recompute an UNPERSISTED RDD's lineage a
+      // second time for the checkpoint job (documented Spark behavior),
+      // doubling every fixpoint round — so the durable path persists
+      // first (the one sanctioned persist in this codebase; checkpoint
+      // files own the data, so the block is short-lived) and the loop
+      // unpersists each round's RDD once its successor is materialized.
       def ckpt(r: org.apache.spark.rdd.RDD[_]): Unit =
-        if (ckptDir.isDefined) r.checkpoint() else { r.localCheckpoint(); () }
+        if (ckptDir.isDefined) {
+          r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.checkpoint()
+        } else { r.localCheckpoint(); () }
+      def unck(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (ckptDir.isDefined) { r.unpersist(false); () }
       // (y, x): keyed by the neighbor whose label flows to x
       val byY = und.rdd.map(r => (r.getLong(1), r.getLong(0))).partitionBy(part)
       ckpt(byY); byY.count()
@@ -310,6 +326,7 @@ object DedupOps {
         // exact change count; doubles as the checkpoint-materializing action
         changed = jumped.join(lab)
           .filter { case (_, (n, o)) => n != o }.count()
+        unck(lab) // jumped is materialized; the old round's block can go
         lab = jumped
         rounds += 1
       }

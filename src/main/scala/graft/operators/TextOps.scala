@@ -21,6 +21,23 @@ object TextOps {
   /** Whitespace tokens minus the trailing empty token (FIXTURES.md). */
   private def toks: Column = filter(split(col("text"), " "), t => t =!= lit(""))
 
+  private val Stop = Seq("the", "a", "of", "and", "to")
+
+  /** Token count guarded for division: a token-less document yields
+    * NULL ratios instead of an ANSI DIVIDE_BY_ZERO error (Spark 4 runs
+    * ANSI by default; the oracle's nullif twin agrees). */
+  private def nzTok(t: Column): Column =
+    when(size(t) === 0, lit(null)).otherwise(size(t))
+
+  /** Shared doc-quality score — ONE definition for text_quality and
+    * the decile bucketing over it, so the two can never drift. */
+  private def qualityScore: Column = {
+    val t = toks
+    round(least(lit(1.0), size(t).cast(DoubleType) / 100.0)
+      * (lit(1.0) - size(filter(t, x => x.isin(Stop: _*))).cast(DoubleType)
+        / nzTok(t)), 4)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, d) => {
       Tables.documents(s, d)
@@ -95,20 +112,18 @@ object TextOps {
 
     "text_quality" -> ((s, d) => {
       // Length/stopword heuristics; every ratio is exact-int division
-      // surfaced as a rounded double.
-      val stop = Seq("the", "a", "of", "and", "to")
+      // surfaced as a rounded double (NULL for token-less docs — the
+      // nzTok guard).
       val t = toks
-      val nTok = size(t)
-      val nStop = size(filter(t, x => x.isin(stop: _*)))
+      val nStop = size(filter(t, x => x.isin(Stop: _*)))
       val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
       Tables.documents(s, d).select(
         col("doc_id"),
         length(col("text")).as("len_chars"),
-        nTok.as("n_tokens"),
-        round(sumLen.cast(DoubleType) / nTok, 4).as("avg_tok_len"),
-        round(nStop.cast(DoubleType) / nTok, 4).as("stop_ratio"),
-        round(least(lit(1.0), nTok.cast(DoubleType) / 100.0)
-          * (lit(1.0) - nStop.cast(DoubleType) / nTok), 4).as("quality"))
+        size(t).as("n_tokens"),
+        round(sumLen.cast(DoubleType) / nzTok(t), 4).as("avg_tok_len"),
+        round(nStop.cast(DoubleType) / nzTok(t), 4).as("stop_ratio"),
+        qualityScore.as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -197,14 +212,8 @@ object TextOps {
       // same interpolated doubles — the agg_percentile determinism
       // argument), broadcast back as one row, and each doc's decile is
       // a map-only comparison count against the 9-element array.
-      val stop = Seq("the", "a", "of", "and", "to")
-      val t = toks
-      val nTok = size(t)
-      val nStop = size(filter(t, x => x.isin(stop: _*)))
-      val scored = Tables.documents(s, d).select(
-        col("doc_id"),
-        round(least(lit(1.0), nTok.cast(DoubleType) / 100.0)
-          * (lit(1.0) - nStop.cast(DoubleType) / nTok), 4).as("quality"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore.as("quality"))
       val bounds = scored.agg(
         expr("""transform(
                   percentile(quality, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),
@@ -318,10 +327,10 @@ object TextOps {
       s"""SELECT doc_id,
              CAST(length(text) AS INTEGER) AS len_chars,
              CAST(len(tokens) AS INTEGER) AS n_tokens,
-             round(CAST(sum_len AS DOUBLE) / len(tokens), 4) AS avg_tok_len,
-             round(CAST(n_stop AS DOUBLE) / len(tokens), 4) AS stop_ratio,
+             round(CAST(sum_len AS DOUBLE) / nullif(len(tokens), 0), 4) AS avg_tok_len,
+             round(CAST(n_stop AS DOUBLE) / nullif(len(tokens), 0), 4) AS stop_ratio,
              round(least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0)
-                   * (1.0 - CAST(n_stop AS DOUBLE) / len(tokens)), 4) AS quality
+                   * (1.0 - CAST(n_stop AS DOUBLE) / nullif(len(tokens), 0)), 4) AS quality
          FROM (SELECT doc_id, text, tokens,
                  list_aggregate(list_transform(tokens, x -> CAST(length(x) AS BIGINT)), 'sum') AS sum_len,
                  len(list_filter(tokens, x -> x IN ('the','a','of','and','to'))) AS n_stop
@@ -350,7 +359,7 @@ object TextOps {
                   round(least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0)
                     * (1.0 - CAST(len(list_filter(tokens,
                          x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
-                       / len(tokens)), 4) AS quality
+                       / nullif(len(tokens), 0)), 4) AS quality
            FROM (SELECT doc_id, $toksSql AS tokens FROM documents)),
          bounds AS (
            SELECT list_transform(

@@ -69,10 +69,15 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
 
 object PgCopySink {
   /** CSV cell under COPY's (FORMAT csv, NULL ''): unquoted empty = NULL,
-    * quoted empty = empty string, quotes doubled. Timestamps/decimals
-    * rely on their canonical toString, which Postgres accepts. A cell
-    * of exactly `\.` is quoted too — unquoted on its own line it would
-    * read as the inline-COPY end-of-data marker. */
+    * quoted empty = empty string, quotes doubled. A cell of exactly
+    * `\.` is quoted too — unquoted on its own line it would read as
+    * the inline-COPY end-of-data marker.
+    *
+    * Timestamps render as the UTC instant explicitly (ISO-8601, which
+    * Postgres parses into `timestamp` ignoring the zone suffix) — NOT
+    * Timestamp.toString, which renders the JVM-default-timezone wall
+    * clock: on a non-UTC host that would shift every loaded timestamp
+    * against the UTC session the read-back (and the oracle) uses. */
   private[sources] def csvCell(v: Any): String = v match {
     case null => ""
     case s: String =>
@@ -80,17 +85,19 @@ object PgCopySink {
           s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case i: java.time.Instant => i.toString
     case other => other.toString
   }
 
   private def stagingName(table: String, runId: String, pid: Int) =
     s"${table}__stg_${runId}_p$pid"
 
-  private def psqlBase(sock: String, port: Int, db: String): Seq[String] =
+  private[sources] def psqlBase(sock: String, port: Int, db: String): Seq[String] =
     Seq("psql", "-h", sock, "-p", port.toString, "-d", db,
       "-v", "ON_ERROR_STOP=1")
 
-  private def psqlValue(sock: String, port: Int, db: String,
+  private[sources] def psqlValue(sock: String, port: Int, db: String,
       sql: String): String =
     (psqlBase(sock, port, db) ++ Seq("-Atc", sql)).!!.trim
 
@@ -186,32 +193,37 @@ object PgCopySink {
   * micro-batch level.
   */
 object PgStreamSink {
-  private def psqlScript(sock: String, port: Int, db: String,
-      sql: String): Unit = {
-    val rc = (Seq("psql", "-h", sock, "-p", port.toString, "-d", db,
-      "-v", "ON_ERROR_STOP=1", "-1", "-c", sql)).!
-    require(rc == 0, s"psql script failed (exit $rc)")
-  }
-
   /** Idempotently create the target's commit ledger. */
   def ensureCommits(sock: String, port: Int, db: String,
-      table: String): Unit =
-    psqlScript(sock, port, db,
+      table: String): Unit = {
+    PgCopySink.psqlValue(sock, port, db,
       s"""CREATE TABLE IF NOT EXISTS "${table}__commits" (batch_id BIGINT PRIMARY KEY)""")
+    ()
+  }
 
   /** The foreachBatch body: (df, batchId) → exactly-once append. */
   def writeBatch(sock: String, port: Int, db: String, table: String,
       batchId: Long, df: DataFrame): Unit = {
+    // retry fast-path: a redelivered already-committed batch (crash
+    // AFTER commit) must not re-run the Spark job and COPY just to
+    // have the transactional guard below discard it — one ledger
+    // SELECT makes that replay O(1) instead of O(batch)
+    val committed = PgCopySink.psqlValue(sock, port, db,
+      s"""SELECT count(*) FROM "${table}__commits" WHERE batch_id = $batchId""")
+    if (committed.trim != "0") return
     val stg = s"${table}__b$batchId"
-    psqlScript(sock, port, db,
+    PgCopySink.psqlValue(sock, port, db,
       s"""DROP TABLE IF EXISTS "$stg"; CREATE TABLE "$stg" (LIKE "$table")""")
     PgCopySink(sock, port, db, stg, perPartition = true).write(df)
+    // the guard stays even with the fast-path: it is what makes a
+    // crash BETWEEN the check and here still exactly-once
     val guard =
       s"""NOT EXISTS (SELECT 1 FROM "${table}__commits" WHERE batch_id = $batchId)"""
-    psqlScript(sock, port, db,
+    PgCopySink.psqlValue(sock, port, db,
       s"""INSERT INTO "$table" SELECT * FROM "$stg" WHERE $guard;
           INSERT INTO "${table}__commits" SELECT $batchId WHERE $guard;
           DROP TABLE "$stg"""")
+    ()
   }
 }
 

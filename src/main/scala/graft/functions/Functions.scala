@@ -79,6 +79,25 @@ object Functions {
         .orderBy("p_partkey")
     }),
 
+    "fn_regexp" -> ((s, d) => {
+      // Regex family: extract / extract-all / match / global replace /
+      // match count. Patterns stay in the Java∩RE2 POSIX-safe subset
+      // (header note); all five are codegen'd per-row expressions —
+      // map-only over a 100 TB scan, no shuffle.
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("id_digits"),
+        col("c_name").rlike("^Customer#[0-9]{6,}$").as("well_formed"),
+        regexp_replace(col("c_name"), "[0-9]{6,}", "<ID>").as("masked"),
+        // serialized (not a raw array) so the driver's pandas hash gate
+        // can sort/hash the cell.
+        array_join(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)), ",")
+          .as("digit_runs"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0)))
+          .as("n_digits"))
+        .orderBy("c_custkey")
+    }),
+
     "fn_conditional" -> ((s, d) => {
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -212,6 +231,17 @@ object Functions {
              p_partkey >> 2 AS shr,
              CAST(bit_count(p_partkey) AS INTEGER) AS nbits
          FROM part ORDER BY p_partkey""",
+
+    "fn_regexp" ->
+      """SELECT c_custkey,
+             regexp_extract(c_name, '([0-9]+)$', 1) AS id_digits,
+             regexp_matches(c_name, '^Customer#[0-9]{6,}$') AS well_formed,
+             regexp_replace(c_name, '[0-9]{6,}', '<ID>', 'g') AS masked,
+             array_to_string(regexp_extract_all(c_name, '[0-9]+', 0), ',')
+               AS digit_runs,
+             CAST(len(regexp_extract_all(c_name, '[0-9]', 0)) AS INTEGER)
+               AS n_digits
+         FROM customer ORDER BY c_custkey""",
 
     "fn_conditional" ->
       """SELECT c_custkey,

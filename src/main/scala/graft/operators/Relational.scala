@@ -427,6 +427,63 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    "agg_stats_corr" -> ((s, d) => {
+      // Second-moment statistics (variance / stddev / covariance /
+      // correlation). Built-in stddev_samp/corr accumulate doubles in
+      // partition order — right for production, unhashable across
+      // engines — so the five power sums accumulate EXACTLY instead
+      // (DECIMAL(38,4) inputs → order-independent decimal sums; one
+      // shuffle, partial-aggregated map-side like any sum), and the
+      // textbook closed forms then run as ONE identical IEEE double
+      // expression in both engines: n·Σxy−ΣxΣy over the sqrt'd
+      // variance products. Same cost shape as agg_groupby_pricing.
+      // DECIMAL(18,4) not Det.Money: the cross product must stay exact
+      // in BOTH engines. Spark (18,4)×(18,4) → (37,8), under the
+      // 38-digit cap (no scale-trimming precision loss); the oracle
+      // casts to (19,4) instead, which forces DuckDB onto int128
+      // physical decimals (its int64 path overflows on the product).
+      // 14 integral digits cover any per-row measure here.
+      val q = expr("try_cast(l_quantity AS DECIMAL(18,4))")
+      val p = expr("try_cast(l_extendedprice AS DECIMAL(18,4))")
+      val sums = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(q).cast(DoubleType).as("sq"),
+          sum(p).cast(DoubleType).as("sp"),
+          sum(q * q).cast(DoubleType).as("sqq"),
+          sum(p * p).cast(DoubleType).as("spp"),
+          sum(q * p).cast(DoubleType).as("sqp"))
+      val vq = (col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)
+      val vp = (col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1)
+      val cv = (col("sqp") - col("sq") * col("sp") / col("n")) / (col("n") - 1)
+      sums.select(
+        col("l_returnflag"), col("n").cast(LongType).as("n"),
+        round(sqrt(vq), 4).as("sd_qty"),
+        round(vp, 4).as("var_price"),
+        round(cv, 4).as("covar_qp"),
+        round(cv / (sqrt(vq) * sqrt(vp)), 4).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_mode" -> ((s, d) => {
+      // Deterministic mode: built-in mode() breaks ties arbitrarily in
+      // both engines, so the count+rank formulation pins ties to the
+      // smallest value. The heavy groupBy is on (status, priority) —
+      // bounded cardinality, partial-aggregated map-side; the window
+      // then runs over ≤|priorities| rows per status.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
     "agg_pivot" -> ((s, d) => {
       // Pivot with an explicit value list (never inferred — inference
       // is an extra scan AND nondeterministic column order at scale).
@@ -733,6 +790,40 @@ object Relational {
              round(quantile_cont(l_quantity, 0.75), 4) AS p75,
              count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Same exact-decimal power sums, same closed-form double expression
+    // (see the Spark side): both engines cast identical decimals to
+    // double and run the identical IEEE op sequence.
+    "agg_stats_corr" ->
+      """WITH sums AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sq,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sp,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sqq,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                         * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS spp,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sqp
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS sd_qty,
+                round((spp - sp * sp / n) / (n - 1), 4) AS var_price,
+                round((sqp - sq * sp / n) / (n - 1), 4) AS covar_qp,
+                round(((sqp - sq * sp / n) / (n - 1))
+                      / (sqrt((sqq - sq * sq / n) / (n - 1))
+                         * sqrt((spp - sp * sp / n) / (n - 1))), 4) AS corr_qp
+         FROM sums ORDER BY l_returnflag""",
+
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, cnt FROM (
+           SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                  count(*) AS cnt,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1 ORDER BY o_orderstatus""",
 
     "agg_pivot" ->
       """SELECT l_linestatus,

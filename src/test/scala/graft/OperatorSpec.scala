@@ -389,4 +389,50 @@ class OperatorSpec extends AnyFunSuite {
       .agg(Det.sumMoney(col("l_extendedprice"))).head().getDouble(0)
     assert(math.abs(total - direct) < 1e-6)
   }
+
+  test("agg_stats_corr matches Spark's native second-moment aggregates") {
+    // The exact-decimal closed forms must agree with the engine's own
+    // stddev_samp/var_samp/covar_samp/corr to float tolerance.
+    val ours = q("agg_stats_corr").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val native = Tables.lineitem(spark, Spec.sf001)
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")), var_samp(col("l_extendedprice")),
+        covar_samp(col("l_quantity"), col("l_extendedprice")),
+        corr(col("l_quantity"), col("l_extendedprice")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    for ((k, (sd, vp, cv, co)) <- ours) {
+      val (nsd, nvp, ncv, nco) = native(k)
+      assert(math.abs(sd - nsd) < 1e-3 && math.abs(co - nco) < 1e-3)
+      // variance/covariance magnitudes are ~1e4 — compare relatively
+      assert(math.abs(vp - nvp) / math.abs(nvp) < 1e-6)
+      assert(math.abs(cv - ncv) / math.max(1.0, math.abs(ncv)) < 1e-6)
+    }
+  }
+
+  test("agg_mode: winner's count is the max count within its group") {
+    val modes = q("agg_mode").collect()
+    val counts = Tables.orders(spark, Spec.sf001)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .groupBy(_.getString(0))
+    for (m <- modes) {
+      val grp = counts(m.getString(0))
+      assert(m.getLong(2) == grp.map(_.getLong(2)).max)
+      // deterministic tie-break: smallest value among max-count ties
+      val ties = grp.filter(_.getLong(2) == m.getLong(2)).map(_.getString(1))
+      assert(m.getString(1) == ties.min)
+    }
+  }
+
+  test("fn_regexp: masking round-trips the extracted id digits") {
+    for (r <- q("fn_regexp").collect()) {
+      val digits = r.getString(1)
+      assert(r.getString(3).replace("<ID>", digits)
+        == s"Customer#$digits")
+      assert(r.getBoolean(2) == (digits.length >= 6))
+    }
+  }
 }

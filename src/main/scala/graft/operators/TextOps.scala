@@ -264,6 +264,64 @@ object TextOps {
         .select(col("doc_id"), fp.as("fp"))
         .withColumn("n_same_fp", count(lit(1)).over(w))
         .orderBy("doc_id")
+    }),
+
+    "text_gopher_rules" -> ((s, d) => {
+      // Gopher-style composite quality gate: each rule is a named
+      // boolean column so a pipeline can audit WHY a document was
+      // dropped, not just that it was. One (doc,tok) count shuffle +
+      // one doc_id rollup — the text_repetition cost shape; the
+      // left join keeps token-less documents (they fail the gate
+      // explicitly instead of vanishing). Thresholds are tuned to this
+      // fixture's short synthetic docs; production swaps the constants,
+      // not the plan.
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+      val byTok = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val agg = byTok.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_c"),
+        sum(when(col("tok").isin(Stop: _*), col("c")).otherwise(0L)).as("n_stop"),
+        sum(length(col("tok")).cast(LongType) * col("c")).as("sum_len"))
+      val nTok = coalesce(col("n_tokens"), lit(0L))
+      val avgLen = col("sum_len").cast(DoubleType) / col("n_tokens")
+      val topShare = col("top_c").cast(DoubleType) / col("n_tokens")
+      val rLen = nTok.between(30L, 100000L)
+      val rAvg = coalesce(avgLen.between(2.0, 10.0), lit(false))
+      val rStop = coalesce(col("n_stop") >= 2L, lit(false))
+      val rRep = coalesce(topShare <= 0.2, lit(false))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          round(avgLen, 4).as("avg_tok_len"),
+          coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+          round(topShare, 4).as("top_tok_share"),
+          rLen.as("r_len"), rAvg.as("r_avg"),
+          rStop.as("r_stop"), rRep.as("r_rep"),
+          (rLen && rAvg && rStop && rRep).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    "text_pii_mask" -> ((s, d) => {
+      // PII redaction: chained global regex masking (email → phone →
+      // number, most-specific first) plus per-row detection flags —
+      // map-only codegen'd expressions, no shuffle until the audit
+      // rollup. The fixture's props hit only the <NUM> rule; the
+      // email/phone patterns exercise the same plumbing production
+      // points at real text (patterns stay in the Java∩RE2 subset).
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+      val masked = regexp_replace(regexp_replace(regexp_replace(
+        col("props"), lit(email), lit("<EMAIL>")),
+        lit(phone), lit("<PHONE>")),
+        lit("[0-9]+"), lit("<NUM>"))
+      Tables.events(s, d)
+        .select(col("event_type"), masked.as("masked"),
+          col("props").rlike(email).as("had_email"),
+          col("props").rlike("[0-9]").as("had_digits"))
+        .groupBy("event_type", "masked", "had_email", "had_digits")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "masked", "had_email", "had_digits")
     })
   )
 
@@ -425,6 +483,51 @@ object TextOps {
          JOIN (SELECT doc_id, gram FROM bucketed WHERE b = 9) e
            ON t.gram = e.gram
          GROUP BY t.doc_id HAVING count(DISTINCT t.gram) >= 3
-         ORDER BY t.doc_id"""
+         ORDER BY t.doc_id""",
+
+    "text_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         cnt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(max(c) AS BIGINT) AS top_c,
+                  CAST(sum(CASE WHEN tok IN ('the','a','of','and','to')
+                           THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+                  CAST(sum(length(tok) * c) AS BIGINT) AS sum_len
+           FROM cnt GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(a.n_tokens, 0) AS n_tokens,
+                round(CAST(a.sum_len AS DOUBLE) / a.n_tokens, 4) AS avg_tok_len,
+                coalesce(a.n_stop, 0) AS n_stop,
+                round(CAST(a.top_c AS DOUBLE) / a.n_tokens, 4) AS top_tok_share,
+                coalesce(a.n_tokens, 0) BETWEEN 30 AND 100000 AS r_len,
+                coalesce(CAST(a.sum_len AS DOUBLE) / a.n_tokens
+                         BETWEEN 2.0 AND 10.0, false) AS r_avg,
+                coalesce(a.n_stop >= 2, false) AS r_stop,
+                coalesce(CAST(a.top_c AS DOUBLE) / a.n_tokens <= 0.2, false)
+                  AS r_rep,
+                (coalesce(a.n_tokens, 0) BETWEEN 30 AND 100000)
+                  AND coalesce(CAST(a.sum_len AS DOUBLE) / a.n_tokens
+                               BETWEEN 2.0 AND 10.0, false)
+                  AND coalesce(a.n_stop >= 2, false)
+                  AND coalesce(CAST(a.top_c AS DOUBLE) / a.n_tokens <= 0.2,
+                               false) AS keep
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "text_pii_mask" ->
+      """SELECT event_type,
+             regexp_replace(regexp_replace(regexp_replace(props,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS masked,
+             regexp_matches(props,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') AS had_email,
+             regexp_matches(props, '[0-9]') AS had_digits,
+             count(*) AS n
+         FROM events
+         GROUP BY event_type, masked, had_email, had_digits
+         ORDER BY event_type, masked, had_email, had_digits"""
   )
 }

@@ -427,6 +427,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("text_gopher_rules: keep is exactly the conjunction of its rules") {
+    val rows = q("text_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getBoolean(9) ==
+        (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8)))
+    // the gate must discriminate on this fixture, not pass/fail everything
+    val kept = rows.count(_.getBoolean(9))
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("text_pii_mask: masked output never retains a digit") {
+    val rows = q("text_pii_mask").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(!r.getString(1).exists(_.isDigit))
+  }
+
   test("fn_regexp: masking round-trips the extracted id digits") {
     for (r <- q("fn_regexp").collect()) {
       val digits = r.getString(1)

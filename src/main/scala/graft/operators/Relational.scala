@@ -87,6 +87,39 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    "join_bucketed" -> ((s, d) => {
+      // Bucketed co-located join: both sides are pre-bucketed on the
+      // join key into the SAME bucket count, so the join reads
+      // bucket-aligned files with ZERO Exchange on either side
+      // (PlanSpec locks this). This is the 100 TB warehouse shape: pay
+      // one write-time shuffle, then every downstream join/agg on that
+      // key is shuffle-free forever. The fixture writes the bucketed
+      // twins per run (idempotent overwrite); production would
+      // maintain them as the canonical stored tables.
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+      s.sql("DROP TABLE IF EXISTS g_orders_bkt")
+      s.sql("DROP TABLE IF EXISTS g_customer_bkt")
+      Tables.orders(s, d).write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders").mode("overwrite")
+        .saveAsTable("g_orders_bkt")
+      Tables.customer(s, d).write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer").mode("overwrite")
+        .saveAsTable("g_customer_bkt")
+      // MERGE hint: at fixture scale AQE would broadcast the customer
+      // side, which hides the property this key exists to prove (and
+      // PlanSpec locks) — bucket-aligned SMJ with no join-side shuffle.
+      // At 100 TB both sides exceed broadcast anyway; SMJ is the plan.
+      s.table("g_orders_bkt")
+        .join(s.table("g_customer_bkt").hint("MERGE"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "join_shuffled_hash" -> ((s, d) => {
       // Same semantics, pinned to ShuffledHashJoin (no sort; build side
       // must fit per-partition — the skew-sensitive but faster option).
@@ -619,6 +652,14 @@ object Relational {
          CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // Bucketing changes the physical layout, never the relation —
+    // the oracle is the plain join over the unbucketed parquet.
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))),4) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "join_shuffled_hash" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -116,6 +116,18 @@ class PlanSpec extends AnyFunSuite {
       && !joinSection.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
   }
 
+  test("join_bucketed: bucket-aligned SMJ, zero exchange on either join side") {
+    val df = SparkEntry.queries("join_bucketed")(spark, Spec.sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning(o_custkey")
+      && !joinSection.contains("Exchange hashpartitioning(c_custkey"),
+      p.take(3000))
+    // both scans must actually be bucketed reads, not plain file scans
+    assert(p.contains("SelectedBucketsCount"), p.take(3000))
+  }
+
   test("pipeline ops keep their broadcast shapes (no corpus-side shuffle joins)") {
     // weight table / eval grams / delta index are the small sides — the
     // corpus must never shuffle on their account

@@ -29,6 +29,60 @@ object TextOps {
   private def nzTok(t: Column): Column =
     when(size(t) === 0, lit(null)).otherwise(size(t))
 
+  /** Lexicon-hit language ID: deterministic n-gram-free heuristic.
+    * The real corpus analogue swaps the literal lexicon for a broadcast
+    * dictionary table — identical plan shape at 100 TB. Shared core of
+    * text_langid and the etl_corpus_curate language gate. */
+  private def predLang(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val lex = Seq(
+      ("the", "en"), ("fast", "en"), ("small", "en"), ("slow", "en"),
+      ("le", "fr"), ("vite", "fr"), ("petit", "fr"),
+      ("el", "es"), ("rapido", "es"),
+      ("der", "de"), ("schnell", "de")).toDF("w", "lg")
+    val hits = docs.select(col("doc_id"), explode(toks).as("term"))
+      .join(broadcast(lex), col("term") === col("w"))
+      .groupBy("doc_id", "lg").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lg"))
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lg"), col("hits"))
+    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lg"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Eval-set contamination hits: TRAIN documents (md5 buckets <8)
+    * sharing ≥3 distinct 5-grams with the frozen TEST split (bucket 9).
+    * Shared core of text_decontaminate and the etl_corpus_curate
+    * decontamination stage — see text_decontaminate for the 100 TB
+    * broadcast/bloom notes. */
+  private def contamHits(s: SparkSession, docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"),
+        lead(col("tok"), 3).over(w).as("t3"),
+        lead(col("tok"), 4).over(w).as("t4"))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"),
+          col("t4")).as("gram"))
+      .distinct()
+      .withColumn("b", SampleOps.hashBucket)
+    val evalGrams = grams.filter(col("b") === 9)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val trainGrams = grams.filter(col("b") < 8)
+      .select(col("doc_id"), col("gram"))
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_hit_grams") >= 3)
+  }
+
   /** Shared doc-quality score — ONE definition for text_quality and
     * the decile bucketing over it, so the two can never drift. */
   private def qualityScore: Column = {
@@ -86,29 +140,8 @@ object TextOps {
         .orderBy("lang")
     }),
 
-    "text_langid" -> ((s, d) => {
-      // Lexicon-hit language ID: deterministic n-gram-free heuristic.
-      // The real corpus analogue swaps the literal lexicon for a
-      // broadcast dictionary table — identical plan shape at 100 TB.
-      import s.implicits._
-      val lex = Seq(
-        ("the", "en"), ("fast", "en"), ("small", "en"), ("slow", "en"),
-        ("le", "fr"), ("vite", "fr"), ("petit", "fr"),
-        ("el", "es"), ("rapido", "es"),
-        ("der", "de"), ("schnell", "de")).toDF("w", "lg")
-      val docs = Tables.documents(s, d)
-      val hits = docs.select(col("doc_id"), explode(toks).as("term"))
-        .join(broadcast(lex), col("term") === col("w"))
-        .groupBy("doc_id", "lg").agg(count(lit(1)).as("hits"))
-      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lg"))
-      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("lg"), col("hits"))
-      docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lg"), lit("und")).as("pred_lang"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("doc_id")
-    }),
+    "text_langid" -> ((s, d) =>
+      predLang(s, Tables.documents(s, d)).orderBy("doc_id")),
 
     "text_quality" -> ((s, d) => {
       // Length/stopword heuristics; every ratio is exact-int division
@@ -176,30 +209,39 @@ object TextOps {
       // windows — same plan. The join is gram-equi: at 100 TB the eval
       // side is the tiny one (≤10% of corpus, distinct grams only) —
       // broadcast it or bloom-prune the train side; candidates never
-      // cross-product.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("pos"), col("tok"),
-          lead(col("tok"), 1).over(w).as("t1"),
-          lead(col("tok"), 2).over(w).as("t2"),
-          lead(col("tok"), 3).over(w).as("t3"),
-          lead(col("tok"), 4).over(w).as("t4"))
-        .filter(col("t4").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"),
-            col("t4")).as("gram"))
-        .distinct()
-        .withColumn("b", SampleOps.hashBucket)
-      val evalGrams = grams.filter(col("b") === 9)
-        .select(col("doc_id").as("eval_id"), col("gram"))
-      val trainGrams = grams.filter(col("b") < 8)
-        .select(col("doc_id"), col("gram"))
-      trainGrams.join(broadcast(evalGrams), "gram")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("gram")).as("n_hit_grams"),
-          countDistinct(col("eval_id")).as("n_eval_docs"))
-        .filter(col("n_hit_grams") >= 3)
+      // cross-product. Core shared with etl_corpus_curate (contamHits).
+      contamHits(s, Tables.documents(s, d)).orderBy("doc_id")
+    }),
+
+    "etl_corpus_curate" -> ((s, d) => {
+      // THE composed training-data product: raw corpus → train split →
+      // language gate → quality gate → exact dedup → eval-set
+      // decontamination → curated manifest, chained as ONE Spark plan
+      // from stages that are each green standalone keys (split_train_
+      // test, text_langid, text_quality, dedup_exact, text_decontaminate).
+      // Stage order is the cheap-filters-first production order: the
+      // md5-bucket split and quality gate are map-heavy and shrink the
+      // corpus before the joins; dedup's window runs over survivors
+      // only; the decontamination anti-join comes last when the corpus
+      // is smallest. Everything stays declarative — Catalyst fuses
+      // adjacent map stages, so "six pipeline stages" is NOT six scans.
+      val all = Tables.documents(s, d)
+      val train = all.withColumn("b", SampleOps.hashBucket)
+        .filter(col("b") < 8).drop("b")
+      val english = predLang(s, train)
+        .filter(col("pred_lang") === "en").select("doc_id")
+      val scored = train
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          qualityScore.as("quality"))
+        .filter(col("n_tokens") >= 30 && col("quality") >= 0.3)
+      val wdup = Window.partitionBy("h").orderBy("doc_id")
+      val deduped = train.join(english, "doc_id").join(scored, "doc_id")
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(wdup))
+        .filter(col("rn") === 1)
+      deduped
+        .join(contamHits(s, all).select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy("doc_id")
     }),
 
@@ -484,6 +526,69 @@ object TextOps {
            ON t.gram = e.gram
          GROUP BY t.doc_id HAVING count(DISTINCT t.gram) >= 3
          ORDER BY t.doc_id""",
+
+    // The composed pipeline replays each stage's already-proven oracle
+    // fragment in one WITH chain: bucket split → lexicon langid →
+    // quality gate → md5 dedup → 5-gram decontamination anti-join.
+    "etl_corpus_curate" ->
+      s"""WITH train AS (
+           SELECT doc_id, text FROM
+             (SELECT doc_id, text, ${SampleOps.hexBucketSql} AS b
+              FROM documents) WHERE b < 8),
+         lex(w, lg) AS (VALUES
+           ('the','en'),('fast','en'),('small','en'),('slow','en'),
+           ('le','fr'),('vite','fr'),('petit','fr'),
+           ('el','es'),('rapido','es'),('der','de'),('schnell','de')),
+         terms AS (SELECT doc_id, unnest($toksSql) AS term FROM train),
+         hits AS (SELECT doc_id, lg, count(*) AS hits
+                  FROM terms JOIN lex ON term = w GROUP BY 1, 2),
+         english AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, lg, row_number() OVER (PARTITION BY doc_id
+               ORDER BY hits DESC, lg) AS rn
+             FROM hits) WHERE rn = 1 AND lg = 'en'),
+         gated AS (
+           SELECT doc_id, n_tokens, quality FROM (
+             SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+                    round(least(1.0, CAST(len(tokens) AS DOUBLE) / 100.0)
+                      * (1.0 - CAST(len(list_filter(tokens,
+                           x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                         / nullif(len(tokens), 0)), 4) AS quality
+             FROM (SELECT doc_id, $toksSql AS tokens FROM train))
+           WHERE n_tokens >= 30 AND quality >= 0.3),
+         surv AS (
+           SELECT t.doc_id, t.text, g.n_tokens, g.quality
+           FROM train t JOIN english USING (doc_id) JOIN gated g USING (doc_id)),
+         dedup AS (
+           SELECT doc_id, n_tokens, quality FROM (
+             SELECT doc_id, n_tokens, quality,
+                    row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                      ORDER BY doc_id) AS rn
+             FROM surv) WHERE rn = 1),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS gram
+           FROM (
+             SELECT doc_id, tok,
+                    lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+                    lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id, $toksSql AS tokens FROM documents))
+             WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           WHERE t4 IS NOT NULL),
+         gbucketed AS (
+           SELECT doc_id, gram, ${SampleOps.hexBucketSql} AS b FROM grams),
+         contam AS (
+           SELECT t.doc_id
+           FROM (SELECT doc_id, gram FROM gbucketed WHERE b < 8) t
+           JOIN (SELECT doc_id, gram FROM gbucketed WHERE b = 9) e
+             ON t.gram = e.gram
+           GROUP BY t.doc_id HAVING count(DISTINCT t.gram) >= 3)
+         SELECT d.doc_id, d.n_tokens, d.quality
+         FROM dedup d LEFT JOIN contam c ON d.doc_id = c.doc_id
+         WHERE c.doc_id IS NULL
+         ORDER BY d.doc_id""",
 
     "text_gopher_rules" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

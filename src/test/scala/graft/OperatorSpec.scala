@@ -427,6 +427,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_corpus_curate agrees with its standalone stage keys") {
+    val out = q("etl_corpus_curate").collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // language gate: every curated doc is predicted English
+    val lang = q("text_langid").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.forall(lang(_) == "en"))
+    // decontamination gate: no curated doc is a flagged train doc
+    val contaminated = q("text_decontaminate").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // quality gate: reported metrics respect the thresholds
+    for (r <- out)
+      assert(r.getInt(1) >= 30 && r.getDouble(2) >= 0.3)
+  }
+
   test("text_gopher_rules: keep is exactly the conjunction of its rules") {
     val rows = q("text_gopher_rules").collect()
     assert(rows.nonEmpty)

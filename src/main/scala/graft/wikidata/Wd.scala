@@ -124,6 +124,31 @@ object Wd {
           col("rs.datavalue.value").as("dv_raw"))
         .orderBy("id", "pid", "statement_id", "refpos", "rprop", "rpos")),
 
+    // Display-label resolution: per entity, pick ONE label by the
+    // consumer's language-preference chain (en → de → fr), falling back
+    // to the lexicographically smallest remaining language so every
+    // labeled entity resolves deterministically — the lookup every
+    // Wikidata UI/warehouse does before showing an entity. One explode
+    // + one row_number window, no joins against the big surface; the
+    // left join only reattaches label-less entities (as NULLs) so the
+    // output stays one row per entity.
+    "wd_labels_fallback" -> ((s, _) => {
+      val pref = when(col("lang") === "en", 0)
+        .when(col("lang") === "de", 1)
+        .when(col("lang") === "fr", 2)
+        .otherwise(3)
+      val w = Window.partitionBy("id").orderBy(pref, col("lang"))
+      val best = entities(s)
+        .select(col("id"), explode(col("labels")).as(Seq("lang", "lv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lang").as("label_lang"),
+          col("lv.value").as("label"))
+      entities(s).select(col("id"))
+        .join(best, Seq("id"), "left")
+        .orderBy("id")
+    }),
+
     // Description surface: one row per (entity, language) description —
     // labels' sibling map, same flatten.
     "wd_descriptions_flatten" -> ((s, _) =>
@@ -257,6 +282,23 @@ object Wd {
                 json_extract_string(rsj, '$.datavalue.type') AS dv_type,
                 json_extract_string(rsj, '$.datavalue.value') AS dv_raw
          FROM rs ORDER BY id, pid, statement_id, refpos, rprop, rpos""",
+
+    "wd_labels_fallback" ->
+      """WITH ent AS (
+           SELECT id, labels FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', labels: 'JSON'})),
+         ranked AS (
+           SELECT id, lang,
+                  json_extract_string(labels, '$.' || lang || '.value') AS label,
+                  row_number() OVER (PARTITION BY id ORDER BY
+                    CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                              WHEN 'fr' THEN 2 ELSE 3 END, lang) AS rn
+           FROM (SELECT id, labels, unnest(json_keys(labels)) AS lang FROM ent))
+         SELECT e.id, r.lang AS label_lang, r.label
+         FROM ent e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+           ON e.id = r.id
+         ORDER BY e.id""",
 
     "wd_descriptions_flatten" ->
       """SELECT id, lang,

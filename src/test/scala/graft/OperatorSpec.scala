@@ -427,6 +427,16 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("wd_labels_fallback: one row per entity, en wins when present") {
+    val rows = q("wd_labels_fallback").collect()
+    val perEntity = q("scan_ndjson_entities").collect()
+    assert(rows.length == perEntity.length) // exactly one row per entity
+    val enIds = q("wd_entity_flatten").collect()
+      .filter(_.getString(2) == "en").map(_.getString(0)).toSet
+    for (r <- rows if enIds(r.getString(0)))
+      assert(r.getString(1) == "en")
+  }
+
   test("etl_corpus_curate agrees with its standalone stage keys") {
     val out = q("etl_corpus_curate").collect()
     assert(out.nonEmpty)

@@ -98,6 +98,26 @@ object Functions {
         .orderBy("c_custkey")
     }),
 
+    "fn_url_parse" -> ((s, d) => {
+      // URL decomposition with parse_url — the crawl-processing
+      // workhorse (host for domain-level dedup/mixing, path/query for
+      // canonicalization). A deterministic URL is synthesized per
+      // document, then decomposed; the oracle states each expected part
+      // from the SAME construction, proving parse_url inverts a
+      // spec-conformant URL exactly. All parts are codegen'd per-row
+      // expressions — map-only over a 100 TB scan.
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast(StringType),
+        lit("?ref="), col("source"), lit("&id="), col("doc_id").cast(StringType))
+      Tables.documents(s, d).select(
+        col("doc_id"), url.as("url"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("id")).as("qid"))
+        .orderBy("doc_id")
+    }),
+
     "fn_conditional" -> ((s, d) => {
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -242,6 +262,18 @@ object Functions {
              CAST(len(regexp_extract_all(c_name, '[0-9]', 0)) AS INTEGER)
                AS n_digits
          FROM customer ORDER BY c_custkey""",
+
+    // each part is restated from the construction itself — the oracle
+    // is "what a correct URL parser must recover from these pieces"
+    "fn_url_parse" ->
+      """SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-' || doc_id
+               || '?ref=' || source || '&id=' || doc_id AS url,
+             source || '.example.com' AS host,
+             '/' || lang || '/doc-' || doc_id AS path,
+             'ref=' || source || '&id=' || doc_id AS query,
+             CAST(doc_id AS VARCHAR) AS qid
+         FROM documents ORDER BY doc_id""",
 
     "fn_conditional" ->
       """SELECT c_custkey,

@@ -349,6 +349,24 @@ object Relational {
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
     }),
 
+    "join_existence" -> ((s, d) => {
+      // Correlated EXISTS / NOT EXISTS predicates in one query —
+      // Catalyst rewrites them to left-semi and left-anti joins (no
+      // per-row subquery execution), so the plan is two hash joins on
+      // o_custkey regardless of data size.
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    }),
+
     "subquery_scalar" -> ((s, d) => {
       // Scalar + correlated subqueries (RewriteCorrelatedScalarSubquery
       // turns these into joins — no per-row re-execution).
@@ -554,6 +572,76 @@ object Relational {
         .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
           .as("order_keys"))
         .orderBy("o_custkey")
+    }),
+
+    "agg_filtered" -> ((s, d) => {
+      // FILTER-clause / conditional aggregates: several conditional
+      // measures in ONE pass — count FILTER, sum FILTER, count_if,
+      // bool_and/bool_or. All compile to conditional partial aggregates
+      // around a single shuffle (the CASE-chain plan), so a 100 TB scan
+      // pays one aggregation regardless of how many conditions ride it.
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               CAST(round(coalesce(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+                 FILTER (WHERE l_shipdate >= '1996-01-01'), 0), 4) AS DOUBLE) AS recent_rev,
+               count_if(l_quantity >= 45) AS n_bulk,
+               bool_and(l_quantity > 0) AS all_pos,
+               bool_or(l_tax > 0.07) AS any_hightax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    }),
+
+    "agg_bitops" -> ((s, d) => {
+      // Bitwise aggregates — fold feature masks across rows (the
+      // flag-rollup idiom). Commutative+associative folds: partial
+      // aggregation is exact under any merge order, one shuffle.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(l_partkey)").as("mask_and"),
+          expr("bit_or(l_partkey)").as("mask_or"),
+          expr("bit_xor(l_partkey)").as("mask_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_minmax_by" -> ((s, d) => {
+      // max_by/min_by — argmax without the join-back. The ordering key
+      // is a (measure, ±key) struct, making the argmax a TOTAL order:
+      // partial-aggregate merges commute, so the answer is identical
+      // under any partitioning (the determinism requirement SURVEY
+      // §7.4 puts on every aggregate).
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          expr("max_by(s_name, struct(s_acctbal, -s_suppkey))").as("best_supp"),
+          round(max(col("s_acctbal")), 4).as("best_bal"),
+          expr("min_by(s_name, struct(s_acctbal, s_suppkey))").as("worst_supp"),
+          round(min(col("s_acctbal")), 4).as("worst_bal"),
+          count(lit(1)).as("n_supp"))
+        .orderBy("n_name")
+    }),
+
+    "unpivot_long" -> ((s, d) => {
+      // Wide→long reshape via the native Dataset.unpivot (SQL UNPIVOT),
+      // the inverse of agg_pivot. The expand multiplies rows × metrics,
+      // so it runs AFTER aggregation (25 nation rows × 3), never on the
+      // raw fact table — the only sane order at 100 TB.
+      val wide = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast(DoubleType).as("n_cust"),
+          sumMoney(col("c_acctbal")).as("total_bal"),
+          round(max(col("c_acctbal")), 4).as("max_bal"))
+      wide.unpivot(
+        Array(col("c_nationkey")),
+        Array(col("n_cust"), col("total_bal"), col("max_bal")),
+        "metric", "value")
+        .orderBy("c_nationkey", "metric")
     }),
 
     // ---- §2.6 sort / limit ----
@@ -885,6 +973,76 @@ object Relational {
       """SELECT o_custkey,
              array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "agg_filtered" ->
+      """SELECT l_returnflag,
+             count(*) AS n,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             CAST(round(coalesce(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+               FILTER (WHERE l_shipdate >= '1996-01-01'), 0), 4) AS DOUBLE) AS recent_rev,
+             count(*) FILTER (WHERE l_quantity >= 45) AS n_bulk,
+             bool_and(l_quantity > 0) AS all_pos,
+             bool_or(l_tax > 0.07) AS any_hightax
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    "agg_bitops" ->
+      """SELECT l_returnflag,
+             bit_and(l_partkey) AS mask_and,
+             bit_or(l_partkey) AS mask_or,
+             bit_xor(l_partkey) AS mask_xor,
+             count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "join_existence" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'P')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    // argmax stated as rank-windows — the formulation-independent truth
+    // the struct-ordered max_by must agree with
+    "agg_minmax_by" ->
+      """WITH j AS (
+           SELECT n_name, s_name, s_acctbal, s_suppkey
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         best AS (
+           SELECT n_name, s_name FROM (
+             SELECT n_name, s_name, row_number() OVER (PARTITION BY n_name
+               ORDER BY s_acctbal DESC, s_suppkey) AS rn FROM j) WHERE rn = 1),
+         worst AS (
+           SELECT n_name, s_name FROM (
+             SELECT n_name, s_name, row_number() OVER (PARTITION BY n_name
+               ORDER BY s_acctbal ASC, s_suppkey) AS rn FROM j) WHERE rn = 1),
+         agg AS (
+           SELECT n_name, round(max(s_acctbal), 4) AS best_bal,
+                  round(min(s_acctbal), 4) AS worst_bal, count(*) AS n_supp
+           FROM j GROUP BY n_name)
+         SELECT a.n_name, b.s_name AS best_supp, a.best_bal,
+                w.s_name AS worst_supp, a.worst_bal, a.n_supp
+         FROM agg a JOIN best b USING (n_name) JOIN worst w USING (n_name)
+         ORDER BY a.n_name""",
+
+    "unpivot_long" ->
+      """WITH wide AS (
+           SELECT c_nationkey,
+                  CAST(count(*) AS DOUBLE) AS n_cust,
+                  CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal,
+                  round(max(c_acctbal), 4) AS max_bal
+           FROM customer GROUP BY c_nationkey)
+         SELECT c_nationkey, metric, value FROM (
+           SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM wide
+           UNION ALL
+           SELECT c_nationkey, 'total_bal', total_bal FROM wide
+           UNION ALL
+           SELECT c_nationkey, 'max_bal', max_bal FROM wide)
+         ORDER BY c_nationkey, metric""",
 
     "sort_multi_nulls" ->
       """SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg, c_acctbal

@@ -126,6 +126,33 @@ object SampleOps {
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn"), col("doc_id"))
         .orderBy("lang", "rn")
+    }),
+
+    "sample_weighted" -> ((s, d) => {
+      // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+      // A-Res), deterministic: u = salted md5-uniform per doc, key =
+      // −ln(u)/w with w = n_chars; the k smallest keys are exactly a
+      // weighted sample without replacement. Selection is a map pass +
+      // orderBy().limit(k) — TakeOrderedAndProject (per-partition heap,
+      // driver merge of k), never a global sort of the corpus; the
+      // rank window then runs over just the k survivors. The key is
+      // floored onto a 2³⁰ grid so the single libm call (ln) can never
+      // flip a rank cross-engine (the text_perplexity argument);
+      // doc_id breaks residual grid ties.
+      val u = expr(
+        """CAST(conv(substring(md5(concat('wrs:', CAST(doc_id AS STRING))),
+             1, 12), 16, 10) AS DOUBLE) / 281474976710656.0""")
+      val grid = (1L << 30).toDouble
+      val picked = Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          floor(-log(u) / col("n_chars") * grid).cast(LongType).as("k"))
+        .orderBy(col("k"), col("doc_id"))
+        .limit(30)
+      val w = Window.orderBy(col("k"), col("doc_id")) // 30 rows — not a scale window
+      picked.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .select(col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy("rank")
     })
   )
 
@@ -190,6 +217,25 @@ object SampleOps {
                   row_number() OVER (PARTITION BY lang
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
-         WHERE rn <= 20 ORDER BY lang, rn"""
+         WHERE rn <= 20 ORDER BY lang, rn""",
+
+    "sample_weighted" ->
+      """SELECT CAST(rn AS INTEGER) AS rank, doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY k, doc_id) AS rn
+           FROM (
+             SELECT doc_id, n_chars,
+                    CAST(floor(-ln(u) / n_chars * 1073741824.0) AS BIGINT) AS k
+             FROM (
+               SELECT doc_id, n_chars,
+                      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        [strpos('0123456789abcdef',
+                                substring(md5('wrs:' || CAST(doc_id AS VARCHAR)),
+                                          CAST(i AS INTEGER), 1)) - 1
+                         FOR i IN range(1, 13)]),
+                        (acc, x) -> acc * 16 + x) AS DOUBLE)
+                        / 281474976710656.0 AS u
+               FROM documents WHERE n_chars > 0)))
+         WHERE rn <= 30 ORDER BY rn"""
   )
 }

@@ -344,6 +344,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_line_dedup" -> ((s, d) => {
+      // C4-style GLOBAL line dedup: every repeated line across the
+      // whole corpus is dropped except its first occurrence (by
+      // doc_id, position) — the rule that strips boilerplate headers/
+      // footers crawl-wide. Fixed 10-token chunks stand in for lines
+      // (the fixture has no newlines); production splits on '\n',
+      // same plan. Chunking is map-only (array slice — no
+      // explode-then-group); the single shuffle is the first-
+      // occurrence window hash-partitioned on md5(line) — the
+      // dedup_exact shape, skew-safe because even a crawl-wide
+      // boilerplate line lands in ONE group scanned once.
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, CAST(((size(tk) - 1) div 10) AS INT)),
+                 i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"""))
+            .as(Seq("idx", "line")))
+      val w = Window.partitionBy(md5(col("line")))
+        .orderBy(col("doc_id"), col("idx"))
+      lines.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_ratio",
+          round(col("n_kept").cast(DoubleType) / col("n_lines"), 4))
+        .orderBy("doc_id")
+    }),
+
     "text_pii_mask" -> ((s, d) => {
       // PII redaction: chained global regex masking (email → phone →
       // number, most-specific first) plus per-row detection flags —
@@ -620,6 +650,26 @@ object TextOps {
                                false) AS keep
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",
+
+    "text_line_dedup" ->
+      s"""WITH tk AS (
+           SELECT doc_id, $toksSql AS tk FROM documents),
+         lines AS (
+           SELECT doc_id, i AS idx,
+                  array_to_string(tk[i*10+1 : i*10+10], ' ') AS line
+           FROM (SELECT doc_id, tk,
+                        unnest(range(0, (len(tk)-1)//10 + 1)) AS i
+                 FROM tk WHERE len(tk) > 0)),
+         r AS (
+           SELECT doc_id, idx,
+                  row_number() OVER (PARTITION BY md5(line)
+                    ORDER BY doc_id, idx) AS rn
+           FROM lines)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS kept_ratio
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
 
     "text_pii_mask" ->
       """SELECT event_type,

@@ -19,6 +19,25 @@ import Det._
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Events with 8h-gap session numbers attached (gaps-and-islands):
+    * shared core of win_sessionize and etl_user_features. lag and the
+    * running sum share ONE (user_id → sec_l, event_id) window spec, so
+    * Spark plans a single sort+shuffle and evaluates both passes in the
+    * same window stage. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val gap = 28800L
+    val wOrd = Window.partitionBy("user_id").orderBy(col("sec_l"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), epochS(col("ts")).as("sec_l"),
+        col("event_type"), dec(col("value")).as("v"))
+      .withColumn("prev_sec", lag(col("sec_l"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev_sec").isNull || col("sec_l") - col("prev_sec") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val queries: Map[String, Q] = Map(
     "win_topk_per_group" -> ((s, d) => {
       // Top-3 parts by revenue per brand. Revenue is an exact decimal →
@@ -137,6 +156,73 @@ object Windows {
         money(col("rev_d")).as("daily_rev"),
         money(sum(col("rev_d")).over(w)).as("running_rev"))
         .orderBy("d")
+    }),
+
+    "win_sessionize" -> ((s, d) => {
+      // Batch sessionization (gaps-and-islands): a session breaks when
+      // the inter-event gap exceeds 8h; session number = running count
+      // of breaks — the batch twin of stream_session's session_window,
+      // and the idiom for sessionizing a historical 100 TB event log.
+      // One window sort+shuffle (see sessionized); the rollup re-uses
+      // the user_id hash partitioning.
+      sessionized(s, d)
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec_l")).as("start_sec"),
+          max(col("sec_l")).as("end_sec"))
+        .withColumn("dur_s", col("end_sec") - col("start_sec"))
+        .orderBy("user_id", "sess_no")
+    }),
+
+    "win_time_range" -> ((s, d) => {
+      // Event-time RANGE frame: trailing 1-hour sum/count per user — a
+      // TIME-based frame, not a row-count one (under bursty traffic a
+      // ROWS frame is simply the wrong window; this is the class the
+      // other win_ keys don't cover). RANGE needs a single numeric
+      // order key: epoch seconds. Rows sharing a second share a frame
+      // (range semantics) — deterministic; the decimal sum keeps the
+      // frame aggregate exact.
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        epochS(col("ts")).as("sec_l"), dec(col("value")).as("v"))
+      val w = Window.partitionBy("user_id").orderBy(col("sec_l"))
+        .rangeBetween(-3600L, 0L)
+      ev.select(col("user_id"), col("event_id"), col("sec_l"),
+        money(sum(col("v")).over(w)).as("trail_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "etl_user_features" -> ((s, d) => {
+      // Composed feature-store build: raw event log → sessionization →
+      // per-session rollup → per-user feature row (event counts by
+      // type, session count, mean session duration, exact value total,
+      // last event type), as ONE plan. Everything after the scan rides
+      // a single user_id sort+shuffle: the window stage and both
+      // aggregations share the partitioning, so a 100 TB event log
+      // pays one exchange for the whole feature build. last_type
+      // threads through total-ordered max_by args (event-level
+      // (sec_l, event_id), then session number) — deterministic under
+      // any merge order.
+      val perSess = sessionized(s, d)
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_ev"),
+          min(col("sec_l")).as("st"), max(col("sec_l")).as("en"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("s_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s_purchase"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("s_error"),
+          sum(col("v")).as("val_s"),
+          expr("max_by(event_type, struct(sec_l, event_id))").as("sess_last"))
+      perSess.groupBy(col("user_id"))
+        .agg(sum(col("n_ev")).as("n_events"),
+          count(lit(1)).as("n_sessions"),
+          sum(col("s_click")).as("n_click"),
+          sum(col("s_purchase")).as("n_purchase"),
+          sum(col("s_error")).as("n_error"),
+          money(sum(col("val_s"))).as("total_value"),
+          round(sum(col("en") - col("st")).cast(DoubleType) / count(lit(1)), 4)
+            .as("avg_sess_dur"),
+          expr("max_by(sess_last, sess_no)").as("last_type"))
+        .orderBy("user_id")
     })
   )
 
@@ -223,6 +309,92 @@ object Windows {
          FROM (SELECT CAST(l_shipdate AS DATE) AS d,
                  sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS rev_d
                FROM lineitem GROUP BY 1)
-         ORDER BY d"""
+         ORDER BY d""",
+
+    "win_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec_l
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec_l,
+                  CASE WHEN lag(sec_l) OVER w IS NULL
+                         OR sec_l - lag(sec_l) OVER w > 28800 THEN 1
+                       ELSE 0 END AS brk
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec_l, event_id)),
+         sess AS (
+           SELECT user_id, sec_l,
+                  CAST(sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY sec_l, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sess_no
+           FROM g)
+         SELECT user_id, sess_no, count(*) AS n_events,
+                min(sec_l) AS start_sec, max(sec_l) AS end_sec,
+                max(sec_l) - min(sec_l) AS dur_s
+         FROM sess GROUP BY user_id, sess_no
+         ORDER BY user_id, sess_no""",
+
+    "win_time_range" ->
+      """SELECT user_id, event_id, sec_l,
+             CAST(round(sum(CAST(value AS DECIMAL(38,4))) OVER w, 4) AS DOUBLE)
+               AS trail_1h,
+             count(*) OVER w AS n_1h
+         FROM (SELECT user_id, event_id, value,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec_l
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec_l
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
+    // per-user last_type restated independently (win_dedup_latest shape)
+    // — must agree with the composed max_by-through-sessions path
+    "etl_user_features" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec_l,
+                  event_type, CAST(value AS DECIMAL(38,4)) AS v
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, sec_l, event_type, v,
+                  CASE WHEN lag(sec_l) OVER w IS NULL
+                         OR sec_l - lag(sec_l) OVER w > 28800 THEN 1
+                       ELSE 0 END AS brk
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY sec_l, event_id)),
+         sess AS (
+           SELECT user_id, sec_l, event_type, v,
+                  CAST(sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY sec_l, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sess_no
+           FROM g),
+         per AS (
+           SELECT user_id, sess_no, count(*) AS n_ev,
+                  min(sec_l) AS st, max(sec_l) AS en,
+                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_purchase,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS s_error,
+                  sum(v) AS val_s
+           FROM sess GROUP BY user_id, sess_no),
+         lastev AS (
+           SELECT user_id, event_type AS last_type FROM (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY sec_l DESC, event_id DESC) AS rn
+             FROM ev) WHERE rn = 1)
+         SELECT p.user_id,
+                CAST(sum(p.n_ev) AS BIGINT) AS n_events,
+                count(*) AS n_sessions,
+                CAST(sum(p.s_click) AS BIGINT) AS n_click,
+                CAST(sum(p.s_purchase) AS BIGINT) AS n_purchase,
+                CAST(sum(p.s_error) AS BIGINT) AS n_error,
+                CAST(round(sum(p.val_s), 4) AS DOUBLE) AS total_value,
+                round(CAST(sum(p.en - p.st) AS DOUBLE) / count(*), 4) AS avg_sess_dur,
+                l.last_type
+         FROM per p JOIN lastev l USING (user_id)
+         GROUP BY p.user_id, l.last_type
+         ORDER BY p.user_id"""
   )
 }

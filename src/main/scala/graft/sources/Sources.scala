@@ -56,7 +56,39 @@ object Sources {
     bz2Path
   }
 
+  private val badJsonPath = "/tmp/graft_bad.ndjson"
+  private val badJsonLines = Seq(
+    """{"id":1,"name":"alpha"}""",
+    """{"id":2,"name":"beta"}""",
+    """{"id":3,"name":"gamma"}""",
+    """{"id":"not-a-number","name":"delta"}""",
+    """{broken json line""")
+
+  private def ensureBadJson(s: SparkSession): String =
+    Stage.write(s, badJsonPath,
+      badJsonLines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
   val queries: Map[String, Q] = Map(
+    "scan_json_corrupt" -> ((s, _) => {
+      // PERMISSIVE NDJSON scan: malformed lines land in the corrupt-
+      // record column instead of failing the job — the production
+      // posture for a 100 TB dump scan, where one bad line in billions
+      // must quarantine, not kill the read. Explicit schema (no
+      // sampling pass), so the scan is single-pass and deterministic;
+      // both failure modes are exercised (syntax error, type mismatch —
+      // each nulls the typed fields and preserves the raw line).
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(ensureBadJson(s))
+        .select(col("id"), col("name"), col("_corrupt_record").as("raw_bad"))
+        .orderBy(asc_nulls_last("id"), asc_nulls_last("raw_bad"))
+    }),
+
     "scan_csv" -> ((s, _) => {
       // Explicit schema + header + nullValue: the deterministic CSV
       // ingest contract (inferSchema is banned — SURVEY §1.3).
@@ -185,6 +217,21 @@ object Sources {
         dumpLines.map(l => s"('${l.replace("'", "''")}', ${l.length})")
           .mkString(", ")}) t(value, len)
          ORDER BY value""",
+
+    // Same technique as scan_bz2_text: the oracle is generated from the
+    // SAME literal the fixture writes, stating the PERMISSIVE contract —
+    // rows 1-3 parse; the type-mismatch row keeps its good fields
+    // (Spark 3.4+ partial results) and quarantines the raw line; the
+    // syntax-error row nulls everything and quarantines the raw line.
+    "scan_json_corrupt" ->
+      s"""SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'alpha', CAST(NULL AS VARCHAR)),
+           (2, 'beta', NULL),
+           (3, 'gamma', NULL),
+           (NULL, 'delta', '${badJsonLines(3).replace("'", "''")}'),
+           (NULL, NULL, '${badJsonLines(4).replace("'", "''")}'))
+           t(id, name, raw_bad)
+         ORDER BY id ASC NULLS LAST, raw_bad ASC NULLS LAST""",
 
     "scan_csv" ->
       """SELECT * FROM read_csv('/tmp/graft_sample.csv', header=true,

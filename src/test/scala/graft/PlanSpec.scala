@@ -182,6 +182,25 @@ class PlanSpec extends AnyFunSuite {
       === 64L)
   }
 
+  test("sample_weighted selects via TakeOrderedAndProject, not a global sort") {
+    // The A-Res selection must be a per-partition heap + driver merge of
+    // k rows; a global Sort before the limit would single-thread a
+    // 100 TB corpus through one partition.
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("win_sessionize runs lag + running-sum in one window exchange") {
+    // Both window passes share the (user_id → sec_l, event_id) spec, so
+    // the plan must contain exactly one user_id hash exchange feeding
+    // the window stage(s) — a second sort+shuffle would double the cost
+    // of sessionizing a 100 TB event log. (The rollup reuses the same
+    // partitioning; the final orderBy is the presentation sort.)
+    val p = plan("win_sessionize")
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n" + p.take(2000))
+  }
+
   test("dot_f expression participates in codegen (no CodegenFallback wrapper)") {
     import spark.implicits._
     graft.functions.DotProductF.register(spark)

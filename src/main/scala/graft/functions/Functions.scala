@@ -98,6 +98,24 @@ object Functions {
         .orderBy("c_custkey")
     }),
 
+    "fn_try_arith" -> ((s, d) => {
+      // ANSI-safe try_* family. Spark 4 runs ANSI mode by default:
+      // division by zero and bad casts THROW mid-job — on a 100 TB run
+      // that's a dead job 6 hours in. try_divide/try_cast/try_add turn
+      // the poison rows into NULLs that downstream filters handle; all
+      // per-row codegen'd expressions, map-only.
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, l_quantity - l_quantity)").as("div0"),
+        // unrounded: the per-row IEEE division is bit-identical across
+        // engines, while round(double,4) half-ulp ties are NOT
+        expr("try_divide(l_extendedprice, l_quantity)").as("unit_price"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
+        expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)").as("good_cast"),
+        expr("try_add(l_orderkey, l_partkey)").as("sum_ok"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "fn_url_parse" -> ((s, d) => {
       // URL decomposition with parse_url — the crawl-processing
       // workhorse (host for domain-level dedup/mixing, path/query for
@@ -262,6 +280,17 @@ object Functions {
              CAST(len(regexp_extract_all(c_name, '[0-9]', 0)) AS INTEGER)
                AS n_digits
          FROM customer ORDER BY c_custkey""",
+
+    // DuckDB's x/0 → NULL agrees with try_divide by definition; the
+    // round-trip cast lands on the same IEEE double in both engines
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+             l_extendedprice / (l_quantity - l_quantity) AS div0,
+             l_extendedprice / l_quantity AS unit_price,
+             try_cast(l_returnflag AS INTEGER) AS bad_cast,
+             try_cast(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS good_cast,
+             l_orderkey + l_partkey AS sum_ok
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     // each part is restated from the construction itself — the oracle
     // is "what a correct URL parser must recover from these pieces"

@@ -382,6 +382,37 @@ object DedupOps {
           round(col("dotd") / (col("na") * col("nb")), 4).as("cos"))
         .filter(col("cos") >= 0.25)
         .orderBy("a", "b")
+    }),
+
+    "dedup_url_canonical" -> ((s, d) => {
+      // URL-canonicalization dedup — the web-crawl first pass: the same
+      // page arrives as many surface forms (host case, tracking params,
+      // trailing slash) and must collapse BEFORE content dedup ever
+      // runs. Four deterministic variants of each logical page are
+      // synthesized (groups of 4 docs share a page), canonicalized
+      // (lower host, drop the tracking-only query string, strip the
+      // trailing slash — production keeps non-tracking params), and
+      // grouped. Canonicalization is per-row codegen'd string work —
+      // map-only at 100 TB; the only shuffle is the canonical-key
+      // rollup, the dedup_exact shape.
+      val page = expr("doc_id div 4")
+      val base = concat(lit("https://"), col("source"), lit(".Example.COM/page-"),
+        page.cast(StringType))
+      val url = when(col("doc_id") % 4 === 0, base)
+        .when(col("doc_id") % 4 === 1, lower(base))
+        .when(col("doc_id") % 4 === 2, concat(base, lit("?utm_source=feed")))
+        .otherwise(concat(base, lit("/")))
+      val canon = concat(
+        lower(parse_url(col("url"), lit("HOST"))),
+        regexp_replace(parse_url(col("url"), lit("PATH")), "/$", ""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon", canon)
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_forms"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy("canon")
     })
   )
 
@@ -611,6 +642,28 @@ object DedupOps {
          JOIN norms na ON d.a = na.vec_id
          JOIN norms nb ON d.b = nb.vec_id
          WHERE round(d.dotd / (na.nrm * nb.nrm), 4) >= 0.25
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // the canonical form is restated with plain string ops (lower host
+    // + path sans trailing slash, query dropped) — what a correct URL
+    // canonicalizer must produce from the synthesized variants
+    "dedup_url_canonical" ->
+      """WITH urls AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'https://' || source || '.Example.COM/page-' || (doc_id // 4)
+                    WHEN 1 THEN lower('https://' || source || '.Example.COM/page-' || (doc_id // 4))
+                    WHEN 2 THEN 'https://' || source || '.Example.COM/page-' || (doc_id // 4) || '?utm_source=feed'
+                    ELSE 'https://' || source || '.Example.COM/page-' || (doc_id // 4) || '/'
+                  END AS url
+           FROM documents),
+         canon AS (
+           SELECT doc_id, url,
+                  lower(source) || '.example.com/page-' || (doc_id // 4) AS canon
+           FROM urls JOIN documents USING (doc_id))
+         SELECT canon, count(*) AS n_urls,
+                count(DISTINCT url) AS n_forms,
+                min(doc_id) AS keep_doc
+         FROM canon GROUP BY canon ORDER BY canon"""
   )
 }

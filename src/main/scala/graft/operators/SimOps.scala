@@ -272,6 +272,51 @@ object SimOps {
         .filter(col("rnk") <= 3)
         .select(col("a"), col("b"), col("cos"), col("rnk"))
         .orderBy("a", "rnk")
+    }),
+
+    "sim_pq_quantize" -> ((s, d) => {
+      // Product quantization (PQ) — the vector-COMPRESSION half of a
+      // planet-scale similarity index (IVF partitions the corpus,
+      // PQ shrinks what each list stores): each 64-dim float vector
+      // (256 B) quantizes per 8-dim subspace to the nearest of 16
+      // centroids → an 8-code string (8 B, 32×), plus the exact
+      // reconstruction error the compression costs. Centroids are the
+      // deterministic md5-ordered sample (the sim_ann_ivf technique,
+      // k=16 codes/subspace here; production trains 256/subspace with
+      // the Lloyd block above). Shape at 10⁹ vectors: centroids
+      // broadcast; the ×16 code expansion partial-aggregates map-side
+      // to N×8×16 rows before the one (vec,sub,code) shuffle; all
+      // distances accumulate as exact fixed-point longs end-to-end, so
+      // subspace argmins and the error sum are order-independent.
+      val subs = 8
+      val k = 16
+      val emb = Tables.embeddings(s, d)
+      val wC = Window.orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
+      val cents = emb
+        .select(col("vec_id").as("cent_vid"), col("embedding").as("ce"))
+        .orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
+        .limit(k) // TakeOrderedAndProject; the window below sees k=16 rows
+        .withColumn("code", row_number().over(wC) - 1)
+        .select(col("code"), posexplode(col("ce")).as(Seq("pos", "cv")))
+      val ex = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val d2 = ex.join(broadcast(cents), "pos")
+        .withColumn("sub", expr(s"pos div ${64 / subs}"))
+        .withColumn("dd", col("v").cast(DoubleType) - col("cv").cast(DoubleType))
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(sum(floor(col("dd") * col("dd") * graft.Det.FixedPoint)
+          .cast(LongType)).as("d2l"))
+      val best = d2.groupBy(col("vec_id"), col("sub"))
+        .agg(expr("min_by(code, struct(d2l, code))").as("bcode"),
+          min(col("d2l")).as("sub_err"))
+      best.groupBy(col("vec_id"))
+        .agg(
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(sub, bcode))), x -> CAST(x.bcode AS STRING))"),
+            "-").as("pq_code"),
+          round(sum(col("sub_err")).cast(DoubleType) / graft.Det.FixedPoint, 4)
+            .as("recon_err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -442,6 +487,41 @@ object SimOps {
            FROM dots d
            JOIN norms na ON d.a = na.vec_id
            JOIN norms nb ON d.b = nb.vec_id)
-         WHERE rn = 1 ORDER BY a, label"""
+         WHERE rn = 1 ORDER BY a, label""",
+
+    // Replays the PQ pipeline: identical md5-ordered 16-centroid sample
+    // (code = sample rank), per-subspace squared distances as exact
+    // fixed-point longs, row_number replaying min_by's (d2l, code)
+    // total order, and the same long-sum reconstruction error. pos is
+    // 0-based here to keep `pos // 8` aligned with Spark's posexplode.
+    "sim_pq_quantize" ->
+      """WITH cs AS (
+           SELECT embedding,
+                  row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         cexp AS (SELECT code, CAST(cv AS DOUBLE) AS cv, pos FROM (
+             SELECT code, unnest(embedding) AS cv,
+                    unnest(range(0, len(embedding))) AS pos
+             FROM cs)),
+         vexp AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(0, len(embedding))) AS pos
+             FROM embeddings)),
+         d2 AS (SELECT vec_id, pos // 8 AS sub, code,
+                  CAST(sum(CAST(floor((v - cv) * (v - cv) * 1099511627776.0)
+                    AS BIGINT)) AS BIGINT) AS d2l
+                FROM vexp JOIN cexp USING (pos)
+                GROUP BY 1, 2, 3),
+         best AS (SELECT vec_id, sub, code AS bcode, d2l FROM (
+             SELECT vec_id, sub, code, d2l,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2l, code) AS rn
+             FROM d2) WHERE rn = 1)
+         SELECT vec_id,
+                array_to_string(list(bcode ORDER BY sub), '-') AS pq_code,
+                round(CAST(sum(d2l) AS DOUBLE) / 1099511627776.0, 4) AS recon_err
+         FROM best GROUP BY vec_id ORDER BY vec_id"""
   )
 }

@@ -192,6 +192,24 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    "win_ignore_nulls" -> ((s, d) => {
+      // IGNORE NULLS navigation: carry the last observed purchase value
+      // forward across non-purchase events (the gap-fill / last-known-
+      // value idiom for sparse measurements in a dense event stream).
+      // lag(... ignoreNulls) and last(... ignoreNulls) ride the same
+      // (user_id → sec_l, event_id) window spec — one sort+shuffle.
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        epochS(col("ts")).as("sec_l"),
+        when(col("event_type") === "purchase", dec(col("value"))).as("pv"))
+      val wOrd = Window.partitionBy("user_id").orderBy(col("sec_l"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), col("event_id"),
+        money(col("pv")).as("pv"),
+        money(lag(col("pv"), 1, null, ignoreNulls = true).over(wOrd)).as("prev_purchase"),
+        money(last(col("pv"), ignoreNulls = true).over(wRun)).as("last_known"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "etl_user_features" -> ((s, d) => {
       // Composed feature-store build: raw event log → sessionization →
       // per-session rollup → per-user feature row (event counts by
@@ -346,6 +364,22 @@ object Windows {
                FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY sec_l
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
+    "win_ignore_nulls" ->
+      """SELECT user_id, event_id,
+             CAST(round(pv, 4) AS DOUBLE) AS pv,
+             CAST(round(lag(pv, 1 IGNORE NULLS) OVER w, 4) AS DOUBLE) AS prev_purchase,
+             CAST(round(last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY sec_l, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               AS last_known
+         FROM (SELECT user_id, event_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec_l,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(38,4)) END AS pv
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY sec_l, event_id)
          ORDER BY user_id, event_id""",
 
     // per-user last_type restated independently (win_dedup_latest shape)

@@ -137,6 +137,32 @@ object StreamingOps {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    "stream_stream_left_join" -> ((s, d) => {
+      // LEFT OUTER stream-stream join: every purchase emits, paired
+      // with preceding-30-min clicks when they exist, with NULL click
+      // columns otherwise. Incrementally Spark can only emit the null
+      // row once the watermark proves no matching click can still
+      // arrive — which is why BOTH watermarks and the event-time range
+      // condition are mandatory for outer stream joins (without them
+      // state never expires and null rows never emit). Same
+      // watermarked shape as stream_stream_join; StreamingSpec drives
+      // the incremental null-emission behavior over MemoryStreams.
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("sec").as("pts"))
+        .withWatermark("pts", "30 minutes")
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("sec").as("cts"))
+        .withWatermark("cts", "30 minutes")
+      p.join(c, col("user_id") === col("c_user")
+          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+          && col("cts") <= col("pts"), "left_outer")
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     "stream_sink_pg" -> ((s, d) => {
       // The streaming face of the tool's product: windowed aggregate →
       // exactly-once foreachBatch load into Postgres → read-back. The
@@ -279,6 +305,18 @@ object StreamingOps {
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.secl >= p.secl - 1800 AND c.secl <= p.secl
          ORDER BY p.user_id, purchase_id, click_id""",
+
+    "stream_stream_left_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secl
+           FROM events)
+         SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                c.event_id AS click_id
+         FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.secl >= p.secl - 1800 AND c.secl <= p.secl
+         ORDER BY user_id, purchase_id, click_id NULLS FIRST""",
 
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n,

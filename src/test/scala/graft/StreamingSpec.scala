@@ -115,6 +115,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null rows after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)] // ts, user, pid
+    val clicks = MemoryStream[(Timestamp, Long, Long)]    // ts, user, cid
+    val p = purchases.toDF().toDF("pts", "user_id", "purchase_id")
+      .withWatermark("pts", "10 minutes")
+    val c = clicks.toDF().toDF("cts", "c_user", "click_id")
+      .withWatermark("cts", "10 minutes")
+    val joined = p.join(c,
+      col("user_id") === col("c_user")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"), "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjl_out").start()
+    try {
+      // user 7's purchase has a matching click; user 9's has none. The
+      // null row for user 9 can only emit once the watermark passes
+      // pts + 30min + 10min delay — advance it with a far-future click.
+      clicks.addData((ts(0), 7L, 100L))
+      q.processAllAvailable()
+      purchases.addData((ts(10), 7L, 900L), (ts(10), 9L, 901L))
+      q.processAllAvailable()
+      val before = spark.sql("SELECT count(*) FROM ssjl_out WHERE click_id IS NULL")
+        .head().getLong(0)
+      assert(before === 0L, "null row must NOT emit before watermark expiry")
+      // Push the watermark past expiry. The GLOBAL watermark is the MIN
+      // across both inputs (multipleWatermarkPolicy=min), so BOTH
+      // streams must advance; and a watermark computed in batch N only
+      // evicts (and emits outer nulls) in batch N+1, so a second nudge
+      // batch is required. Nudge users (2/3) never match each other.
+      purchases.addData((ts(600), 2L, 902L))
+      clicks.addData((ts(600), 3L, 999L))
+      q.processAllAvailable()
+      purchases.addData((ts(610), 2L, 903L))
+      clicks.addData((ts(610), 3L, 998L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT purchase_id, click_id FROM ssjl_out ORDER BY purchase_id")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got === Seq((900L, 100L), (901L, -1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch drives the Sink abstraction from a stream") {
     implicit val sqlCtx = spark.sqlContext
     val out = "/tmp/graft_stream_sink_test"

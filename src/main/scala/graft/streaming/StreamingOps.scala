@@ -29,6 +29,33 @@ object StreamingOps {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("sec", secs(col("ts")))
 
+  /** Watermarked purchase↔click interval-join legs, shared by the inner
+    * and left-outer stream-stream keys so the two shapes can never
+    * desynchronize. Both sides declare watermarks and the range rides
+    * the WATERMARKED event-time columns themselves (pts/cts +
+    * INTERVAL) — Spark derives state-store eviction watermarks only
+    * from conditions on event-time columns, so a range on a derived
+    * BIGINT (the round-2 formulation) would keep unbounded state when
+    * run incrementally. Times are second-truncated (`sec`) to match
+    * the oracle's epoch-seconds arithmetic. */
+  private def purchaseClickJoin(s: SparkSession, d: String,
+      joinType: String): DataFrame = {
+    val e = ev(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("pts"))
+      .withWatermark("pts", "30 minutes")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("sec").as("cts"))
+      .withWatermark("cts", "30 minutes")
+    p.join(c, col("user_id") === col("c_user")
+        && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
+        && col("cts") <= col("pts"), joinType)
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, d) => {
       Tables.events(s, d)
@@ -110,58 +137,23 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
-    "stream_stream_join" -> ((s, d) => {
+    "stream_stream_join" -> ((s, d) =>
       // Stream-stream interval join: each purchase pairs with the same
-      // user's clicks in the preceding 30 minutes. Both sides declare
-      // watermarks and the range condition is on the WATERMARKED
-      // event-time columns themselves (pts/cts + INTERVAL) — Spark
-      // derives state-store eviction watermarks only from conditions on
-      // event-time columns, so a range on a derived BIGINT (the round-2
-      // formulation) would keep unbounded state when run incrementally.
-      // This is the exact shape StreamingSpec runs over MemoryStreams.
-      // Times are second-truncated (`sec`) to match the oracle's
-      // epoch-seconds arithmetic.
-      val e = ev(s, d)
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("sec").as("pts"))
-        .withWatermark("pts", "30 minutes")
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("sec").as("cts"))
-        .withWatermark("cts", "30 minutes")
-      p.join(c, col("user_id") === col("c_user")
-          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
-          && col("cts") <= col("pts"))
-        .select(col("user_id"), col("purchase_id"), col("click_id"))
-        .orderBy("user_id", "purchase_id", "click_id")
-    }),
+      // user's clicks in the preceding 30 minutes (shared leg
+      // construction at purchaseClickJoin). This is the exact shape
+      // StreamingSpec runs over MemoryStreams.
+      purchaseClickJoin(s, d, "inner")),
 
-    "stream_stream_left_join" -> ((s, d) => {
-      // LEFT OUTER stream-stream join: every purchase emits, paired
-      // with preceding-30-min clicks when they exist, with NULL click
-      // columns otherwise. Incrementally Spark can only emit the null
-      // row once the watermark proves no matching click can still
-      // arrive — which is why BOTH watermarks and the event-time range
-      // condition are mandatory for outer stream joins (without them
-      // state never expires and null rows never emit). Same
-      // watermarked shape as stream_stream_join; StreamingSpec drives
-      // the incremental null-emission behavior over MemoryStreams.
-      val e = ev(s, d)
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("sec").as("pts"))
-        .withWatermark("pts", "30 minutes")
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-          col("sec").as("cts"))
-        .withWatermark("cts", "30 minutes")
-      p.join(c, col("user_id") === col("c_user")
-          && col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES")
-          && col("cts") <= col("pts"), "left_outer")
-        .select(col("user_id"), col("purchase_id"), col("click_id"))
-        .orderBy("user_id", "purchase_id", "click_id")
-    }),
+    "stream_stream_left_join" -> ((s, d) =>
+      // LEFT OUTER variant: every purchase emits, with NULL click
+      // columns when no click matched. Incrementally Spark can only
+      // emit the null row once the GLOBAL watermark (min across both
+      // inputs) proves no matching click can still arrive — which is
+      // why BOTH watermarks and the event-time range condition are
+      // MANDATORY for outer stream joins (without them state never
+      // expires and null rows never emit). StreamingSpec drives the
+      // incremental null-emission sequence over MemoryStreams.
+      purchaseClickJoin(s, d, "left_outer")),
 
     "stream_sink_pg" -> ((s, d) => {
       // The streaming face of the tool's product: windowed aggregate →

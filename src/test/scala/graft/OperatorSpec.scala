@@ -479,4 +479,40 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getBoolean(2) == (digits.length >= 6))
     }
   }
+
+  test("sim_pq_quantize: centroid vectors quantize to themselves exactly") {
+    // The 16 md5-sampled vectors ARE the codebook, so each must land on
+    // its own code in every subspace with zero reconstruction error —
+    // and nothing else may reach error 0 (distinct vectors can't match
+    // a centroid in all 8 subspaces on this corpus).
+    import org.apache.spark.sql.types.StringType
+    val centIds = Tables.embeddings(spark, Spec.sf001)
+      .select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(16).collect().map(_.getLong(0)).toSet
+    val rows = q("sim_pq_quantize").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val zero = rows.filter(_._3 == 0.0).map(_._1).toSet
+    assert(zero === centIds, "exactly the sampled centroids reconstruct losslessly")
+    // every vector emits all 8 subspace codes in range
+    for ((_, code, err) <- rows) {
+      val parts = code.split("-")
+      assert(parts.length === 8 && parts.forall(p => p.toInt >= 0 && p.toInt < 16))
+      assert(err >= 0.0)
+    }
+  }
+
+  test("sample_weighted: ranks are dense and favor long documents") {
+    val rows = q("sample_weighted").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.map(_._2).distinct.length == rows.length, "sampling is without replacement")
+    // A-Res with w = n_chars must overrepresent long docs: the sample's
+    // mean length should exceed the corpus mean (weak but directional).
+    val corpusMean = Tables.documents(spark, Spec.sf001)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = rows.map(_._3.toDouble).sum / rows.length
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
+  }
 }

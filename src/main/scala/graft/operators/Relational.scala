@@ -644,6 +644,22 @@ object Relational {
         .orderBy("c_nationkey", "metric")
     }),
 
+    "agg_listagg" -> ((s, d) => {
+      // listagg WITHIN GROUP — the SQL-standard ordered string
+      // aggregation (Spark 4's native ListAgg), vs agg_collect_sorted's
+      // collect_list+sort_array idiom. Deterministic because the WITHIN
+      // GROUP order is total (n_name unique per region); per-group
+      // output is bounded (5 nations) — at scale listagg a bounded
+      // group or cap the list, never an unbounded-cardinality group.
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")
+    }),
+
     // ---- §2.6 sort / limit ----
     "sort_multi_nulls" -> ((s, d) => {
       Tables.customer(s, d)
@@ -1043,6 +1059,13 @@ object Relational {
            UNION ALL
            SELECT c_nationkey, 'max_bal', max_bal FROM wide)
          ORDER BY c_nationkey, metric""",
+
+    "agg_listagg" ->
+      """SELECT r_name,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
 
     "sort_multi_nulls" ->
       """SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg, c_acctbal

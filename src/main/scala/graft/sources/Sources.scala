@@ -154,6 +154,30 @@ object Sources {
       s.read.parquet(out).orderBy("n_name")
     }),
 
+    "sink_csv_roundtrip" -> ((s, d) => {
+      // CSV sink + schema'd re-read: the interchange path for systems
+      // that can't read parquet. Doubles survive because Spark writes
+      // the shortest round-tripping decimal and the explicit read
+      // schema (inferSchema stays banned) parses it back to the same
+      // IEEE double; the 4-dp money values here make that exact by
+      // construction.
+      val out = "/tmp/graft_sink_csv"
+      val agg = Tables.region(s, d)
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sumMoney(col("s_acctbal")).as("total_bal"))
+      agg.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(StructType(Seq(
+          StructField("r_name", StringType),
+          StructField("n_suppliers", LongType),
+          StructField("total_bal", DoubleType))))
+        .option("header", "true")
+        .csv(out)
+        .orderBy("r_name")
+    }),
+
     "sink_pg_copy" -> ((s, d) => {
       // The reference's REAL ingest path, runnable offline: DDL from
       // PgDdl, bulk load via psql \copy into a local Postgres 15, then
@@ -217,6 +241,14 @@ object Sources {
         dumpLines.map(l => s"('${l.replace("'", "''")}', ${l.length})")
           .mkString(", ")}) t(value, len)
          ORDER BY value""",
+
+    "sink_csv_roundtrip" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN supplier ON n_nationkey = s_nationkey
+         GROUP BY r_name ORDER BY r_name""",
 
     // Same technique as scan_bz2_text: the oracle is generated from the
     // SAME literal the fixture writes, stating the PERMISSIVE contract —

@@ -201,6 +201,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n" + p.take(2000))
   }
 
+  test("join_existence decorrelates to one semi and one anti join") {
+    // EXISTS / NOT EXISTS must become joins — a plan that re-executes
+    // the subquery per row would be O(N·M) at scale.
+    val p = plan("join_existence")
+    assert(p.contains("Semi"), p.take(2000))
+    assert(p.contains("Anti"), p.take(2000))
+  }
+
+  test("unpivot_long expands AFTER aggregation, not on the fact table") {
+    // Expand must sit above the HashAggregate pair: 25 nation rows × 3
+    // metrics, never customer-table rows × 3.
+    val p = plan("unpivot_long")
+    val expand = p.indexOf("Expand")
+    val agg = p.indexOf("HashAggregate")
+    assert(expand >= 0 && agg >= 0, p.take(1500))
+    // formatted explain lists operators leaf-last; Expand printed before
+    // the aggregate in the tree = applied after it
+    assert(expand < agg, "Expand runs below (before) the aggregate:\n" + p.take(2000))
+  }
+
+  test("agg_filtered computes all conditional aggregates in one exchange") {
+    val p = plan("agg_filtered")
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n" + p.take(2000))
+  }
+
   test("dot_f expression participates in codegen (no CodegenFallback wrapper)") {
     import spark.implicits._
     graft.functions.DotProductF.register(spark)

@@ -274,51 +274,83 @@ object SimOps {
         .orderBy("a", "rnk")
     }),
 
-    "sim_pq_quantize" -> ((s, d) => {
+    "sim_pq_quantize" -> ((s, d) =>
       // Product quantization (PQ) — the vector-COMPRESSION half of a
       // planet-scale similarity index (IVF partitions the corpus,
-      // PQ shrinks what each list stores): each 64-dim float vector
-      // (256 B) quantizes per 8-dim subspace to the nearest of 16
-      // centroids → an 8-code string (8 B, 32×), plus the exact
-      // reconstruction error the compression costs. Centroids are the
-      // deterministic md5-ordered sample (the sim_ann_ivf technique,
-      // k=16 codes/subspace here; production trains 256/subspace with
-      // the Lloyd block above). Shape at 10⁹ vectors: centroids
-      // broadcast; the ×16 code expansion partial-aggregates map-side
-      // to N×8×16 rows before the one (vec,sub,code) shuffle; all
-      // distances accumulate as exact fixed-point longs end-to-end, so
-      // subspace argmins and the error sum are order-independent.
-      val subs = 8
-      val k = 16
+      // PQ shrinks what each list stores). Shared core at pqCodes;
+      // etl_ann_index composes it with the coarse quantizer.
+      pqCodes(s, Tables.embeddings(s, d)).orderBy("vec_id")),
+
+    "etl_ann_index" -> ((s, d) => {
+      // Composed ANN-INDEX BUILD — the vector-side "product" pipeline
+      // (etl_wikidata_pg for dumps, etl_corpus_curate for text,
+      // etl_user_features for events, this for embeddings): per vector,
+      // the coarse IVF cluster (inverted-list id, argmax dot over the
+      // k=64 md5-sampled centroids — sim_ann_ivf's assign0 stage;
+      // production inserts the Lloyd refinement there) AND the 8-byte
+      // PQ code + reconstruction error, in ONE plan. This row set IS
+      // what a 10⁹-vector index persists: search = pick lists by
+      // cluster, score candidates by PQ code. Both centroid tables
+      // broadcast; both ×k expansions collapse map-side before their
+      // single shuffles; the final join co-partitions on vec_id.
+      graft.functions.DotProductF.register(s)
       val emb = Tables.embeddings(s, d)
-      val wC = Window.orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
       val cents = emb
-        .select(col("vec_id").as("cent_vid"), col("embedding").as("ce"))
-        .orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
-        .limit(k) // TakeOrderedAndProject; the window below sees k=16 rows
-        .withColumn("code", row_number().over(wC) - 1)
-        .select(col("code"), posexplode(col("ce")).as(Seq("pos", "cv")))
-      val ex = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      val d2 = ex.join(broadcast(cents), "pos")
-        .withColumn("sub", expr(s"pos div ${64 / subs}"))
-        .withColumn("dd", col("v").cast(DoubleType) - col("cv").cast(DoubleType))
-        .groupBy(col("vec_id"), col("sub"), col("code"))
-        .agg(sum(floor(col("dd") * col("dd") * graft.Det.FixedPoint)
-          .cast(LongType)).as("d2l"))
-      val best = d2.groupBy(col("vec_id"), col("sub"))
-        .agg(expr("min_by(code, struct(d2l, code))").as("bcode"),
-          min(col("d2l")).as("sub_err"))
-      best.groupBy(col("vec_id"))
-        .agg(
-          array_join(expr(
-            "transform(array_sort(collect_list(struct(sub, bcode))), x -> CAST(x.bcode AS STRING))"),
-            "-").as("pq_code"),
-          round(sum(col("sub_err")).cast(DoubleType) / graft.Det.FixedPoint, 4)
-            .as("recon_err"))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
+        .limit(64)
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
+          .as("cluster"))
+      assigned.join(pqCodes(s, emb), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("pq_code"), col("recon_err"))
         .orderBy("vec_id")
     })
   )
+
+  /** (vec_id, pq_code, recon_err) — the PQ core shared by
+    * sim_pq_quantize and etl_ann_index: each 64-dim float vector
+    * (256 B) quantizes per 8-dim subspace to the nearest of 16
+    * centroids → an 8-code string (8 B, 32×), plus the exact
+    * reconstruction error the compression costs. Centroids are the
+    * deterministic md5-ordered sample (the sim_ann_ivf technique,
+    * k=16 codes/subspace here; production trains 256/subspace with the
+    * Lloyd block in sim_ann_ivf). Shape at 10⁹ vectors: centroids
+    * broadcast; the ×16 code expansion partial-aggregates map-side to
+    * N×8×16 rows before the one (vec,sub,code) shuffle; all distances
+    * accumulate as exact fixed-point longs end-to-end, so subspace
+    * argmins and the error sum are order-independent. */
+  private def pqCodes(s: SparkSession, emb: DataFrame): DataFrame = {
+    val subs = 8
+    val k = 16
+    val wC = Window.orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
+    val cents = emb
+      .select(col("vec_id").as("cent_vid"), col("embedding").as("ce"))
+      .orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
+      .limit(k) // TakeOrderedAndProject; the window below sees k=16 rows
+      .withColumn("code", row_number().over(wC) - 1)
+      .select(col("code"), posexplode(col("ce")).as(Seq("pos", "cv")))
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val d2 = ex.join(broadcast(cents), "pos")
+      .withColumn("sub", expr(s"pos div ${64 / subs}"))
+      .withColumn("dd", col("v").cast(DoubleType) - col("cv").cast(DoubleType))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(floor(col("dd") * col("dd") * graft.Det.FixedPoint)
+        .cast(LongType)).as("d2l"))
+    val best = d2.groupBy(col("vec_id"), col("sub"))
+      .agg(expr("min_by(code, struct(d2l, code))").as("bcode"),
+        min(col("d2l")).as("sub_err"))
+    best.groupBy(col("vec_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(sub, bcode))), x -> CAST(x.bcode AS STRING))"),
+          "-").as("pq_code"),
+        round(sum(col("sub_err")).cast(DoubleType) / graft.Det.FixedPoint, 4)
+          .as("recon_err"))
+  }
 
   /** The Planes×Dims (32×64) plane matrix as a DuckDB VALUES list, emitted from the
     * SAME weight() function that bakes the Spark literals — the two
@@ -495,7 +527,41 @@ object SimOps {
     // total order, and the same long-sum reconstruction error. pos is
     // 0-based here to keep `pos // 8` aligned with Spark's posexplode.
     "sim_pq_quantize" ->
-      """WITH cs AS (
+      s"""WITH $pqCtes
+         SELECT vec_id, pq_code, recon_err FROM pq ORDER BY vec_id""",
+
+    // The composed index build: sim_ann_ivf's assign0 stage (sampled
+    // coarse quantizer, plain double-sum dots — same determinism
+    // argument) joined with the shared PQ CTE chain on vec_id.
+    "etl_ann_index" ->
+      s"""WITH $pqCtes,
+         ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         cents0 AS (SELECT vec_id AS cent_id FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+         cev0 AS (SELECT c.cent_id, e.pos, e.v
+                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
+         cdots0 AS (SELECT e.vec_id, c.cent_id, sum(e.v * c.v) AS cdot
+                    FROM ev e JOIN cev0 c ON e.pos = c.pos
+                    GROUP BY 1, 2),
+         assign0 AS (SELECT vec_id, cent_id AS cluster FROM (
+                       SELECT vec_id, cent_id,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cdot DESC, cent_id) AS rn
+                       FROM cdots0)
+                     WHERE rn = 1)
+         SELECT a.vec_id, a.cluster, pq.pq_code, pq.recon_err
+         FROM assign0 a JOIN pq USING (vec_id)
+         ORDER BY a.vec_id"""
+  )
+
+  /** Shared PQ CTE chain (16-centroid md5 sample → 0-based-pos unnest →
+    * fixed-point subspace distances → argmin codes → per-vector code
+    * string + error), used by sim_pq_quantize and etl_ann_index. */
+  private lazy val pqCtes =
+    """cs AS (
            SELECT embedding,
                   row_number() OVER (
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
@@ -518,10 +584,9 @@ object SimOps {
              SELECT vec_id, sub, code, d2l,
                     row_number() OVER (PARTITION BY vec_id, sub
                       ORDER BY d2l, code) AS rn
-             FROM d2) WHERE rn = 1)
-         SELECT vec_id,
-                array_to_string(list(bcode ORDER BY sub), '-') AS pq_code,
-                round(CAST(sum(d2l) AS DOUBLE) / 1099511627776.0, 4) AS recon_err
-         FROM best GROUP BY vec_id ORDER BY vec_id"""
-  )
+             FROM d2) WHERE rn = 1),
+         pq AS (SELECT vec_id,
+                  array_to_string(list(bcode ORDER BY sub), '-') AS pq_code,
+                  round(CAST(sum(d2l) AS DOUBLE) / 1099511627776.0, 4) AS recon_err
+                FROM best GROUP BY vec_id)"""
 }

@@ -414,6 +414,26 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    "agg_sketch_union" -> ((s, d) => {
+      // The 100 TB distinct-counting ARCHITECTURE, not just the
+      // function: per-day HLL sketches are built in one scan, persist
+      // as binary columns, and any later rollup (weekly, all-time)
+      // UNIONS the stored sketches without rescanning events —
+      // hll_union_agg over O(days) rows replaces an O(events) rescan
+      // per reporting window. Like agg_approx_distinct, the sketch is
+      // engine-specific (Apache DataSketches) so there is no DuckDB
+      // oracle; OperatorSpec bounds the estimate against the exact
+      // distinct count instead.
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }),
+
     "agg_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -480,6 +480,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_sketch_union: unioned daily sketches track the exact distinct count") {
+    // lgConfigK=12 → rsd ≈ 1.6%; a 10% bound is far outside noise, so a
+    // failure means the union path (not the sketch) is broken.
+    val approx = q("agg_sketch_union").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, Spec.sf001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, ex) <- exact) {
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.1,
+        s"$k: approx $ap vs exact $ex exceeds 10%")
+    }
+  }
+
   test("sim_pq_quantize: centroid vectors quantize to themselves exactly") {
     // The 16 md5-sampled vectors ARE the codebook, so each must land on
     // its own code in every subspace with zero reconstruction error —

@@ -480,6 +480,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_user_features agrees with win_sessionize per user") {
+    val feats = q("etl_user_features").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap // n_sessions, n_events
+    val sess = q("win_sessionize").collect().groupBy(_.getLong(0))
+    assert(feats.keySet === sess.keySet)
+    for ((u, rows) <- sess) {
+      assert(feats(u)._1 === rows.length.toLong, s"user $u session count")
+      assert(feats(u)._2 === rows.map(_.getLong(2)).sum, s"user $u event count")
+    }
+  }
+
+  test("text_line_dedup keeps exactly one copy of every distinct line") {
+    val rows = q("text_line_dedup").collect()
+    val kept = rows.map(_.getLong(2)).sum
+    val distinctLines = Tables.documents(spark, Spec.sf001)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= lit("")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .selectExpr(
+        """explode(transform(sequence(0, CAST(((size(tk) - 1) div 10) AS INT)),
+             i -> array_join(slice(tk, i * 10 + 1, 10), ' '))) AS line""")
+      .distinct().count()
+    assert(kept === distinctLines,
+      s"kept $kept lines but corpus has $distinctLines distinct lines")
+  }
+
   test("agg_sketch_union: unioned daily sketches track the exact distinct count") {
     // lgConfigK=12 → rsd ≈ 1.6%; a 10% bound is far outside noise, so a
     // failure means the union path (not the sketch) is broken.

@@ -20,6 +20,14 @@ object Verify {
     // The driver never sets it, so the shipped gate always runs ALL keys.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd or stale key name must fail loudly, not verify nothing
+    // with exit 0 — that would read as a clean gate.
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but selects no keys")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>

@@ -93,26 +93,29 @@ object Relational {
       // bucket-aligned files with ZERO Exchange on either side
       // (PlanSpec locks this). This is the 100 TB warehouse shape: pay
       // one write-time shuffle, then every downstream join/agg on that
-      // key is shuffle-free forever. The fixture writes the bucketed
-      // twins per run (idempotent overwrite); production would
-      // maintain them as the canonical stored tables.
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
-      s.sql("DROP TABLE IF EXISTS g_orders_bkt")
-      s.sql("DROP TABLE IF EXISTS g_customer_bkt")
-      Tables.orders(s, d).write.format("parquet")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/orders").mode("overwrite")
-        .saveAsTable("g_orders_bkt")
-      Tables.customer(s, d).write.format("parquet")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$wh/customer").mode("overwrite")
-        .saveAsTable("g_customer_bkt")
+      // key is shuffle-free forever. The bucketed twins are written
+      // once per session per scale dir (names and paths tagged by the
+      // dir so scale factors never alias); re-invocations — Bench's 3
+      // passes, every spec that touches the key — reuse the catalog
+      // entry instead of paying the rewrite. Production would maintain
+      // them as the canonical stored tables.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      def ensureBucketed(tbl: String, df: => DataFrame, key: String,
+                         path: String): Unit =
+        if (!s.catalog.tableExists(tbl))
+          df.write.format("parquet")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", path).mode("overwrite").saveAsTable(tbl)
+      ensureBucketed(s"g_orders_bkt_$tag", Tables.orders(s, d),
+        "o_custkey", s"/tmp/graft_bucketed/$tag/orders")
+      ensureBucketed(s"g_customer_bkt_$tag", Tables.customer(s, d),
+        "c_custkey", s"/tmp/graft_bucketed/$tag/customer")
       // MERGE hint: at fixture scale AQE would broadcast the customer
       // side, which hides the property this key exists to prove (and
       // PlanSpec locks) — bucket-aligned SMJ with no join-side shuffle.
       // At 100 TB both sides exceed broadcast anyway; SMJ is the plan.
-      s.table("g_orders_bkt")
-        .join(s.table("g_customer_bkt").hint("MERGE"),
+      s.table(s"g_orders_bkt_$tag")
+        .join(s.table(s"g_customer_bkt_$tag").hint("MERGE"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),

@@ -138,10 +138,16 @@ object SampleOps {
       // rank window then runs over just the k survivors. The key is
       // floored onto a 2³⁰ grid so the single libm call (ln) can never
       // flip a rank cross-engine (the text_perplexity argument);
-      // doc_id breaks residual grid ties.
+      // doc_id breaks residual grid ties. The 12-hex prefix is clamped
+      // to ≥1 before the 2⁻⁴⁸ scale: an all-zero prefix (p≈2⁻⁴⁸/doc)
+      // would make u=0 and -ln(u)=∞ — Spark's cast saturates to
+      // Long.MaxValue but the oracle's CAST(inf AS BIGINT) aborts, so
+      // the clamp (exact in both engines: ints ≤2⁴⁸ and the power-of-2
+      // divisor are exactly representable) keeps the pair total.
       val u = expr(
-        """CAST(conv(substring(md5(concat('wrs:', CAST(doc_id AS STRING))),
-             1, 12), 16, 10) AS DOUBLE) / 281474976710656.0""")
+        """greatest(CAST(conv(substring(md5(concat('wrs:',
+             CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DOUBLE), 1.0)
+           / 281474976710656.0""")
       val grid = (1L << 30).toDouble
       val picked = Tables.documents(s, d)
         .filter(col("n_chars") > 0)
@@ -228,12 +234,12 @@ object SampleOps {
                     CAST(floor(-ln(u) / n_chars * 1073741824.0) AS BIGINT) AS k
              FROM (
                SELECT doc_id, n_chars,
-                      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      greatest(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                         [strpos('0123456789abcdef',
                                 substring(md5('wrs:' || CAST(doc_id AS VARCHAR)),
                                           CAST(i AS INTEGER), 1)) - 1
                          FOR i IN range(1, 13)]),
-                        (acc, x) -> acc * 16 + x) AS DOUBLE)
+                        (acc, x) -> acc * 16 + x) AS DOUBLE), 1.0)
                         / 281474976710656.0 AS u
                FROM documents WHERE n_chars > 0)))
          WHERE rn <= 30 ORDER BY rn"""

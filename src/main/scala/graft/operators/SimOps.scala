@@ -145,10 +145,7 @@ object SimOps {
       graft.functions.DotProductF.register(s)
       val emb = Tables.embeddings(s, d)
       val k = 64
-      val cents0 = emb
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
-        .limit(k)
+      val cents0 = sampleCentroids(emb, k)
       // Seeded k-means refinement (one Lloyd round): assign every vector
       // to its nearest sampled centroid, replace each centroid with its
       // cluster mean. Means accumulate in order-independent fixed-point
@@ -158,13 +155,7 @@ object SimOps {
       // same O(N·k) map-side shape as assignment itself; more rounds
       // repeat this block (converged centroids cut the cross-cluster
       // leakage that costs recall at fixed nprobe).
-      val assign0 = emb.join(broadcast(cents0))
-        .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-            .as("cluster"),
-          first(col("embedding")).as("embedding"))
+      val assign0 = coarseAssign(emb, cents0, carryEmb = true)
       val cents = assign0
         .select(col("cluster").as("cent_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -175,14 +166,7 @@ object SimOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"),
           expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
-      val assigned = emb.join(broadcast(cents))
-        .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
-        .groupBy(col("vec_id"))
-        .agg(
-          // total order (unique cent_id) → deterministic argmax
-          max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-            .as("cluster"),
-          first(col("embedding")).as("embedding"))
+      val assigned = coarseAssign(emb, cents, carryEmb = true)
       // Multi-probe (nprobe=28): a probe searches its 28 nearest
       // centroids' inverted lists, not just the argmax one — the
       // standard IVF recall lever (recall@3 ~0.23 at nprobe=1 on this
@@ -295,20 +279,40 @@ object SimOps {
       // single shuffles; the final join co-partitions on vec_id.
       graft.functions.DotProductF.register(s)
       val emb = Tables.embeddings(s, d)
-      val cents = emb
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
-        .limit(64)
-      val assigned = emb.join(broadcast(cents))
-        .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cent_id"), struct(col("cdot"), -col("cent_id")))
-          .as("cluster"))
+      val assigned =
+        coarseAssign(emb, sampleCentroids(emb, 64), carryEmb = false)
       assigned.join(pqCodes(s, emb), "vec_id")
         .select(col("vec_id"), col("cluster"), col("pq_code"), col("recon_err"))
         .orderBy("vec_id")
     })
   )
+
+  /** k smallest md5(cent_id) as (cent_id, cent_emb) — the deterministic
+    * uniform centroid sample whose size is independent of table
+    * cardinality (TakeOrderedAndProject: per-partition heap of k, no
+    * full sort). Shared by sim_ann_ivf and etl_ann_index so their
+    * coarse quantizers can never drift apart. */
+  private def sampleCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
+      .limit(k)
+
+  /** Nearest-centroid assignment: one broadcast product over the k
+    * centroids with a map-side max_by — the ×k expansion collapses
+    * BEFORE any shuffle (partial aggregation), so cost is O(N·k)
+    * compute and O(N) shuffle bytes. The (cdot, -cent_id) struct is a
+    * total order (cent_id unique) → deterministic argmax. carryEmb
+    * keeps the vector alongside its cluster for downstream stages. */
+  private def coarseAssign(emb: DataFrame, cents: DataFrame,
+                           carryEmb: Boolean): DataFrame = {
+    val g = emb.join(broadcast(cents))
+      .withColumn("cdot", expr("dot_f(embedding, cent_emb)"))
+      .groupBy(col("vec_id"))
+    val cluster =
+      max_by(col("cent_id"), struct(col("cdot"), -col("cent_id"))).as("cluster")
+    if (carryEmb) g.agg(cluster, first(col("embedding")).as("embedding"))
+    else g.agg(cluster)
+  }
 
   /** (vec_id, pq_code, recon_err) — the PQ core shared by
     * sim_pq_quantize and etl_ann_index: each 64-dim float vector
@@ -532,19 +536,17 @@ object SimOps {
 
     // The composed index build: sim_ann_ivf's assign0 stage (sampled
     // coarse quantizer, plain double-sum dots — same determinism
-    // argument) joined with the shared PQ CTE chain on vec_id.
+    // argument) joined with the shared PQ CTE chain on vec_id. The
+    // coarse dots reuse pqCtes' vexp unnest (its 0-based pos is
+    // irrelevant to the pos = pos join) rather than re-unnesting.
     "etl_ann_index" ->
       s"""WITH $pqCtes,
-         ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
-             SELECT vec_id, unnest(embedding) AS v,
-                    unnest(range(1, len(embedding)+1)) AS pos
-             FROM embeddings)),
          cents0 AS (SELECT vec_id AS cent_id FROM embeddings
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
          cev0 AS (SELECT c.cent_id, e.pos, e.v
-                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
+                  FROM cents0 c JOIN vexp e ON e.vec_id = c.cent_id),
          cdots0 AS (SELECT e.vec_id, c.cent_id, sum(e.v * c.v) AS cdot
-                    FROM ev e JOIN cev0 c ON e.pos = c.pos
+                    FROM vexp e JOIN cev0 c ON e.pos = c.pos
                     GROUP BY 1, 2),
          assign0 AS (SELECT vec_id, cent_id AS cluster FROM (
                        SELECT vec_id, cent_id,

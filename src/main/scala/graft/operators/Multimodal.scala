@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -42,6 +43,24 @@ object Multimodal {
           col("m.meta.source").as("source"),
           col("m.meta.n_chars").as("n_chars"),
           size(col("m.embedding")).as("dim"))
+        .orderBy("doc_id")
+    }),
+
+    "multimodal_digest" -> ((s, d) => {
+      // Content addressing over the opaque media column: sha-256 of the
+      // raw bytes is the storage key a multimodal lake dedups on
+      // (identical image/audio payloads collapse to one stored object
+      // regardless of metadata). Per blob: digest, size, and the
+      // first-writer-wins canonical flag (lowest doc_id per digest) —
+      // the row set a CAS ingest persists. Map-side hash + one
+      // digest-partitioned window; at 100 TB the window input is
+      // (digest, doc_id) pairs only, never the payload bytes.
+      val w = Window.partitionBy("digest").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+        .select(col("doc_id"), sha2(col("media"), 256).as("digest"),
+          length(col("media")).as("n_bytes"))
+        .withColumn("is_canonical", row_number().over(w) === 1)
         .orderBy("doc_id")
     }),
 
@@ -97,6 +116,16 @@ object Multimodal {
          FROM documents JOIN embeddings ON doc_id = vec_id
          WHERE lang = 'en' AND len(embedding) = 64
          ORDER BY doc_id""",
+
+    // DuckDB sha256 hashes the VARCHAR's UTF-8 bytes; the corpus is
+    // pure ASCII (the multimodal_decode argument), so those are exactly
+    // the bytes Spark's BINARY cast hashes — identical lowercase hex.
+    "multimodal_digest" ->
+      """SELECT doc_id, sha256(text) AS digest,
+             CAST(length(text) AS INTEGER) AS n_bytes,
+             (row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+              = 1) AS is_canonical
+         FROM documents ORDER BY doc_id""",
 
     // Mirrors the byte-window sampling + rolling checksum exactly. The
     // corpus is pure ASCII (verified: octet_length(encode(text)) =

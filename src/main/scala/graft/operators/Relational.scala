@@ -220,6 +220,37 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    "join_range_bucketed" -> ((s, d) => {
+      // PURE interval containment — no equi key at all, the case
+      // join_range_interval can't cover (Spark would plan a
+      // BroadcastNestedLoopJoin: every point × every interval). The
+      // scale shape is bucketization: each interval EXPLODES into the
+      // coarse 7-day buckets it overlaps (intervals are 14 days → ≤3
+      // buckets each), each point maps to exactly ONE bucket, and the
+      // candidate join becomes a plain equi-join on bucket followed by
+      // the exact containment filter. A point meets an interval in at
+      // most one bucket (its own), so no post-join dedup is needed.
+      // Here the interval side is tiny → broadcast hash join, zero
+      // shuffle on the fact table; with a LARGE interval table the same
+      // plan shuffles both sides on bucket — either way cost scales
+      // with bucket co-occupancy, never |points|×|intervals|.
+      val iv = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("win_id"), col("o_orderdate").as("ws"),
+          date_add(col("o_orderdate"), 14).as("we")) // exclusive end
+        .withColumn("bucket", explode(sequence(
+          expr("datediff(ws, DATE '1992-01-01') div 7"),
+          expr("datediff(date_sub(we, 1), DATE '1992-01-01') div 7"))))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_shipdate"),
+          expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("bucket"))
+      broadcast(iv).join(pts, "bucket")
+        .filter(col("l_shipdate") >= col("ws") && col("l_shipdate") < col("we"))
+        .groupBy(col("win_id"), col("ws"))
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy("win_id")
+    }),
+
     "join_asof_native" -> ((s, d) => {
       // Same as-of semantics as join_asof, but through the NATIVE
       // operator (graft.plans.AsOfJoin: logical node → strategy →
@@ -540,6 +571,37 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    "agg_regression" -> ((s, d) => {
+      // Linear-regression aggregate family (regr_slope / regr_intercept
+      // / regr_r2 in Postgres/DuckDB terms), per group. Same scale
+      // discipline as agg_stats_corr: the five power sums accumulate as
+      // exact order-independent decimals in ONE partial-aggregated
+      // shuffle, then the closed forms run as one identical IEEE double
+      // expression in both engines — the built-in regr_* aggregates
+      // fold doubles in partition order and can't cross a hash gate.
+      val x = expr("try_cast(l_quantity AS DECIMAL(18,4))")
+      val y = expr("try_cast(l_extendedprice AS DECIMAL(18,4))")
+      val sums = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"),
+          sum(x * y).cast(DoubleType).as("sxy"))
+      val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = cxy / vx
+      sums.select(
+        col("l_returnflag"), col("n").cast(LongType).as("n"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
+        round(cxy * cxy / (vx * vy), 4).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_mode" -> ((s, d) => {
       // Deterministic mode: built-in mode() breaks ties arbitrarily in
       // both engines, so the count+rank formulation pins ties to the
@@ -838,6 +900,18 @@ object Relational {
            ON s_acctbal > p_retailprice AND s_acctbal <= p_retailprice * 3.0
          ORDER BY p_partkey, s_suppkey""",
 
+    // The oracle states the containment semantics directly (DuckDB is
+    // free to nested-loop 16 intervals); bucketization is the Spark
+    // side's scale strategy, not part of the answer.
+    "join_range_bucketed" ->
+      """SELECT a.o_orderkey AS win_id, a.o_orderdate AS ws,
+             count(*) AS n_shipped
+         FROM orders a JOIN lineitem b
+           ON b.l_shipdate >= a.o_orderdate
+          AND b.l_shipdate < a.o_orderdate + INTERVAL 14 DAY
+         WHERE a.o_orderkey % 997 = 0
+         GROUP BY 1, 2 ORDER BY win_id""",
+
     "join_range_interval" ->
       """SELECT a.o_custkey AS custkey, count(*) AS n_pairs
          FROM orders a JOIN orders b
@@ -982,6 +1056,31 @@ object Relational {
                 round(((sqp - sq * sp / n) / (n - 1))
                       / (sqrt((sqq - sq * sq / n) / (n - 1))
                          * sqrt((spp - sp * sp / n) / (n - 1))), 4) AS corr_qp
+         FROM sums ORDER BY l_returnflag""",
+
+    // Same exact-decimal power sums as agg_stats_corr; the closed forms
+    // below are written in the SAME operation order as the Spark side
+    // (n·Σxy − ΣxΣy etc.) so both engines run one identical IEEE
+    // double expression over identical inputs.
+    "agg_regression" ->
+      """WITH sums AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                         * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n, 4) AS intercept,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
          FROM sums ORDER BY l_returnflag""",
 
     "agg_mode" ->

@@ -210,6 +210,38 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    "win_funnel" -> ((s, d) => {
+      // Ordered conversion funnel (view → click → purchase): a user
+      // reaches stage k only via an event of that type STRICTLY AFTER
+      // their stage-(k−1) time — the product-analytics funnel, not
+      // three independent counts. Each stage is min-timestamp
+      // conditional aggregation joined to the previous stage's
+      // survivors; all three aggregates and both joins key on user_id,
+      // so after the first exchange every stage reuses the same hash
+      // partitioning, and each stage's input shrinks to its survivors
+      // (monotone — the 100 TB funnel costs one fact shuffle plus two
+      // survivor-sized joins). Seconds truncation per the oracle
+      // discipline; strict > on whole seconds in both engines.
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), epochS(col("ts")).as("sec"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("sec")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("sec") > col("t1"))
+        .groupBy("user_id").agg(min(col("sec")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("sec") > col("t2"))
+        .groupBy("user_id").agg(min(col("sec")).as("t3"))
+      def stage(df: DataFrame, k: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(k).cast(IntegerType).as("stage"),
+            lit(name).as("event_type"), col("n_users"))
+      stage(t1, 1, "view")
+        .unionAll(stage(t2, 2, "click"))
+        .unionAll(stage(t3, 3, "purchase"))
+        .orderBy("stage")
+    }),
+
     "etl_user_features" -> ((s, d) => {
       // Composed feature-store build: raw event log → sessionization →
       // per-session rollup → per-user feature row (event counts by
@@ -245,6 +277,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+           FROM events),
+         t1 AS (SELECT user_id, min(sec) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.sec) AS t2
+                FROM ev e JOIN t1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.sec > t1.t1 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.sec) AS t3
+                FROM ev e JOIN t2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.sec > t2.t2 GROUP BY 1)
+         SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type,
+                count(*) AS n_users FROM t1
+         UNION ALL SELECT 2, 'click', count(*) FROM t2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM t3
+         ORDER BY stage""",
+
     // same SQL as win_topk_per_group — the native aggregate must agree
     // with the rank-window formulation row for row
     "win_topk_native" ->

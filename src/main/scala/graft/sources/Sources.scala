@@ -125,6 +125,31 @@ object Sources {
         .orderBy("l_returnflag")
     }),
 
+    "scan_schema_merge" -> ((s, d) => {
+      // Schema evolution on read: a 100 TB lake's files were written
+      // over years by evolving jobs — newer files carry columns older
+      // ones lack. mergeSchema reconciles them at plan time (footer
+      // union, no data rewrite); rows from pre-evolution files surface
+      // the new column as NULL. Two generations materialized once per
+      // sf dir: v1 (key, name), v2 adds r_len. mergeSchema is opt-in
+      // because footer-merging 10⁶ files costs a driver pass — enable
+      // it per-read like this, not globally.
+      val path = "/tmp/graft_schemamerge_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!Stage.exists(s, s"$path/v2/_SUCCESS")) {
+        Tables.region(s, d)
+          .select(lit(1).cast(IntegerType).as("v"),
+            col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").parquet(s"$path/v1")
+        Tables.region(s, d)
+          .select(lit(2).cast(IntegerType).as("v"),
+            col("r_regionkey"), col("r_name"),
+            length(col("r_name")).cast(IntegerType).as("r_len"))
+          .write.mode("overwrite").parquet(s"$path/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .orderBy("v", "r_regionkey")
+    }),
+
     "scan_orc" -> ((s, d) => {
       // Second columnar format: vectorized ORC scan with predicate
       // pushdown — the same scan contract as parquet. The sample is
@@ -276,6 +301,16 @@ object Sources {
              CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE year(l_shipdate) = 1996
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // The v1 generation never wrote r_len → NULL, exactly what the
+    // merged read surfaces for pre-evolution files.
+    "scan_schema_merge" ->
+      """SELECT CAST(1 AS INTEGER) AS v, r_regionkey, r_name,
+             CAST(NULL AS INTEGER) AS r_len FROM region
+         UNION ALL
+         SELECT 2, r_regionkey, r_name, CAST(length(r_name) AS INTEGER)
+         FROM region
+         ORDER BY v, r_regionkey""",
 
     "scan_orc" ->
       """SELECT r_name, count(*) AS n_nations

@@ -545,6 +545,56 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("win_funnel: stage counts are monotone non-increasing") {
+    val rows = q("win_funnel").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)).toSeq ===
+      Seq((1, "view"), (2, "click"), (3, "purchase")))
+    // strictly-ordered funnel: every stage-k survivor reached stage k-1
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3,
+      s"funnel must narrow: ${rows.toSeq}")
+    assert(rows(0)._3 > 0, "some user views at sf0.001")
+  }
+
+  test("join_range_bucketed agrees with the direct containment join") {
+    // Bucketization is a candidate-generation strategy; it must be
+    // invisible in the answer. Replay the semantics as a plain range
+    // join (fine at spec scale) and compare row for row.
+    val got = q("join_range_bucketed").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    val iv = Tables.orders(spark, Spec.sf001)
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey").as("win_id"), col("o_orderdate").as("ws"),
+        date_add(col("o_orderdate"), 14).as("we"))
+    val direct = iv.join(Tables.lineitem(spark, Spec.sf001),
+        col("l_shipdate") >= col("ws") && col("l_shipdate") < col("we"))
+      .groupBy("win_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === direct)
+  }
+
+  test("multimodal_digest: exactly one canonical blob per digest") {
+    val rows = q("multimodal_digest").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    val byDigest = rows.groupBy(_._2)
+    assert(byDigest.forall { case (_, g) => g.count(_._4) == 1 })
+    // the canonical row is the lowest doc_id of its digest group
+    for ((_, g) <- byDigest)
+      assert(g.filter(_._4).head._1 === g.map(_._1).min)
+    assert(rows.forall { case (_, dg, n, _) => dg.length == 64 && n >= 0 })
+  }
+
+  test("agg_regression r2 equals corr^2 from agg_stats_corr") {
+    val r2 = q("agg_regression").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val corr = q("agg_stats_corr").collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(r2.keySet === corr.keySet)
+    for ((k, v) <- r2)
+      assert(math.abs(v - corr(k) * corr(k)) < 2e-3,
+        s"$k: r2 $v vs corr^2 ${corr(k) * corr(k)}")
+  }
+
   test("sample_weighted: ranks are dense and favor long documents") {
     val rows = q("sample_weighted").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -227,6 +227,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n" + p.take(2000))
   }
 
+  test("join_range_bucketed plans a hash join on bucket, never a nested loop") {
+    // The key exists to prove pure-interval containment does NOT become
+    // BroadcastNestedLoopJoin: bucketization turns it into an equi join.
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("dot_f expression participates in codegen (no CodegenFallback wrapper)") {
     import spark.implicits._
     graft.functions.DotProductF.register(spark)

@@ -242,6 +242,101 @@ object Windows {
         .orderBy("stage")
     }),
 
+    "etl_scd2" -> ((s, d) => {
+      // Slowly-changing-dimension type 2 build: effective-date a change
+      // stream into versioned history rows — per key, version number,
+      // valid_from, valid_to (= next change's date, NULL while
+      // current), is_current. The warehouse-merge shape without a
+      // table format: one (custkey → orderdate, orderkey) window
+      // provides rn AND lead in the same sort; at 100 TB it is one
+      // exchange over the change stream, no self-join. Tracked
+      // attribute rides along (order's total price as the "balance").
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), money(dec(col("o_totalprice"))).as("attr"))
+        .withColumn("version", row_number().over(w).cast(IntegerType))
+        .withColumn("valid_from", col("o_orderdate"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_custkey"), col("version"), col("attr"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
+    "etl_cdc_apply" -> ((s, d) => {
+      // Apply a CDC change log to produce the current snapshot:
+      // latest-wins per key by (event time, event_id), where the latest
+      // op decides existence (delete → row absent) and carries the
+      // current value. signup=insert, click/view=update, error=delete.
+      // ONE total-ordered max_by aggregate per user — the MERGE shape
+      // at 100 TB is a single hash shuffle of the log, no join against
+      // the snapshot, no window sort. The struct argmax merges
+      // commutatively across partitions (total order: sec, event_id).
+      val ops = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "click", "view", "error"))
+        .select(col("user_id"), col("event_id"),
+          epochS(col("ts")).as("sec"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          dec(col("value")).as("v"))
+      ops.groupBy(col("user_id"))
+        .agg(
+          expr("max_by(op, struct(sec, event_id))").as("last_op"),
+          expr("max_by(v, struct(sec, event_id))").as("lv"),
+          max(col("sec")).as("last_sec"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last_op") =!= "delete")
+        .select(col("user_id"), money(col("lv")).as("value"),
+          col("last_sec"), col("n_changes"))
+        .orderBy("user_id")
+    }),
+
+    "win_gap_fill" -> ((s, d) => {
+      // Calendar densify + zero-fill: per customer, one row for EVERY
+      // month between their first and last order, missing months at
+      // 0 — the gap-fill a time-series feature build needs (a model
+      // reading "no row" can't tell silence from missing data). The
+      // month spine generates from each key's own [min, max] span
+      // (sequence + explode — never a driver-side calendar), so spine
+      // size is Σ per-key spans, and the left join back to actuals is
+      // key-partitioned. Month arithmetic stays on month-truncated
+      // DATEs: add_months on day-1 dates is identical in both engines.
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        trunc(col("o_orderdate"), "month").as("m"),
+        dec(col("o_totalprice")).as("p"))
+      val actual = o.groupBy(col("o_custkey"), col("m"))
+        .agg(sum(col("p")).as("m_total_d"))
+      val spine = o.groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("s"), max(col("m")).as("e"))
+        .select(col("o_custkey"), col("s"),
+          explode(sequence(lit(0),
+            expr("CAST(months_between(e, s) AS INT)"))).as("i"))
+        .select(col("o_custkey"), expr("add_months(s, i)").as("m"))
+      spine.join(actual, Seq("o_custkey", "m"), "left")
+        .select(col("o_custkey"), col("m"),
+          money(coalesce(col("m_total_d"), lit(0).cast(Money))).as("m_total"))
+        .orderBy("o_custkey", "m")
+    }),
+
+    "agg_retention" -> ((s, d) => {
+      // Cohort retention: users grouped by first-activity week; for
+      // each week offset k, how many of the cohort were active k weeks
+      // later. Two aggregates and a join, ALL keyed on user_id until
+      // the final small (cohort, offset) rollup — the 100 TB shape is
+      // one fact shuffle + one broadcast-sized output. Weeks are
+      // epoch-second div 7·86400 (fixed epoch anchor, no locale).
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), epochS(col("ts")).as("sec"))
+        .select(col("user_id"), expr("sec div 604800").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("c_wk"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("c_wk"), (col("wk") - col("c_wk")).as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("c_wk", "wk_offset")
+    }),
+
     "etl_user_features" -> ((s, d) => {
       // Composed feature-store build: raw event log → sessionization →
       // per-session rollup → per-user feature row (event counts by
@@ -277,6 +372,76 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      """SELECT o_custkey, CAST(version AS INTEGER) AS version, attr,
+             valid_from, valid_to, is_current FROM (
+           SELECT o_custkey,
+                  row_number() OVER w AS version,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(38,4)), 4)
+                    AS DOUBLE) AS attr,
+                  o_orderdate AS valid_from,
+                  lead(o_orderdate) OVER w AS valid_to,
+                  (lead(o_orderdate) OVER w IS NULL) AS is_current
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey))
+         ORDER BY o_custkey, version""",
+
+    // row_number over (sec DESC, event_id DESC) replays max_by's
+    // (sec, event_id) struct argmax exactly.
+    "etl_cdc_apply" ->
+      """WITH ops AS (
+           SELECT user_id, event_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                  CASE WHEN event_type = 'error' THEN 'delete'
+                       ELSE 'upsert' END AS op,
+                  CAST(value AS DECIMAL(38,4)) AS v
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'view', 'error')),
+         ranked AS (
+           SELECT user_id, op, v,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY sec DESC, event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_changes,
+                  max(sec) OVER (PARTITION BY user_id) AS last_sec
+           FROM ops)
+         SELECT user_id, CAST(round(v, 4) AS DOUBLE) AS value,
+                last_sec, n_changes
+         FROM ranked WHERE rn = 1 AND op <> 'delete'
+         ORDER BY user_id""",
+
+    "win_gap_fill" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  CAST(o_totalprice AS DECIMAL(38,4)) AS p
+           FROM orders),
+         actual AS (SELECT o_custkey, m, sum(p) AS m_total_d
+                    FROM o GROUP BY 1, 2),
+         bounds AS (SELECT o_custkey, min(m) AS s, max(m) AS e
+                    FROM o GROUP BY 1),
+         spine AS (SELECT o_custkey,
+                          CAST(unnest(generate_series(
+                            CAST(s AS TIMESTAMP), CAST(e AS TIMESTAMP),
+                            INTERVAL 1 MONTH)) AS DATE) AS m
+                   FROM bounds)
+         SELECT sp.o_custkey, sp.m,
+                CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
+         FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
+         ORDER BY o_custkey, m""",
+
+    "agg_retention" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 604800 AS wk
+           FROM events),
+         cohort AS (SELECT user_id, min(wk) AS c_wk FROM ev GROUP BY 1)
+         SELECT c.c_wk, e.wk - c.c_wk AS wk_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM ev e JOIN cohort c USING (user_id)
+         GROUP BY 1, 2 ORDER BY c_wk, wk_offset""",
+
     "win_funnel" ->
       """WITH ev AS (
            SELECT user_id, event_type,

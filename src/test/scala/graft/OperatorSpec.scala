@@ -595,6 +595,71 @@ class OperatorSpec extends AnyFunSuite {
         s"$k: r2 $v vs corr^2 ${corr(k) * corr(k)}")
   }
 
+  test("etl_scd2: one current version per key, ranges chain without gaps") {
+    val rows = q("etl_scd2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.get(3),
+        Option(r.get(4)), r.getBoolean(5)))
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      assert(sorted.count(_._5) == 1, "exactly one current row per key")
+      assert(sorted.last._5 && sorted.last._4.isEmpty,
+        "the last version is the open-ended current one")
+      // each version closes exactly where the next opens
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(a._4.contains(b._3), s"range chain broken: $a -> $b")
+    }
+  }
+
+  test("etl_cdc_apply: delete-last users are absent, upsert-last present") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec").desc, col("event_id").desc)
+    val lastOps = Tables.events(spark, Spec.sf001)
+      .filter(col("event_type").isin("signup", "click", "view", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Det.epochS(col("ts")).as("sec"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val snapshot = q("etl_cdc_apply").collect().map(_.getLong(0)).toSet
+    for ((u, op) <- lastOps)
+      assert(snapshot.contains(u) == (op != "error"),
+        s"user $u last op $op vs snapshot ${snapshot.contains(u)}")
+  }
+
+  test("win_gap_fill: dense month spine, zero rows only where no orders") {
+    val rows = q("win_gap_fill").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val months = g.map(_._2).sortBy(_.toEpochDay)
+      // consecutive first-of-month dates with no gaps
+      for (Array(a, b) <- months.sliding(2).map(_.toArray))
+        assert(b == a.plusMonths(1), s"gap in spine: $a -> $b")
+      assert(months.forall(_.getDayOfMonth == 1))
+    }
+    // zero-filled months exist (the key's reason to exist) and endpoints
+    // are never zero-filled (they anchor each key's span)
+    assert(rows.exists(_._3 == 0.0), "fixture has month gaps to fill")
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2.toEpochDay)
+      assert(sorted.head._3 > 0.0 && sorted.last._3 > 0.0)
+    }
+  }
+
+  test("agg_retention: offset-0 cell equals cohort size") {
+    val rows = q("agg_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 >= 0), "offsets are non-negative")
+    val cohortSizes = Tables.events(spark, Spec.sf001)
+      .select(col("user_id"), Det.epochS(col("ts")).as("sec"))
+      .select(col("user_id"), expr("sec div 604800").as("wk"))
+      .groupBy("user_id").agg(min(col("wk")).as("c_wk"))
+      .groupBy("c_wk").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zeroCells = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(zeroCells === cohortSizes,
+      "every cohort member is active in their own first week")
+  }
+
   test("sample_weighted: ranks are dense and favor long documents") {
     val rows = q("sample_weighted").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

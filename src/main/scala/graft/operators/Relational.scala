@@ -251,6 +251,36 @@ object Relational {
         .orderBy("win_id")
     }),
 
+    "join_interval_overlap" -> ((s, d) => {
+      // Interval×interval OVERLAP join (both sides are ranges — the
+      // genomics/session-overlap case), again with no equi key. Same
+      // bucketization as join_range_bucketed, but BOTH sides explode
+      // into their covered 7-day buckets, so an overlapping pair can
+      // co-occur in several buckets. Exactly-once emission comes from
+      // bucket OWNERSHIP instead of a post-join dedup shuffle: two
+      // intervals overlap iff both contain max(s1, s2), so the pair is
+      // counted only in THAT point's bucket — a codegen'd filter, no
+      // distinct. Cost scales with per-bucket co-occupancy; intervals
+      // spanning b buckets appear b times (b ≤ 4 here), the standard
+      // space/shuffle trade.
+      val o = Tables.orders(s, d)
+      def side(mod: Int, days: Int, p: String) = o
+        .filter(col("o_custkey") % mod === 0)
+        .select(col("o_orderkey").as(s"${p}_id"),
+          col("o_orderdate").as(s"s$p"),
+          expr(s"o_orderdate + INTERVAL $days DAY").as(s"e$p"))
+        .withColumn("bucket", explode(sequence(
+          expr(s"datediff(s$p, DATE '1992-01-01') div 7"),
+          expr(s"datediff(e$p - INTERVAL 1 DAY, DATE '1992-01-01') div 7"))))
+      side(31, 21, "a").join(side(37, 14, "b"), "bucket")
+        .filter(col("sa") < col("eb") && col("sb") < col("ea")
+          && col("bucket") ===
+             expr("datediff(greatest(sa, sb), DATE '1992-01-01') div 7"))
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("a_id")
+    }),
+
     "join_asof_native" -> ((s, d) => {
       // Same as-of semantics as join_asof, but through the NATIVE
       // operator (graft.plans.AsOfJoin: logical node → strategy →
@@ -899,6 +929,19 @@ object Relational {
          JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey < 50) s
            ON s_acctbal > p_retailprice AND s_acctbal <= p_retailprice * 3.0
          ORDER BY p_partkey, s_suppkey""",
+
+    // Plain overlap predicate — ownership-bucket candidate generation
+    // is the Spark side's strategy, invisible in the answer.
+    "join_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_id, o_orderdate AS sa,
+                        o_orderdate + INTERVAL 21 DAY AS ea
+                    FROM orders WHERE o_custkey % 31 = 0),
+         b AS (SELECT o_orderkey AS b_id, o_orderdate AS sb,
+                      o_orderdate + INTERVAL 14 DAY AS eb
+               FROM orders WHERE o_custkey % 37 = 0)
+         SELECT a_id, count(*) AS n_overlaps
+         FROM a JOIN b ON sa < eb AND sb < ea
+         GROUP BY 1 ORDER BY a_id""",
 
     // The oracle states the containment semantics directly (DuckDB is
     // free to nested-loop 16 intervals); bucketization is the Spark

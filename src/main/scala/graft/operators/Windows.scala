@@ -337,6 +337,32 @@ object Windows {
         .orderBy("c_wk", "wk_offset")
     }),
 
+    "agg_rolling_dau" -> ((s, d) => {
+      // DAU + rolling 7-day WAU per day. Sliding-window COUNT DISTINCT
+      // does not decompose into window frames (distinct isn't
+      // subtractable), so the scale idiom is contribution explosion:
+      // dedup to (user, day) pairs once, then each pair contributes to
+      // the 7 window-days it falls in and a plain count(distinct)
+      // per day finishes it. The fact table is shuffled once (the
+      // dedup); the exploded set is 7×|user-days|, grouped on a
+      // day key whose cardinality is the calendar — tiny. Reported
+      // only for days that have events (join with observed days).
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), epochS(col("ts")).as("sec"))
+        .select(col("user_id"), expr("sec div 86400").as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      val dau = ud.groupBy(col("day").as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .join(days, "d")
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "d").orderBy("d")
+    }),
+
     "etl_user_features" -> ((s, d) => {
       // Composed feature-store build: raw event log → sessionization →
       // per-session rollup → per-user feature row (event counts by
@@ -429,6 +455,21 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "agg_rolling_dau" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day
+           FROM events),
+         days AS (SELECT DISTINCT day AS d FROM ud),
+         dau AS (SELECT day AS d, count(DISTINCT user_id) AS dau
+                 FROM ud GROUP BY 1),
+         wau AS (SELECT c.d, count(DISTINCT c.user_id) AS wau
+                 FROM (SELECT user_id, day + i AS d
+                       FROM ud, range(0, 7) AS t(i)) c
+                 JOIN days USING (d) GROUP BY 1)
+         SELECT d, dau, wau FROM dau JOIN wau USING (d) ORDER BY d""",
 
     "agg_retention" ->
       """WITH ev AS (

@@ -132,6 +132,37 @@ object Wd {
     // + one row_number window, no joins against the big surface; the
     // left join only reattaches label-less entities (as NULLs) so the
     // output stays one row per entity.
+    "wd_diff" -> ((s, _) => {
+      // Snapshot-to-snapshot dump diff — the incremental-update story:
+      // a consumer refreshing from a new dump needs (added, removed,
+      // changed, unchanged) per entity, not a full reload. Content
+      // identity is a SORTED lang:label signature (never to_json of a
+      // map — serialization order isn't a contract), so the diff is a
+      // full outer join on id + one string compare: at 100 TB this is
+      // one co-partitioned join of two entity scans, no nested data
+      // crossing the shuffle. The two snapshots derive deterministically
+      // from the fixture (old = revid%3≠0, new = revid%7≠0, with
+      // revid%2=0 entities re-labelled in the new snapshot) so every
+      // diff class is exercised.
+      val sig = coalesce(array_join(array_sort(expr(
+        "transform(map_entries(labels), x -> concat(x.key, ':', x.value.value))")),
+        ","), lit(""))
+      val base = entities(s).select(col("id"), col("lastrevid"), sig.as("sig"))
+      val v1 = base.filter(col("lastrevid") % 3 =!= 0)
+        .select(col("id"), col("sig").as("sig1"))
+      val v2 = base.filter(col("lastrevid") % 7 =!= 0)
+        .select(col("id"), concat(col("sig"),
+          when(col("lastrevid") % 2 === 0, lit("|r2")).otherwise(lit("")))
+          .as("sig2"))
+      v1.join(v2, Seq("id"), "full")
+        .select(col("id"),
+          when(col("sig1").isNull, "added")
+            .when(col("sig2").isNull, "removed")
+            .when(col("sig1") =!= col("sig2"), "changed")
+            .otherwise("unchanged").as("change"))
+        .orderBy("id")
+    }),
+
     "wd_labels_fallback" -> ((s, _) => {
       val pref = when(col("lang") === "en", 0)
         .when(col("lang") === "de", 1)
@@ -210,6 +241,32 @@ object Wd {
                         columns={id: 'VARCHAR', type: 'VARCHAR',
                                  labels: 'JSON', claims: 'JSON',
                                  sitelinks: 'JSON', lastrevid: 'BIGINT'})
+         ORDER BY id""",
+
+    // Same sorted lang:value signature built through DuckDB's JSON
+    // functions; list comprehension over json_keys replays
+    // transform(map_entries(...)) exactly (langs are ASCII, both sorts
+    // are binary-lexicographic).
+    "wd_diff" ->
+      """WITH base AS (
+           SELECT id, lastrevid,
+                  coalesce(array_to_string(list_sort(
+                    [k || ':' || json_extract_string(labels, '$.' || k || '.value')
+                     FOR k IN json_keys(labels)]), ','), '') AS sig
+           FROM read_json('/tmp/graft_wd_entities.ndjson',
+                          format='newline_delimited',
+                          columns={id: 'VARCHAR', labels: 'JSON',
+                                   lastrevid: 'BIGINT'})),
+         v1 AS (SELECT id, sig AS sig1 FROM base WHERE lastrevid % 3 <> 0),
+         v2 AS (SELECT id, sig || (CASE WHEN lastrevid % 2 = 0
+                                        THEN '|r2' ELSE '' END) AS sig2
+                FROM base WHERE lastrevid % 7 <> 0)
+         SELECT coalesce(v1.id, v2.id) AS id,
+                CASE WHEN sig1 IS NULL THEN 'added'
+                     WHEN sig2 IS NULL THEN 'removed'
+                     WHEN sig1 <> sig2 THEN 'changed'
+                     ELSE 'unchanged' END AS change
+         FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
          ORDER BY id""",
 
     // dv_raw parity holds because BOTH sides minify: Spark's JSON parser

@@ -660,6 +660,49 @@ class OperatorSpec extends AnyFunSuite {
       "every cohort member is active in their own first week")
   }
 
+  test("join_interval_overlap agrees with the direct overlap join") {
+    val got = q("join_interval_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val o = Tables.orders(spark, Spec.sf001)
+    val a = o.filter(col("o_custkey") % 31 === 0)
+      .select(col("o_orderkey").as("a_id"), col("o_orderdate").as("sa"),
+        expr("o_orderdate + INTERVAL 21 DAY").as("ea"))
+    val b = o.filter(col("o_custkey") % 37 === 0)
+      .select(col("o_orderdate").as("sb"),
+        expr("o_orderdate + INTERVAL 14 DAY").as("eb"))
+    val direct = a.join(b, col("sa") < col("eb") && col("sb") < col("ea"))
+      .groupBy("a_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === direct, "bucket ownership must emit each pair exactly once")
+  }
+
+  test("agg_rolling_dau: WAU dominates DAU and equals the direct window") {
+    val rows = q("agg_rolling_dau").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, dau, wau) => wau >= dau })
+    // spot-check one day against a direct [d-6, d] distinct count
+    val (d0, _, wau0) = rows.maxBy(_._1)
+    val direct = Tables.events(spark, Spec.sf001)
+      .select(col("user_id"), Det.epochS(col("ts")).as("sec"))
+      .select(col("user_id"), expr("sec div 86400").as("day"))
+      .filter(col("day") >= d0 - 6 && col("day") <= d0)
+      .select("user_id").distinct().count()
+    assert(wau0 === direct)
+  }
+
+  test("wd_diff classifies every diff class correctly (fixture golden)") {
+    val got = q("wd_diff").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // revids: Q1..Q7=1001..1007, P31=2001, P625=2002, Q42=1042.
+    // v1 drops revid%3=0 (Q2,Q5,P31); v2 drops revid%7=0 (Q1,P625);
+    // v2 re-labels revid%2=0 (Q4,Q6,Q42 among the survivors).
+    assert(got === Map(
+      "Q1" -> "removed", "P625" -> "removed",
+      "Q2" -> "added", "Q5" -> "added", "P31" -> "added",
+      "Q4" -> "changed", "Q6" -> "changed", "Q42" -> "changed",
+      "Q3" -> "unchanged", "Q7" -> "unchanged"))
+  }
+
   test("sample_weighted: ranks are dense and favor long documents") {
     val rows = q("sample_weighted").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -337,6 +337,26 @@ object Windows {
         .orderBy("c_wk", "wk_offset")
     }),
 
+    "win_rolling_median" -> ((s, d) => {
+      // Rolling MEDIAN over a trailing row frame — the robust-statistics
+      // window (an outlier order doesn't drag a trailing mean for 5
+      // rows). percentile() is frame-evaluated per row; cost is
+      // O(frame log frame) per row on a key-partitioned window, the
+      // same single sort+shuffle as any win_ key. Inputs go through
+      // DOUBLE (exact for 2-dp money) so both engines interpolate the
+      // identical values at even frame sizes; position math is the
+      // same p·(n−1) linear rule in Spark and DuckDB.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast(DoubleType).as("p"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(expr("percentile(p, 0.5)").over(w), 4).as("med5"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "agg_rolling_dau" -> ((s, d) => {
       // DAU + rolling 7-day WAU per day. Sliding-window COUNT DISTINCT
       // does not decompose into window frames (distinct isn't
@@ -455,6 +475,14 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "win_rolling_median" ->
+      """SELECT o_custkey, o_orderkey,
+             round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "agg_rolling_dau" ->
       """WITH ud AS (

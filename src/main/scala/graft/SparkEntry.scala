@@ -23,7 +23,7 @@ object SparkEntry {
       graft.wikidata.TypedValues.queries ++
       graft.wikidata.Etl.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
-      SampleOps.queries ++ Multimodal.queries ++
+      SampleOps.queries ++ Multimodal.queries ++ StatOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       graft.wikidata.TypedValues.oracles ++
       graft.wikidata.Etl.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
-      SampleOps.oracles ++ Multimodal.oracles ++
+      SampleOps.oracles ++ Multimodal.oracles ++ StatOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

@@ -123,6 +123,34 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    "join_dpp" -> ((s, d) => {
+      // Dynamic partition pruning: the fact side is the date-partitioned
+      // lineitem layout; the dim side's qualifying years are only known
+      // at RUNTIME (distinct years of urgent January orders), yet the
+      // fact scan must still skip every non-qualifying ship_year
+      // directory. The dim filter is on o_orderdate — NOT the join
+      // column — so constraint propagation can't turn it into a static
+      // partition filter; Catalyst instead inserts a
+      // DynamicPruningExpression on the fact's partition column, fed by
+      // the broadcast of the dim side. Here that prunes 5 of 7 year
+      // directories at runtime; at 100 TB it's the difference between
+      // scanning the table and scanning the qualifying slice (PlanSpec
+      // locks the pruning subquery into the scan). No hint needed: the
+      // dim aggregates to a handful of rows and broadcasts.
+      val fact = s.read.parquet(
+        graft.sources.Sources.ensurePartitionedLineitem(s, d))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01") &&
+          col("o_orderpriority") === "1-URGENT")
+        .select(year(col("o_orderdate")).as("y")).distinct()
+      fact.join(dim, col("ship_year") === col("y"))
+        .groupBy(col("ship_year").cast(IntegerType).as("ship_year"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("l_extendedprice")).as("revenue"))
+        .orderBy("ship_year")
+    }),
+
     "join_shuffled_hash" -> ((s, d) => {
       // Same semantics, pinned to ShuffledHashJoin (no sort; build side
       // must fit per-partition — the skew-sensitive but faster option).
@@ -879,6 +907,17 @@ object Relational {
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))),4) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_dpp" ->
+      """WITH dim AS (
+           SELECT DISTINCT year(o_orderdate) AS y FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+             AND o_orderpriority = '1-URGENT')
+         SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year, count(*) AS n,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
+         FROM lineitem JOIN dim ON year(l_shipdate) = dim.y
+         GROUP BY 1 ORDER BY ship_year""",
 
     "join_shuffled_hash" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Det, Tables}
+import Det._
+
+/** Statistical / data-quality operator family (round 4g).
+  *
+  * Higher-moment statistics, information-theoretic profiling, fuzzy
+  * string matching, geo distance, and the warehouse data-quality audit —
+  * the profiling layer a 100 TB curation pipeline runs before and after
+  * every ingest. Same determinism discipline as the rest of the repo
+  * (SURVEY.md §7.4): every aggregate that crosses the oracle hash gate
+  * accumulates exactly (integer/decimal power sums), and floating-point
+  * appears only in closed forms written as ONE identical IEEE expression
+  * in both engines.
+  */
+object StatOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "agg_skew_kurt" -> ((s, d) => {
+      // Third/fourth-moment statistics (skewness, excess kurtosis) via
+      // EXACT integer power sums: l_quantity is integral by data
+      // contract (≤ ~50), so q^k fits a LONG per row (50^4 = 6.25e6)
+      // and the sums accumulate as DECIMAL(38,0) — order-independent
+      // and overflow-safe past 10^12 rows (100 TB regime; a pure LONG
+      // sum would saturate at ~10^12 rows × 6.25e6). Built-in
+      // skewness()/kurtosis() fold doubles in partition order and
+      // can't cross a hash gate. One partial-aggregated shuffle; the
+      // closed forms then run as one identical IEEE double expression
+      // in both engines (m2^1.5 spelled m2*sqrt(m2): sqrt is
+      // correctly-rounded IEEE in both engines, pow() is not).
+      val q = col("l_quantity").cast(LongType)
+      val dec0 = DecimalType(38, 0)
+      val sums = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), q.as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("q").cast(dec0)).cast(DoubleType).as("s1"),
+          sum((col("q") * col("q")).cast(dec0)).cast(DoubleType).as("s2"),
+          sum((col("q") * col("q") * col("q")).cast(dec0)).cast(DoubleType).as("s3"),
+          sum((col("q") * col("q") * col("q") * col("q")).cast(dec0))
+            .cast(DoubleType).as("s4"))
+      val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+      val s3 = col("s3"); val s4 = col("s4")
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+      val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+        lit(6.0) * mean * mean * (s2 / n) -
+        lit(3.0) * mean * mean * mean * mean
+      sums.select(
+        col("l_returnflag"), n.cast(LongType).as("n"),
+        round(mean, 4).as("mean_qty"),
+        round(m3 / (m2 * sqrt(m2)), 4).as("skew_qty"),
+        round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "agg_entropy" -> ((s, d) => {
+      // Shannon entropy (bits) of the source distribution within each
+      // language — the mixture-diversity signal a corpus-curation run
+      // monitors (a lang whose entropy collapses is being fed by one
+      // crawler). Counts are exact longs; p and -Σ p·log2(p) are the
+      // identical IEEE expression in both engines (ln spelled
+      // log(p)/log(2) on both sides). Two output-sized aggregations
+      // after one fact shuffle on (lang, source).
+      val cnt = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("lang"))
+        .agg(sum(col("c")).as("t"), count(lit(1)).as("n_sources"))
+      val p = col("c").cast(DoubleType) / col("t").cast(DoubleType)
+      cnt.join(tot, "lang")
+        .groupBy(col("lang"), col("n_sources"))
+        .agg(round(-sum(p * log(p) / log(lit(2.0))), 4).as("entropy_bits"))
+        .select(col("lang"), col("n_sources"), col("entropy_bits"))
+        .orderBy("lang")
+    }),
+
+    "fn_geo_haversine" -> ((s, d) => {
+      // Great-circle (haversine) distance — the geo primitive for the
+      // reference's globecoordinate datavalues (SURVEY §1.1). Synthetic
+      // per-customer coordinates derive from the key by exact modular
+      // arithmetic (same integer ops both engines), then the classic
+      // haversine to a fixed anchor runs as one identical IEEE
+      // expression. sin/cos differ from glibc by ≤1 ulp in the worst
+      // case — ~1e-11 km against a 0.01 km rounding grid, so a grid
+      // boundary flip needs a value within 1e-9 of an edge (checked
+      // empirically at all three SFs by preflight). Map-side only: no
+      // shuffle until the output sort.
+      val lat1 = (col("c_custkey") * lit(7) % lit(1800)).cast(DoubleType) / lit(10.0) - lit(90.0)
+      val lon1 = (col("c_custkey") * lit(13) % lit(3600)).cast(DoubleType) / lit(10.0) - lit(180.0)
+      val rad = lit(math.Pi) / lit(180.0)
+      val lat2 = lit(48.8566); val lon2 = lit(2.3522)
+      val dlat = (lat2 - lat1) * rad
+      val dlon = (lon2 - lon1) * rad
+      val a = sin(dlat / 2) * sin(dlat / 2) +
+        cos(lat1 * rad) * cos(lat2 * rad) * sin(dlon / 2) * sin(dlon / 2)
+      val dist = lit(2.0) * lit(6371.0) * asin(sqrt(a))
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        round(lat1, 1).as("lat"), round(lon1, 1).as("lon"),
+        round(dist, 2).as("km_to_paris"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_fuzzy_levenshtein" -> ((s, d) => {
+      // Blocked fuzzy self-join: near-matching part names by edit
+      // distance. The naive form is an O(n²) cross join; blocking on
+      // the last name token (the product noun) turns it into an equi
+      // join whose cost is Σ block² — the standard entity-resolution
+      // shape, and at 100 TB the block key is what the shuffle
+      // partitions on. levenshtein() is the exact unit-cost edit
+      // distance in both engines; a<b emits each unordered pair once.
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = names.select(col("p_name").as("a"), col("blk"))
+      val b = names.select(col("p_name").as("b"), col("blk").as("blk2"))
+      a.join(b, col("blk") === col("blk2") && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          levenshtein(col("a"), col("b")).as("edit_dist"))
+        .filter(col("edit_dist") <= 4)
+        .orderBy("a", "b")
+    }),
+
+    "etl_dq_audit" -> ((s, d) => {
+      // Warehouse data-quality audit as one tall (check, value) frame —
+      // the gate a 100 TB ingest runs before publishing a snapshot.
+      // All row-level lineitem checks fold into ONE scan of the fact
+      // table (conditional aggregates, map-side partial); referential
+      // integrity is a broadcast-able anti-join against the orders
+      // keys; duplicate-key detection is an output-sized aggregate on
+      // the (already small) orders side. The union is of 1-row frames,
+      // not a shuffle.
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val rowChecks = li.agg(
+        count(lit(1)).as("row_count_lineitem"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(col("l_quantity") =!= col("l_quantity").cast(LongType)
+          .cast(DoubleType), 1L).otherwise(0L)).as("nonintegral_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+          .otherwise(0L)).as("discount_out_of_range"))
+      val orphans = li.join(o, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("orphan_lineitems"))
+      val dups = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("dup_orderkeys"))
+      val tall = rowChecks.selectExpr(
+        "stack(5, 'row_count_lineitem', row_count_lineitem, " +
+          "'null_shipdate', null_shipdate, 'nonpos_price', nonpos_price, " +
+          "'nonintegral_qty', nonintegral_qty, " +
+          "'discount_out_of_range', discount_out_of_range) AS (check, value)")
+      val tall2 = orphans.selectExpr("'orphan_lineitems' AS check",
+        "orphan_lineitems AS value")
+      val tall3 = dups.selectExpr("'dup_orderkeys' AS check",
+        "dup_orderkeys AS value")
+      tall.unionAll(tall2).unionAll(tall3).orderBy("check")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_skew_kurt" ->
+      """WITH sums AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+                  CAST(sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             round(s1/n, 4) AS mean_qty,
+             round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+                   / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))), 4) AS skew_qty,
+             round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+                    - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                   / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 4) AS kurt_qty
+         FROM sums ORDER BY l_returnflag""",
+
+    "agg_entropy" ->
+      """WITH cnt AS (
+           SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+         tot AS (
+           SELECT lang, sum(c) AS t, count(*) AS n_sources FROM cnt GROUP BY 1)
+         SELECT cnt.lang, n_sources,
+             round(-sum((CAST(c AS DOUBLE)/CAST(t AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE)/CAST(t AS DOUBLE)) / ln(2.0)), 4)
+               AS entropy_bits
+         FROM cnt JOIN tot ON cnt.lang = tot.lang
+         GROUP BY cnt.lang, n_sources ORDER BY cnt.lang""",
+
+    "fn_geo_haversine" ->
+      """WITH c AS (
+           SELECT c_custkey,
+                  CAST(c_custkey * 7 % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat1,
+                  CAST(c_custkey * 13 % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon1
+           FROM customer)
+         SELECT c_custkey, round(lat1, 1) AS lat, round(lon1, 1) AS lon,
+             round(2.0 * 6371.0 * asin(sqrt(
+               sin((48.8566 - lat1) * pi() / 180.0 / 2) * sin((48.8566 - lat1) * pi() / 180.0 / 2)
+               + cos(lat1 * pi() / 180.0) * cos(48.8566 * pi() / 180.0)
+                 * sin((2.3522 - lon1) * pi() / 180.0 / 2) * sin((2.3522 - lon1) * pi() / 180.0 / 2))), 2)
+               AS km_to_paris
+         FROM c ORDER BY c_custkey""",
+
+    "join_fuzzy_levenshtein" ->
+      """WITH names AS (
+           SELECT DISTINCT p_name,
+                  str_split(p_name, ' ')[-1] AS blk
+           FROM part)
+         SELECT a.p_name AS a, b.p_name AS b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+         FROM names a JOIN names b
+           ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 4
+         ORDER BY a, b""",
+
+    "etl_dq_audit" ->
+      """WITH rowchecks AS (
+           SELECT count(*) AS row_count_lineitem,
+                  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+                  sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS nonpos_price,
+                  sum(CASE WHEN l_quantity != CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) THEN 1 ELSE 0 END) AS nonintegral_qty,
+                  sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS discount_out_of_range
+           FROM lineitem)
+         SELECT "check", CAST("value" AS BIGINT) AS "value" FROM (
+           SELECT 'row_count_lineitem' AS "check", row_count_lineitem AS "value" FROM rowchecks
+           UNION ALL SELECT 'null_shipdate', null_shipdate FROM rowchecks
+           UNION ALL SELECT 'nonpos_price', nonpos_price FROM rowchecks
+           UNION ALL SELECT 'nonintegral_qty', nonintegral_qty FROM rowchecks
+           UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM rowchecks
+           UNION ALL SELECT 'orphan_lineitems',
+             (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           UNION ALL SELECT 'dup_orderkeys',
+             (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1))
+         ) ORDER BY "check""""
+  )
+}

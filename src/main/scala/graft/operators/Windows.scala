@@ -320,6 +320,59 @@ object Windows {
         .orderBy("o_custkey", "m")
     }),
 
+    "win_interp_linear" -> ((s, d) => {
+      // Calendar densify + LINEAR interpolation — win_gap_fill's
+      // sibling for continuous measures, where a missing month should
+      // read as the straight line between its surrounding actuals (a
+      // zero-fill would inject artificial cliffs into a trend
+      // feature). Same per-key spine (sequence + explode, never a
+      // driver calendar); the surrounding actuals arrive via two
+      // IGNORE NULLS window passes over ONE (key → month) sort, so the
+      // whole key is a single fact-sized exchange. Values stay exact
+      // DECIMAL until the lerp, which is one identical IEEE expression
+      // in both engines (month offsets are exact small integers for
+      // month-truncated dates).
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        trunc(col("o_orderdate"), "month").as("m"),
+        dec(col("o_totalprice")).as("p"))
+      val actual = o.groupBy(col("o_custkey"), col("m"))
+        .agg(sum(col("p")).as("v"))
+      val spine = o.groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("st"), max(col("m")).as("e"))
+        .select(col("o_custkey"), col("st"),
+          explode(sequence(lit(0),
+            expr("CAST(months_between(e, st) AS INT)"))).as("i"))
+        .select(col("o_custkey"), expr("add_months(st, i)").as("m"))
+      val wPrev = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val marked = spine.join(actual, Seq("o_custkey", "m"), "left")
+        .select(col("o_custkey"), col("m"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+          last(when(col("v").isNotNull, col("m")), ignoreNulls = true)
+            .over(wPrev).as("pm"),
+          first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+          first(when(col("v").isNotNull, col("m")), ignoreNulls = true)
+            .over(wNext).as("nm"))
+      val frac = months_between(col("m"), col("pm")) /
+        months_between(col("nm"), col("pm"))
+      val interp = when(col("v").isNotNull, col("v").cast(DoubleType))
+        .otherwise(col("pv").cast(DoubleType) +
+          (col("nv").cast(DoubleType) - col("pv").cast(DoubleType)) * frac)
+      marked.select(col("o_custkey"), col("m"),
+        when(col("v").isNotNull, 1).otherwise(0)
+          .cast(IntegerType).as("is_actual"),
+        // NOT round(): the midpoint of two 4-dp values sits EXACTLY on
+        // the 5e-5 half-boundary, where Spark (BigDecimal HALF_UP on
+        // the binary expansion) and DuckDB (scaled C round) disagree.
+        // floor(x·10⁴ + ½)/10⁴ is pure IEEE arithmetic — identical
+        // bits in both engines on every input, boundaries included.
+        (floor(interp * lit(1e4) + lit(0.5)).cast(DoubleType) / lit(1e4))
+          .as("m_total"))
+        .orderBy("o_custkey", "m")
+    }),
+
     "agg_retention" -> ((s, d) => {
       // Cohort retention: users grouped by first-activity week; for
       // each week offset k, how many of the cohort were active k weeks
@@ -475,6 +528,47 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "win_interp_linear" ->
+      """WITH o AS (
+           SELECT o_custkey,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  CAST(o_totalprice AS DECIMAL(38,4)) AS p
+           FROM orders),
+         actual AS (SELECT o_custkey, m, sum(p) AS v
+                    FROM o GROUP BY 1, 2),
+         bounds AS (SELECT o_custkey, min(m) AS s, max(m) AS e
+                    FROM o GROUP BY 1),
+         spine AS (SELECT o_custkey,
+                          CAST(unnest(generate_series(
+                            CAST(s AS TIMESTAMP), CAST(e AS TIMESTAMP),
+                            INTERVAL 1 MONTH)) AS DATE) AS m
+                   FROM bounds),
+         j AS (SELECT sp.o_custkey, sp.m, a.v
+               FROM spine sp LEFT JOIN actual a USING (o_custkey, m)),
+         w AS (SELECT o_custkey, m, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS)
+               OVER wp AS pm,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS)
+               OVER wn AS nm
+           FROM j
+           WINDOW wp AS (PARTITION BY o_custkey ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY o_custkey ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT o_custkey, m,
+             CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_actual,
+             floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               ELSE CAST(pv AS DOUBLE)
+                 + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                   * (CAST(datediff('month', pm, m) AS DOUBLE)
+                      / CAST(datediff('month', pm, nm) AS DOUBLE)) END)
+               * 10000.0 + 0.5) / 10000.0
+               AS m_total
+         FROM w ORDER BY o_custkey, m""",
 
     "win_rolling_median" ->
       """SELECT o_custkey, o_orderkey,

@@ -716,4 +716,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean,
       f"weighted sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
   }
+
+  test("agg_skew_kurt matches Spark's built-in population moments") {
+    // The exact-integer-power-sum path must agree with the built-in
+    // double-folding skewness()/kurtosis() (same population formulas)
+    // to within double noise — the built-ins can't cross the hash gate
+    // but they're a fine independent referee.
+    val ours = q("agg_skew_kurt").collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables.lineitem(spark, Spec.sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (flag, (sk, ku)) =>
+      assert(math.abs(sk - ref(flag)._1) < 1e-3, s"$flag skew $sk vs ${ref(flag)._1}")
+      assert(math.abs(ku - ref(flag)._2) < 1e-3, s"$flag kurt $ku vs ${ref(flag)._2}")
+    }
+  }
+
+  test("etl_dq_audit: clean fixture passes every check except row count") {
+    val m = q("etl_dq_audit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("row_count_lineitem") > 0)
+    Seq("null_shipdate", "nonpos_price", "nonintegral_qty",
+      "discount_out_of_range", "orphan_lineitems", "dup_orderkeys")
+      .foreach(k => assert(m(k) == 0L, s"$k = ${m(k)}"))
+  }
+
+  test("win_interp_linear: actual months pass through, gaps lerp between neighbors") {
+    val rows = q("win_interp_linear").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2), r.getDouble(3)))
+    assert(rows.exists(_._3 == 0), "fixture has at least one gap month")
+    // every interpolated value lies within [min, max] of its key's actuals
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val actuals = rs.filter(_._3 == 1).map(_._4)
+      val lo = actuals.min; val hi = actuals.max
+      rs.filter(_._3 == 0).foreach { case (k, m, _, v) =>
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"key $k month $m interp $v outside [$lo,$hi]")
+      }
+    }
+  }
 }

@@ -81,6 +81,27 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("join_dpp injects dynamic partition pruning into the fact scan") {
+    // The dim-side years are only known at runtime (filter is on
+    // o_orderdate, not the join key), so the fact scan must carry a
+    // DynamicPruningExpression on ship_year — the mechanism that skips
+    // non-qualifying partition directories at 100 TB.
+    val p = plan("join_dpp").toLowerCase
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
+  test("win_interp_linear fuses both IGNORE NULLS passes into one Window") {
+    // The prev- and next-actual lookups share (partition key, ordering);
+    // only their frames differ, so Spark must evaluate all four window
+    // expressions in a SINGLE Window operator over one sort — two
+    // Window nodes would mean a second per-partition sort of the fact.
+    // count tree nodes only — formatted explain repeats each node as a
+    // "(n) Window" detail header below the tree
+    val p = plan("win_interp_linear")
+    val windows = "Window \\(\\d+\\)".r.findAllIn(p).length
+    assert(windows == 1, s"$windows Window operators:\n" + p.take(3000))
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS graft_b_orders")

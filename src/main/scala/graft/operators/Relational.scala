@@ -426,6 +426,36 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     }),
 
+    "join_asof_nearest" -> ((s, d) => {
+      // Nearest-direction as-of: each purchase pairs with the click
+      // whose event-time is CLOSEST in either direction (join_asof is
+      // the backward-only variant). Same scalable idiom — equi on user,
+      // one row_number window ordered by |Δt| with a full tiebreak —
+      // plus a ±7-day tolerance band on the range condition, which is
+      // what keeps the candidate set bounded at 100 TB (an unbounded
+      // nearest join degenerates to per-user cross products for
+      // pathological users; the band also makes it bucketizable like
+      // join_range_bucketed if a user's week is still too hot).
+      val ev = Tables.events(s, d).withColumn("sec", epochS(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("sec").as("p_sec"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("sec").as("c_sec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+        .orderBy(abs(col("c_sec") - col("p_sec")).asc_nulls_last,
+          col("click_id").asc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") &&
+          abs(col("c_sec") - col("p_sec")) <= lit(7L * 86400L), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("c_sec") - col("p_sec")).as("dt_sec"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     "join_lateral" -> ((s, d) => {
       // LATERAL correlated subquery: top-2 orders per high-balance
       // customer. Catalyst decorrelates this into a ranked window join —
@@ -1023,6 +1053,24 @@ object Relational {
          CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "join_asof_nearest" ->
+      """SELECT user_id, purchase_id, click_id, dt_sec FROM (
+           SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                  c.event_id AS click_id,
+                  c.sec - p.sec AS dt_sec,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY abs(c.sec - p.sec) ASC NULLS LAST,
+                             c.event_id ASC NULLS LAST) AS rn
+           FROM (SELECT user_id, event_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                 FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT user_id, event_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                 FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id
+             AND abs(c.sec - p.sec) <= 7 * 86400)
+         WHERE rn = 1 ORDER BY user_id, purchase_id""",
 
     "join_asof" ->
       """SELECT user_id, purchase_id, click_id FROM (

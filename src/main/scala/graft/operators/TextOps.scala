@@ -131,6 +131,24 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     }),
 
+    "text_vocab" -> ((s, d) => {
+      // Vocabulary richness per source: token volume, type count, and
+      // type-token ratio — the Heaps-law profile that flags a source
+      // gone repetitive (boilerplate, spam) before it poisons a
+      // training mix. One explode + one (source, token)-keyed
+      // aggregation; countDistinct plans as a partial-aggregated
+      // two-phase shuffle, never a collect.
+      Tables.documents(s, d)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast(DoubleType)
+            / col("n_tokens").cast(DoubleType), 4).as("ttr"))
+        .orderBy("source")
+    }),
+
     "text_lang_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang")
@@ -404,6 +422,14 @@ object TextOps {
       s"""SELECT word, count(*) AS cnt
          FROM (SELECT unnest($toksSql) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+
+    "text_vocab" ->
+      s"""SELECT source, count(*) AS n_tokens,
+             count(DISTINCT tok) AS n_types,
+             round(CAST(count(DISTINCT tok) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 4) AS ttr
+         FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+         GROUP BY source ORDER BY source""",
 
     "text_ngrams" ->
       s"""SELECT gram, count(*) AS cnt FROM (

@@ -320,6 +320,42 @@ object Windows {
         .orderBy("o_custkey", "m")
     }),
 
+    "win_zscore" -> ((s, d) => {
+      // Rolling z-score anomaly flag — the streaming-adjacent outlier
+      // detector a metrics pipeline runs per key: each order scored
+      // against the trailing-20 window of ITS customer. All three frame
+      // aggregates (count, Σx, Σx²) share one (key → time, id) window
+      // spec, so Spark evaluates them in a single Window operator over
+      // one exchange+sort; the sums stay exact DECIMAL inside the frame
+      // (same agg_stats_corr discipline — a double frame-sum would be
+      // order-dependent) and the closed form is one identical IEEE
+      // expression in both engines. Warm-up rows (n<8) and flat frames
+      // emit NULL, not a division error.
+      val x = expr("try_cast(o_totalprice AS DECIMAL(18,4))")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-19, Window.currentRow)
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          x.as("x"))
+        .withColumn("n", count(lit(1)).over(w).cast(DoubleType))
+        .withColumn("s1", sum(col("x")).over(w).cast(DoubleType))
+        .withColumn("s2", sum(col("x") * col("x")).over(w).cast(DoubleType))
+      val mean = col("s1") / col("n")
+      // ANSI guard: n−1 → NULL (not 0) for the first frame row, so the
+      // division yields NULL instead of DIVIDE_BY_ZERO; the n≥8 gate
+      // alone wouldn't help because `when` CONDITIONS evaluate eagerly
+      val nm1 = when(col("n") > lit(1.0), col("n") - lit(1.0))
+      val variance = (col("s2") - col("s1") * col("s1") / col("n")) / nm1
+      val z = (col("x").cast(DoubleType) - mean) / sqrt(variance)
+      base.withColumn("zscore",
+          when(col("n") >= 8 && variance > 0, round(z, 4)))
+        .select(col("o_custkey"), col("o_orderkey"), col("zscore"),
+          when(col("zscore").isNotNull && abs(col("zscore")) > 2, 1)
+            .otherwise(0).cast(IntegerType).as("is_outlier"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "win_interp_linear" -> ((s, d) => {
       // Calendar densify + LINEAR interpolation — win_gap_fill's
       // sibling for continuous measures, where a missing month should
@@ -528,6 +564,28 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "win_zscore" ->
+      """WITH base AS (
+           SELECT o_custkey, o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(19,4)) AS x,
+                  CAST(count(*) OVER w AS DOUBLE) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) OVER w AS DOUBLE) AS s1,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))
+                         * CAST(o_totalprice AS DECIMAL(19,4))) OVER w AS DOUBLE) AS s2
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT o_custkey, o_orderkey,
+             CASE WHEN n >= 8 AND (s2 - s1*s1/n)/(n-1.0) > 0
+                  THEN round((CAST(x AS DOUBLE) - s1/n)
+                             / sqrt((s2 - s1*s1/n)/(n-1.0)), 4) END AS zscore,
+             CAST(CASE WHEN n >= 8 AND (s2 - s1*s1/n)/(n-1.0) > 0
+                  AND abs((CAST(x AS DOUBLE) - s1/n)
+                          / sqrt((s2 - s1*s1/n)/(n-1.0))) > 2
+                  THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+         FROM base ORDER BY o_custkey, o_orderkey""",
 
     "win_interp_linear" ->
       """WITH o AS (

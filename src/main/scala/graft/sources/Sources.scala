@@ -212,6 +212,34 @@ object Sources {
         .orderBy("r_name")
     }),
 
+    "etl_compact" -> ((s, d) => {
+      // Small-file compaction — the lake-hygiene job every streaming
+      // ingest needs: a fragmented table (128 commit-sized files here)
+      // is rewritten into few size-targeted files, so readers pay one
+      // task per ~128 MB instead of one per commit. coalesce(), not
+      // repartition(): compaction must MERGE co-located files without
+      // a shuffle (at 100 TB production would coalesce per partition
+      // directory, or AQE-rebalance, and size by maxRecordsPerFile).
+      // Both stages materialize once per scale dir; the read-back
+      // aggregate proves content survived the rewrite byte-exactly.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val frag = s"/tmp/graft_frag_$tag"
+      val compacted = s"/tmp/graft_compacted_$tag"
+      if (!Stage.exists(s, s"$frag/_SUCCESS")) {
+        Tables.orders(s, d).repartition(128)
+          .write.mode("overwrite").parquet(frag)
+      }
+      if (!Stage.exists(s, s"$compacted/_SUCCESS")) {
+        s.read.parquet(frag).coalesce(4)
+          .write.mode("overwrite").parquet(compacted)
+      }
+      s.read.parquet(compacted)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "sink_parquet_partitioned" -> ((s, d) => {
       // Partitioned write + DYNAMIC partition overwrite — the lake's
       // incremental-refresh primitive: a daily job rewrites ONLY the
@@ -343,6 +371,11 @@ object Sources {
              CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_qty
          FROM lineitem WHERE year(l_shipdate) = 1996
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "etl_compact" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // Replays the dynamic overwrite arithmetically: 1996 rows repriced
     // ×0.9 (identical per-row IEEE product), all other years original.

@@ -88,6 +88,26 @@ object Wd {
     // keep preferred statements if any exist, else the normal ones;
     // deprecated never surfaces. One max-over-partition window on the
     // already-flattened statements (no second scan, no join).
+    "wd_property_stats" -> ((s, _) => {
+      // Per-property dump profile — the warehouse stats page a Wikidata
+      // consumer reads first: statement volume, entity coverage,
+      // datavalue-type spread, qualifier/reference density. One
+      // output-sized aggregation over the flattened claims (pid
+      // cardinality is ~12k properties in the real dump — always
+      // driver-safe). min(dv_type) is the deterministic representative
+      // (null snaktypes carry no dv_type and drop out of both engines'
+      // aggregates identically).
+      val cf = claimsFlatten(entities(s))
+      cf.groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_statements"),
+          countDistinct(col("id")).as("n_entities"),
+          countDistinct(col("dv_type")).as("n_dv_types"),
+          min(col("dv_type")).as("rep_dv_type"),
+          sum(col("n_qualifier_props").cast(LongType)).as("total_qualifier_props"),
+          sum(col("n_refs").cast(LongType)).as("total_refs"))
+        .orderBy("pid")
+    }),
+
     "wd_statements_truthy" -> ((s, _) => {
       val cf = claimsFlatten(entities(s))
       val rv = when(col("rank") === "preferred", 2)
@@ -290,6 +310,28 @@ object Wd {
                AS n_qualifier_props,
              CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
          FROM st ORDER BY id, pid, statement_id""",
+
+    "wd_property_stats" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         flat AS (SELECT id, pid,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             CAST(coalesce(len(json_keys(json_extract(stj, '$.qualifiers'))), 0) AS BIGINT)
+               AS n_qualifier_props,
+             CAST(coalesce(json_array_length(stj, '$.references'), 0) AS BIGINT) AS n_refs
+           FROM st)
+         SELECT pid, count(*) AS n_statements,
+             count(DISTINCT id) AS n_entities,
+             count(DISTINCT dv_type) AS n_dv_types,
+             min(dv_type) AS rep_dv_type,
+             CAST(sum(n_qualifier_props) AS BIGINT) AS total_qualifier_props,
+             CAST(sum(n_refs) AS BIGINT) AS total_refs
+         FROM flat GROUP BY pid ORDER BY pid""",
 
     "wd_statements_truthy" ->
       """WITH ent AS (

@@ -717,6 +717,20 @@ class OperatorSpec extends AnyFunSuite {
       f"weighted sample mean $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
   }
 
+  test("etl_compact merges 128 commit files into ≤4 without losing rows") {
+    q("etl_compact").count() // force both materializations
+    def parquets(p: String) =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val frag = parquets("/tmp/graft_frag__root_testdata_sf0_001")
+    val comp = parquets("/tmp/graft_compacted__root_testdata_sf0_001")
+    assert(frag > 100, s"fragmented table has $frag files")
+    assert(comp <= 4 && comp > 0, s"compacted table has $comp files")
+    val a = spark.read.parquet("/tmp/graft_frag__root_testdata_sf0_001").count()
+    val b = spark.read.parquet("/tmp/graft_compacted__root_testdata_sf0_001").count()
+    assert(a == b, s"row count changed: $a -> $b")
+  }
+
   test("agg_skew_kurt matches Spark's built-in population moments") {
     // The exact-integer-power-sum path must agree with the built-in
     // double-folding skewness()/kurtosis() (same population formulas)

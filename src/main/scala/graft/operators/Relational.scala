@@ -503,6 +503,39 @@ object Relational {
         ORDER BY o_orderkey""")
     }),
 
+    "subquery_not_in" -> ((s, d) => {
+      // NOT IN with NULL-aware semantics — the SQL trap a naive anti
+      // join gets wrong: one NULL in the subquery list makes every
+      // NOT IN test UNKNOWN, so the with_null variant must return 0
+      // rows while the no_nulls variant anti-joins normally. Spark
+      // plans the null-aware case as a single-column
+      // isNullAwareAntiJoin broadcast (not a nested loop); proving
+      // both variants side by side locks the semantics AND the plan.
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT 'no_nulls' AS variant, count(*) AS n FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        UNION ALL
+        SELECT 'with_null', count(*) FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+           UNION ALL SELECT CAST(NULL AS BIGINT))
+        ORDER BY variant""")
+    }),
+
+    "join_cross" -> ((s, d) => {
+      // Explicit cartesian — legitimate ONLY between bounded dims (the
+      // region × nation grid here, 125 rows): a deliberate crossJoin
+      // call, never an accidental one (Spark requires the explicit API
+      // or spark.sql.crossJoin.enabled). Anything fact-sized on either
+      // side is a design bug, which is why every other join key in
+      // this file carries an equi or banded key.
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ---- §2.4 aggregations ----
     "agg_groupby_pricing" -> ((s, d) => {
       // TPC-H Q1 shape. HashAggregate partial+final around one shuffle;
@@ -779,6 +812,19 @@ object Relational {
           expr("bit_xor(l_partkey)").as("mask_xor"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    "agg_bool" -> ((s, d) => {
+      // Boolean aggregates (bool_and / bool_or) — the assertion rollup
+      // (etl_dq_audit's counting checks as predicates). Commutative
+      // folds: partial aggregation exact under any merge order.
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_and(o_totalprice > 50000)").as("all_over_50k"),
+          expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
     }),
 
     "agg_minmax_by" -> ((s, d) => {
@@ -1140,6 +1186,30 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "subquery_not_in" ->
+      """SELECT * FROM (
+           SELECT 'no_nulls' AS variant, count(*) AS n FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+           UNION ALL
+           SELECT 'with_null', count(*) FROM orders
+           WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+              UNION ALL SELECT CAST(NULL AS BIGINT))
+         ) ORDER BY variant""",
+
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+
+    "agg_bool" ->
+      """SELECT o_orderstatus,
+             bool_and(o_totalprice > 0) AS all_positive,
+             bool_and(o_totalprice > 50000) AS all_over_50k,
+             bool_or(o_totalprice > 400000) AS any_over_400k,
+             count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "subquery_scalar" ->
       """SELECT o_orderkey, o_custkey,

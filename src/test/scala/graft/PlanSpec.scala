@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("subquery_not_in plans null-aware broadcast anti joins, no nested loop") {
+    // NOT IN must become BroadcastHashJoin LeftAnti (isNullAwareAntiJoin)
+    // — the O(n) single-column fast path; a BroadcastNestedLoopJoin here
+    // would be the O(n·m) fallback Spark uses for multi-column NOT IN.
+    val p = SparkEntry.queries("subquery_not_in")(spark, Spec.sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), "NOT IN fell back to a nested loop")
+  }
+
   test("join_dpp injects dynamic partition pruning into the fact scan") {
     // The dim-side years are only known at runtime (filter is on
     // o_orderdate, not the join key), so the fact scan must carry a

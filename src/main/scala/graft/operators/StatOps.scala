@@ -128,6 +128,25 @@ object StatOps {
         .orderBy("a", "b")
     }),
 
+    "etl_surrogate_keys" -> ((s, d) => {
+      // Deterministic surrogate-key assignment — the scalable
+      // alternative to monotonically_increasing_id (changes under task
+      // retry/repartition) and row_number over a global sort (one
+      // table-wide exchange): a 60-bit key from md5 of the natural key
+      // is a pure map-side expression, identical across runs and
+      // partitionings. The collision audit rides along as a window
+      // count over the new key — at 60 bits the birthday bound stays
+      // ~3% even at 10^8 keys; production widens to two 64-bit words
+      // with the same plan shape.
+      val sk = expr(
+        """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),
+                     16, 10) AS BIGINT)""")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))
+      Tables.customer(s, d).select(col("c_custkey"), sk.as("sk"))
+        .withColumn("n_shared", count(lit(1)).over(w).cast(IntegerType))
+        .orderBy("c_custkey")
+    }),
+
     "etl_dq_audit" -> ((s, d) => {
       // Warehouse data-quality audit as one tall (check, value) frame —
       // the gate a 100 TB ingest runs before publishing a snapshot.
@@ -220,6 +239,22 @@ object StatOps {
            ON a.blk = b.blk AND a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY a, b""",
+
+    // 15-hex-char md5 prefix → BIGINT, the DuckDB twin of Spark's conv()
+    // (same construction as SampleOps.hexBucketSql, widened to 60 bits).
+    "etl_surrogate_keys" ->
+      """WITH keyed AS (
+           SELECT c_custkey,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [strpos('0123456789abcdef',
+                         substring(md5(CAST(c_custkey AS VARCHAR)),
+                                   CAST(i AS INTEGER), 1)) - 1
+                  FOR i IN range(1, 16)]),
+                 (acc, x) -> acc * 16 + x) AS sk
+           FROM customer)
+         SELECT c_custkey, sk,
+             CAST(count(*) OVER (PARTITION BY sk) AS INTEGER) AS n_shared
+         FROM keyed ORDER BY c_custkey""",
 
     "etl_dq_audit" ->
       """WITH rowchecks AS (

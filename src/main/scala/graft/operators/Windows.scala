@@ -320,6 +320,31 @@ object Windows {
         .orderBy("o_custkey", "m")
     }),
 
+    "win_running_distinct" -> ((s, d) => {
+      // Running COUNT DISTINCT per key — no inverse exists, so it
+      // can't frame-decompose like a running sum; the scale idiom is
+      // the FIRST-OCCURRENCE flag: row_number over (key, value) marks
+      // each value's first appearance, then the running sum of flags
+      // IS the cumulative distinct count. Both passes are plain
+      // windows (bounded per-partition state, spillable); the naive
+      // alternative — collect_set over a growing frame — holds the
+      // whole value set per row and dies at scale.
+      val wFirst = Window
+        .partitionBy(col("o_custkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_prio", sum(col("first_seen")).over(wRun))
+        .select(col("o_custkey"), col("o_orderkey"), col("n_distinct_prio"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "win_zscore" -> ((s, d) => {
       // Rolling z-score anomaly flag — the streaming-adjacent outlier
       // detector a metrics pipeline runs per key: each order scored
@@ -564,6 +589,20 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "win_running_distinct" ->
+      """SELECT o_custkey, o_orderkey,
+             CAST(sum(first_seen) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_distinct_prio
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CASE WHEN row_number() OVER (
+                     PARTITION BY o_custkey, o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey) = 1
+                   THEN 1 ELSE 0 END AS first_seen
+               FROM orders)
+         ORDER BY o_custkey, o_orderkey""",
 
     "win_zscore" ->
       """WITH base AS (

@@ -80,6 +80,22 @@ class PropertySpec extends AnyFunSuite {
     assert(as.distinct().except(lhs).count() === 0)
   }
 
+  test("surrogate keys are invariant under repartitioning") {
+    // The whole point of the hash-based assignment vs
+    // monotonically_increasing_id: identical (natural → surrogate)
+    // mapping whatever the physical layout.
+    val sk = expr(
+      """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),
+                   16, 10) AS BIGINT)""")
+    def mapping(parts: Int) =
+      Tables.customer(spark, Spec.sf001).repartition(parts)
+        .select(col("c_custkey"), sk.as("sk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = mapping(1); val b = mapping(13)
+    assert(a === b)
+    assert(a.values.toSeq.distinct.size === a.size, "collision at fixture scale")
+  }
+
   test("window running sum equals aggregate total on generated measures") {
     val rows = sample(Gen.chooseNum(1, 99999).map(_ / 100.0), 500, 5000L)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")

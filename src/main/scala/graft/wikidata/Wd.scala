@@ -183,6 +183,38 @@ object Wd {
         .orderBy("id")
     }),
 
+    "etl_incremental_refresh" -> ((s, _) => {
+      // wd_diff COMPOSED with the CDC-apply shape — the incremental
+      // consumption story end to end: instead of reloading the new
+      // dump, the stored v1 table gets the diff applied (delete
+      // `removed`, upsert `added`/`changed` from the new snapshot),
+      // and the refreshed table must be INDISTINGUISHABLE from a full
+      // v2 rebuild — which is exactly what the oracle states. At
+      // 100 TB the applied delta is diff-sized (typically <1% of a
+      // dump-to-dump change), not table-sized: one co-partitioned
+      // diff join + one anti join + a union, all keyed on id.
+      val sig = coalesce(array_join(array_sort(expr(
+        "transform(map_entries(labels), x -> concat(x.key, ':', x.value.value))")),
+        ","), lit(""))
+      val base = entities(s).select(col("id"), col("lastrevid"), sig.as("sig"))
+      val v1 = base.filter(col("lastrevid") % 3 =!= 0)
+        .select(col("id"), col("sig"))
+      val v2 = base.filter(col("lastrevid") % 7 =!= 0)
+        .select(col("id"), concat(col("sig"),
+          when(col("lastrevid") % 2 === 0, lit("|r2")).otherwise(lit("")))
+          .as("sig"))
+      val joined = v1.select(col("id"), col("sig").as("sig1"))
+        .join(v2.select(col("id"), col("sig").as("sig2")), Seq("id"), "full")
+      val deletes = joined.filter(col("sig2").isNull).select(col("id"))
+      val upserts = joined.filter(col("sig2").isNotNull &&
+          (col("sig1").isNull || col("sig1") =!= col("sig2")))
+        .select(col("id"), col("sig2").as("sig"))
+      val touched = deletes.union(upserts.select(col("id")))
+      v1.join(touched, Seq("id"), "left_anti")
+        .union(upserts)
+        .orderBy("id")
+    }),
+
     "wd_labels_fallback" -> ((s, _) => {
       val pref = when(col("lang") === "en", 0)
         .when(col("lang") === "de", 1)
@@ -261,6 +293,21 @@ object Wd {
                         columns={id: 'VARCHAR', type: 'VARCHAR',
                                  labels: 'JSON', claims: 'JSON',
                                  sitelinks: 'JSON', lastrevid: 'BIGINT'})
+         ORDER BY id""",
+
+    // The oracle is the DIRECT v2 rebuild — stating that applying the
+    // diff to v1 reproduces it exactly is the whole point of the key.
+    "etl_incremental_refresh" ->
+      """SELECT id,
+             coalesce(array_to_string(list_sort(
+               [k || ':' || json_extract_string(labels, '$.' || k || '.value')
+                FOR k IN json_keys(labels)]), ','), '')
+             || (CASE WHEN lastrevid % 2 = 0 THEN '|r2' ELSE '' END) AS sig
+         FROM read_json('/tmp/graft_wd_entities.ndjson',
+                        format='newline_delimited',
+                        columns={id: 'VARCHAR', labels: 'JSON',
+                                 lastrevid: 'BIGINT'})
+         WHERE lastrevid % 7 <> 0
          ORDER BY id""",
 
     // Same sorted lang:value signature built through DuckDB's JSON

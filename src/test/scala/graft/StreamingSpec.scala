@@ -288,6 +288,47 @@ class StreamingSpec extends AnyFunSuite {
     // user 1: gap 1000→1200 merges, 1200→5000 splits → 2 sessions
     assert(out === Array((1L, 2, 3L, 200L), (2L, 1, 1L, 0L)))
   }
+
+  test("entity dump ingests as a file STREAM with batch-identical flatten") {
+    // The dump-as-it-downloads story: the same explicit-schema parse +
+    // claims flatten that runs in batch (wd_claims_flatten) also runs
+    // as a Structured Streaming file source — each new dump chunk
+    // dropped into the directory becomes one micro-batch, so a
+    // consumer can load while the download is still in flight. Parity
+    // with the batch result is exact because the flatten is stateless
+    // (no watermark, no aggregation — pure per-row plan).
+    val dir = "/tmp/graft_wd_stream_in"
+    val d = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(d); d.mkdirs()
+    val q = spark.readStream
+      .schema(graft.wikidata.EntitySchema.entity)
+      .option("maxFilesPerTrigger", 1) // chunk = micro-batch
+      .json(dir)
+      .transform(graft.wikidata.Wd.claimsFlatten)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wd_stream_out").start()
+    try {
+      // drop the fixture in as two chunks, mid-stream
+      val lines = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/wd_entities.ndjson")).getLines().toVector
+      val (c1, c2) = lines.splitAt(lines.size / 2)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/chunk1.json"),
+        c1.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/chunk2.json"),
+        c2.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT id, pid, statement_id FROM wd_stream_out ORDER BY id, pid, statement_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val batch = graft.wikidata.Wd
+        .claimsFlatten(graft.wikidata.Wd.entities(spark))
+        .select("id", "pid", "statement_id")
+        .orderBy("id", "pid", "statement_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(streamed.nonEmpty && (streamed sameElements batch))
+    } finally q.stop()
+  }
 }
 
 /** Running count per key via the Spark 4 StatefulProcessor API. */

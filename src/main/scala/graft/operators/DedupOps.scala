@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Stage, Tables}
 
 /** Deduplication operators (SURVEY.md §2.10 + north-star additions).
   *
@@ -335,6 +335,30 @@ object DedupOps {
       lab.toDF("doc_id", "component").orderBy("doc_id")
     }),
 
+    "dedup_apply" -> ((s, d) => {
+      // The APPLIED dedup — the corpus a training run actually reads.
+      // Cluster labels from the components fixpoint are materialized
+      // ONCE as a stored table (exactly production's shape: labels are
+      // computed per corpus snapshot, stored, and applied many times
+      // downstream), then every non-representative member anti-joins
+      // out. Survivors = each cluster's min doc_id + every doc with no
+      // near-dup at all. The apply pass itself is one broadcast-able
+      // anti join against the (pair-participant-sized) drop list — at
+      // 100 TB that list is the rare-duplicate slice, orders of
+      // magnitude smaller than the corpus.
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val labPath = s"/tmp/graft_components_$tag"
+      if (!Stage.exists(s, s"$labPath/_SUCCESS"))
+        queries("dedup_components")(s, d)
+          .write.mode("overwrite").parquet(labPath)
+      val drop = s.read.parquet(labPath)
+        .filter(col("doc_id") =!= col("component")).select("doc_id")
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) => {
       // Exact bigram-set Jaccard on a bounded candidate set (doc_id<60
       // here; at scale the candidate pairs come from MinHash above).
@@ -545,6 +569,28 @@ object DedupOps {
            JOIN reach r ON r.x = n.x
            GROUP BY n.x)
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+
+    // Same recursive closure as dedup_components, then the anti join:
+    // a doc drops iff it participates in a pair AND is not its
+    // component's min id.
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         und AS (SELECT a AS x, b AS y FROM simpairs
+                 UNION SELECT b, a FROM simpairs),
+         reach(x, y) AS (
+           SELECT x, y FROM und
+           UNION
+           SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         comp AS (
+           SELECT n.x AS doc_id, least(n.x, min(r.y)) AS component
+           FROM (SELECT DISTINCT x FROM und) n
+           JOIN reach r ON r.x = n.x
+           GROUP BY n.x)
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM comp c
+                           WHERE c.doc_id = d.doc_id
+                             AND c.doc_id <> c.component)
+         ORDER BY d.doc_id""",
 
     // Replays the md5 MinHash: filtered-token 3-shingles via lead
     // windows, one md5 per shingle folded to two 60-bit halves (same

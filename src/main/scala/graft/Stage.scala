@@ -32,4 +32,14 @@ object Stage {
 
   def exists(s: SparkSession, path: String): Boolean =
     fs(s, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Check-then-write under the staging lock: run `write` only if
+    * `path/_SUCCESS` is absent, then return `path`. The lock closes the
+    * race where two concurrently-invoked queries both see no marker and
+    * overwrite the same /tmp twin mid-read. */
+  def materializeOnce(s: SparkSession, path: String)(write: => Unit): String =
+    synchronized {
+      if (!exists(s, s"$path/_SUCCESS")) write
+      path
+    }
 }

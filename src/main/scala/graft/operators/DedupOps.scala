@@ -347,10 +347,10 @@ object DedupOps {
       // 100 TB that list is the rare-duplicate slice, orders of
       // magnitude smaller than the corpus.
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val labPath = s"/tmp/graft_components_$tag"
-      if (!Stage.exists(s, s"$labPath/_SUCCESS"))
+      val labPath = Stage.materializeOnce(s, s"/tmp/graft_components_$tag") {
         queries("dedup_components")(s, d)
-          .write.mode("overwrite").parquet(labPath)
+          .write.mode("overwrite").parquet(s"/tmp/graft_components_$tag")
+      }
       val drop = s.read.parquet(labPath)
         .filter(col("doc_id") =!= col("component")).select("doc_id")
       Tables.documents(s, d)

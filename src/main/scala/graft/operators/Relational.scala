@@ -126,7 +126,7 @@ object Relational {
     "join_dpp" -> ((s, d) => {
       // Dynamic partition pruning: the fact side is the date-partitioned
       // lineitem layout; the dim side's qualifying years are only known
-      // at RUNTIME (distinct years of urgent January orders), yet the
+      // at RUNTIME (distinct years of 1996–97 urgent orders), yet the
       // fact scan must still skip every non-qualifying ship_year
       // directory. The dim filter is on o_orderdate — NOT the join
       // column — so constraint propagation can't turn it into a static

@@ -20,6 +20,13 @@ import Det._
 object StatOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 60-bit surrogate key from the natural key's md5 — the single
+    * definition etl_surrogate_keys and PropertySpec's layout-invariance
+    * test both exercise (16^15 = 2⁶⁰ fits BIGINT). */
+  private[graft] val SurrogateKeySql =
+    """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),
+                 16, 10) AS BIGINT)"""
+
   val queries: Map[String, Q] = Map(
     "agg_skew_kurt" -> ((s, d) => {
       // Third/fourth-moment statistics (skewness, excess kurtosis) via
@@ -65,10 +72,13 @@ object StatOps {
       // Shannon entropy (bits) of the source distribution within each
       // language — the mixture-diversity signal a corpus-curation run
       // monitors (a lang whose entropy collapses is being fed by one
-      // crawler). Counts are exact longs; p and -Σ p·log2(p) are the
-      // identical IEEE expression in both engines (ln spelled
-      // log(p)/log(2) on both sides). Two output-sized aggregations
-      // after one fact shuffle on (lang, source).
+      // crawler). Counts are exact longs; the per-term p·log2(p)
+      // doubles are identical IEEE in both engines (ln spelled
+      // log(p)/log(2) on both sides), and the cross-term SUM goes
+      // through the fixed-point path (Det.sumFixed) — a raw double
+      // fold would merge in partition order and violate the §7.4
+      // discipline (|p·log2 p| ≤ 0.54 fits the 2⁴⁰ scale exactly).
+      // Two output-sized aggregations after one fact shuffle.
       val cnt = Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("c"))
@@ -77,7 +87,7 @@ object StatOps {
       val p = col("c").cast(DoubleType) / col("t").cast(DoubleType)
       cnt.join(tot, "lang")
         .groupBy(col("lang"), col("n_sources"))
-        .agg(round(-sum(p * log(p) / log(lit(2.0))), 4).as("entropy_bits"))
+        .agg(round(-sumFixed(p * log(p) / log(lit(2.0))), 4).as("entropy_bits"))
         .select(col("lang"), col("n_sources"), col("entropy_bits"))
         .orderBy("lang")
     }),
@@ -138,9 +148,7 @@ object StatOps {
       // count over the new key — at 60 bits the birthday bound stays
       // ~3% even at 10^8 keys; production widens to two 64-bit words
       // with the same plan shape.
-      val sk = expr(
-        """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),
-                     16, 10) AS BIGINT)""")
+      val sk = expr(SurrogateKeySql)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))
       Tables.customer(s, d).select(col("c_custkey"), sk.as("sk"))
         .withColumn("n_shared", count(lit(1)).over(w).cast(IntegerType))
@@ -208,9 +216,11 @@ object StatOps {
          tot AS (
            SELECT lang, sum(c) AS t, count(*) AS n_sources FROM cnt GROUP BY 1)
          SELECT cnt.lang, n_sources,
-             round(-sum((CAST(c AS DOUBLE)/CAST(t AS DOUBLE))
-                        * ln(CAST(c AS DOUBLE)/CAST(t AS DOUBLE)) / ln(2.0)), 4)
-               AS entropy_bits
+             round(-(CAST(sum(CAST(floor(
+                 (CAST(c AS DOUBLE)/CAST(t AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE)/CAST(t AS DOUBLE)) / ln(2.0)
+                 * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0), 4) AS entropy_bits
          FROM cnt JOIN tot ON cnt.lang = tot.lang
          GROUP BY cnt.lang, n_sources ORDER BY cnt.lang""",
 
@@ -222,9 +232,9 @@ object StatOps {
            FROM customer)
          SELECT c_custkey, round(lat1, 1) AS lat, round(lon1, 1) AS lon,
              round(2.0 * 6371.0 * asin(sqrt(
-               sin((48.8566 - lat1) * pi() / 180.0 / 2) * sin((48.8566 - lat1) * pi() / 180.0 / 2)
-               + cos(lat1 * pi() / 180.0) * cos(48.8566 * pi() / 180.0)
-                 * sin((2.3522 - lon1) * pi() / 180.0 / 2) * sin((2.3522 - lon1) * pi() / 180.0 / 2))), 2)
+               sin((48.8566 - lat1) * (pi() / 180.0) / 2) * sin((48.8566 - lat1) * (pi() / 180.0) / 2)
+               + cos(lat1 * (pi() / 180.0)) * cos(48.8566 * (pi() / 180.0))
+                 * sin((2.3522 - lon1) * (pi() / 180.0) / 2) * sin((2.3522 - lon1) * (pi() / 180.0) / 2))), 2)
                AS km_to_paris
          FROM c ORDER BY c_custkey""",
 

@@ -373,10 +373,14 @@ object Windows {
       val nm1 = when(col("n") > lit(1.0), col("n") - lit(1.0))
       val variance = (col("s2") - col("s1") * col("s1") / col("n")) / nm1
       val z = (col("x").cast(DoubleType) - mean) / sqrt(variance)
-      base.withColumn("zscore",
-          when(col("n") >= 8 && variance > 0, round(z, 4)))
-        .select(col("o_custkey"), col("o_orderkey"), col("zscore"),
-          when(col("zscore").isNotNull && abs(col("zscore")) > 2, 1)
+      // flag from the UNROUNDED z (bit-identical in both engines — the
+      // whole expression is the same IEEE ops on exact inputs); flagging
+      // off the rounded value would disagree with the oracle for |z| in
+      // (2, 2.00005]
+      base.withColumn("zraw", when(col("n") >= 8 && variance > 0, z))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("zraw"), 4).as("zscore"),
+          when(col("zraw").isNotNull && abs(col("zraw")) > 2, 1)
             .otherwise(0).cast(IntegerType).as("is_outlier"))
         .orderBy("o_custkey", "o_orderkey")
     }),

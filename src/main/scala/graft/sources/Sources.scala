@@ -223,15 +223,13 @@ object Sources {
       // Both stages materialize once per scale dir; the read-back
       // aggregate proves content survived the rewrite byte-exactly.
       val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-      val frag = s"/tmp/graft_frag_$tag"
-      val compacted = s"/tmp/graft_compacted_$tag"
-      if (!Stage.exists(s, s"$frag/_SUCCESS")) {
+      val frag = Stage.materializeOnce(s, s"/tmp/graft_frag_$tag") {
         Tables.orders(s, d).repartition(128)
-          .write.mode("overwrite").parquet(frag)
+          .write.mode("overwrite").parquet(s"/tmp/graft_frag_$tag")
       }
-      if (!Stage.exists(s, s"$compacted/_SUCCESS")) {
+      val compacted = Stage.materializeOnce(s, s"/tmp/graft_compacted_$tag") {
         s.read.parquet(frag).coalesce(4)
-          .write.mode("overwrite").parquet(compacted)
+          .write.mode("overwrite").parquet(s"/tmp/graft_compacted_$tag")
       }
       s.read.parquet(compacted)
         .groupBy(col("o_orderstatus"))
@@ -253,10 +251,11 @@ object Sources {
       // scale dir; the dynamic overwrite is idempotent (derived from
       // the immutable source), so re-invocations converge.
       val base = ensurePartitionedLineitem(s, d)
-      val out = "/tmp/graft_dynpart_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!Stage.exists(s, s"$out/_SUCCESS")) {
+      val out = Stage.materializeOnce(s,
+        "/tmp/graft_dynpart_" + d.replaceAll("[^A-Za-z0-9]", "_")) {
         s.read.parquet(base).write.mode("overwrite")
-          .partitionBy("ship_year").parquet(out)
+          .partitionBy("ship_year")
+          .parquet("/tmp/graft_dynpart_" + d.replaceAll("[^A-Za-z0-9]", "_"))
       }
       val repriced = s.read.parquet(base)
         .filter(col("ship_year") === 1996)

@@ -83,11 +83,6 @@ object Wd {
     "wd_claims_flatten" -> ((s, _) =>
       claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id")),
 
-    // Truthy statement selection — the rank semantics every Wikidata
-    // consumer applies before using claims: per (entity, property),
-    // keep preferred statements if any exist, else the normal ones;
-    // deprecated never surfaces. One max-over-partition window on the
-    // already-flattened statements (no second scan, no join).
     "wd_property_stats" -> ((s, _) => {
       // Per-property dump profile — the warehouse stats page a Wikidata
       // consumer reads first: statement volume, entity coverage,
@@ -108,6 +103,11 @@ object Wd {
         .orderBy("pid")
     }),
 
+    // Truthy statement selection — the rank semantics every Wikidata
+    // consumer applies before using claims: per (entity, property),
+    // keep preferred statements if any exist, else the normal ones;
+    // deprecated never surfaces. One max-over-partition window on the
+    // already-flattened statements (no second scan, no join).
     "wd_statements_truthy" -> ((s, _) => {
       val cf = claimsFlatten(entities(s))
       val rv = when(col("rank") === "preferred", 2)

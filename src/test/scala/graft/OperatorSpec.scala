@@ -722,12 +722,13 @@ class OperatorSpec extends AnyFunSuite {
     def parquets(p: String) =
       Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .count(_.getName.endsWith(".parquet"))
-    val frag = parquets("/tmp/graft_frag__root_testdata_sf0_001")
-    val comp = parquets("/tmp/graft_compacted__root_testdata_sf0_001")
+    val tag = Spec.sf001.replaceAll("[^A-Za-z0-9]", "_") // operator's scheme
+    val frag = parquets(s"/tmp/graft_frag_$tag")
+    val comp = parquets(s"/tmp/graft_compacted_$tag")
     assert(frag > 100, s"fragmented table has $frag files")
     assert(comp <= 4 && comp > 0, s"compacted table has $comp files")
-    val a = spark.read.parquet("/tmp/graft_frag__root_testdata_sf0_001").count()
-    val b = spark.read.parquet("/tmp/graft_compacted__root_testdata_sf0_001").count()
+    val a = spark.read.parquet(s"/tmp/graft_frag_$tag").count()
+    val b = spark.read.parquet(s"/tmp/graft_compacted_$tag").count()
     assert(a == b, s"row count changed: $a -> $b")
   }
 

@@ -84,9 +84,7 @@ class PropertySpec extends AnyFunSuite {
     // The whole point of the hash-based assignment vs
     // monotonically_increasing_id: identical (natural → surrogate)
     // mapping whatever the physical layout.
-    val sk = expr(
-      """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),
-                   16, 10) AS BIGINT)""")
+    val sk = expr(graft.operators.StatOps.SurrogateKeySql)
     def mapping(parts: Int) =
       Tables.customer(spark, Spec.sf001).repartition(parts)
         .select(col("c_custkey"), sk.as("sk"))

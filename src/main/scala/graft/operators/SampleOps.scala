@@ -41,6 +41,32 @@ object SampleOps {
         .orderBy("doc_id")
     }),
 
+    "sample_bootstrap" -> ((s, d) => {
+      // Deterministic Poisson(1) bootstrap replicates — the resampling
+      // an ensemble/uncertainty pipeline runs WITHOUT an RNG: u comes
+      // from md5 hex chars 5-8 (independent of hashBucket's 1-4),
+      // exactly uniform on the 1/65536 grid, and the replicate count k
+      // is the Poisson(1) inverse CDF as a literal threshold chain —
+      // pure map-side expression, identical in both engines, stable
+      // under retries/repartitioning (the property rand() lacks).
+      // Output is the per-language replicate histogram: k≈0 for ~37%,
+      // mean 1 — the bootstrap contract.
+      val u = expr(
+        """CAST(conv(substring(md5(CAST(doc_id AS STRING)), 5, 4),
+                     16, 10) AS BIGINT)""").cast(DoubleType) / lit(65536.0)
+      val k = when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5).cast(IntegerType)
+      Tables.documents(s, d)
+        .select(col("lang"), k.as("k"))
+        .groupBy(col("lang"), col("k"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "k")
+    }),
+
     "pack_sequences" -> ((s, d) => {
       // Pretraining sequence packing, concat-and-chunk style: the
       // corpus is one virtual token stream in doc_id order, cut into
@@ -170,7 +196,29 @@ object SampleOps {
           FOR i IN range(1, 5)]),
          (acc, x) -> acc * 16 + x) % 10"""
 
+  /** Chars 5-8 of md5 folded to BIGINT — the bootstrap's u numerator. */
+  private val hex58Sql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+          FOR i IN range(5, 9)]),
+         (acc, x) -> acc * 16 + x)"""
+
   val oracles: Map[String, String] = Map(
+    "sample_bootstrap" ->
+      s"""WITH u AS (
+           SELECT lang, CAST($hex58Sql AS DOUBLE) / 65536.0 AS u
+           FROM documents)
+         SELECT lang,
+             CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS INTEGER) AS k,
+             count(*) AS n_docs
+         FROM u GROUP BY 1, 2 ORDER BY lang, k""",
+
     "split_train_test" ->
       s"""SELECT doc_id, lang,
              CASE WHEN b < 8 THEN 'train'

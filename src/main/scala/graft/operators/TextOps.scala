@@ -131,6 +131,30 @@ object TextOps {
         .orderBy("doc_id", "rnk")
     }),
 
+    "text_bigram_prob" -> ((s, d) => {
+      // Bigram conditional probabilities P(w2|w1) = c(w1,w2)/c(w1·) —
+      // the count-based language-model estimate (the building block of
+      // KenLM-style scoring and the perplexity gate's real-corpus
+      // form). Both count tables derive from ONE exploded bigram frame;
+      // exact long counts, one final division. Top-20 by pair count
+      // with a full tiebreak.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("tok").as("w1"), col("nxt").as("w2"))
+      val c12 = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      c12.join(c1, "w1")
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast(DoubleType) / col("c1").cast(DoubleType), 4)
+            .as("p"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "text_vocab" -> ((s, d) => {
       // Vocabulary richness per source: token volume, type count, and
       // type-token ratio — the Heaps-law profile that flags a source
@@ -422,6 +446,21 @@ object TextOps {
       s"""SELECT word, count(*) AS cnt
          FROM (SELECT unnest($toksSql) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word LIMIT 20""",
+
+    "text_bigram_prob" ->
+      s"""WITH grams AS (
+           SELECT tok AS w1, nxt AS w2 FROM (
+             SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id, $toksSql AS tokens FROM documents)))
+           WHERE nxt IS NOT NULL),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY 1)
+         SELECT c12.w1, w2, c12,
+             round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS p
+         FROM c12 JOIN c1 ON c12.w1 = c1.w1
+         ORDER BY c12 DESC, c12.w1, w2 LIMIT 20""",
 
     "text_vocab" ->
       s"""SELECT source, count(*) AS n_tokens,

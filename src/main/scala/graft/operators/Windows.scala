@@ -320,6 +320,29 @@ object Windows {
         .orderBy("o_custkey", "m")
     }),
 
+    "win_streaks" -> ((s, d) => {
+      // Longest consecutive-active-day streak per user — the
+      // gaps-and-islands variant every engagement metric needs: dedup
+      // to (user, day) once (the only fact-sized shuffle), then
+      // day − row_number() is constant within a consecutive run, so
+      // one window pass + an output-sized double aggregate finds the
+      // max run length. No self-join against shifted copies (the
+      // O(n²) formulation).
+      val days = Tables.events(s, d)
+        .select(col("user_id"), epochS(col("ts")).as("sec"))
+        .select(col("user_id"), expr("sec div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     "win_running_distinct" -> ((s, d) => {
       // Running COUNT DISTINCT per key — no inverse exists, so it
       // can't frame-decompose like a running sum; the scale idiom is
@@ -593,6 +616,23 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "win_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day
+           FROM events),
+         runs AS (
+           SELECT user_id,
+                  day - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS grp
+           FROM days),
+         lens AS (SELECT user_id, grp, count(*) AS len
+                  FROM runs GROUP BY 1, 2)
+         SELECT user_id, max(len) AS max_streak_days,
+                count(*) AS n_streaks
+         FROM lens GROUP BY user_id ORDER BY user_id""",
 
     "win_running_distinct" ->
       """SELECT o_custkey, o_orderkey,

@@ -155,6 +155,27 @@ object StatOps {
         .orderBy("c_custkey")
     }),
 
+    "etl_table_checksum" -> ((s, d) => {
+      // Order-independent content checksum per partition group — how
+      // two 100 TB snapshots compare WITHOUT sorting either: XOR of
+      // 60-bit row hashes is commutative/associative, so the partial
+      // aggregation merges in any order and any partitioning, and a
+      // replica diverging by one row flips the group checksum. Hash
+      // input sticks to integers, plain strings, and ISO date strings
+      // — double→string formatting is NOT a cross-engine contract.
+      val rowHash = expr(
+        """CAST(conv(substring(md5(concat_ws('|',
+             CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+             o_orderstatus, o_orderpriority,
+             CAST(CAST(o_orderdate AS DATE) AS STRING))), 1, 15),
+           16, 10) AS BIGINT)""")
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), rowHash.as("h"))
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     "etl_dq_audit" -> ((s, d) => {
       // Warehouse data-quality audit as one tall (check, value) frame —
       // the gate a 100 TB ingest runs before publishing a snapshot.
@@ -265,6 +286,23 @@ object StatOps {
          SELECT c_custkey, sk,
              CAST(count(*) OVER (PARTITION BY sk) AS INTEGER) AS n_shared
          FROM keyed ORDER BY c_custkey""",
+
+    "etl_table_checksum" ->
+      """WITH h AS (
+           SELECT o_orderstatus,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [strpos('0123456789abcdef',
+                         substring(md5(concat_ws('|',
+                           CAST(o_orderkey AS VARCHAR),
+                           CAST(o_custkey AS VARCHAR),
+                           o_orderstatus, o_orderpriority,
+                           CAST(CAST(o_orderdate AS DATE) AS VARCHAR))),
+                           CAST(i AS INTEGER), 1)) - 1
+                  FOR i IN range(1, 16)]),
+                 (acc, x) -> acc * 16 + x) AS h
+           FROM orders)
+         SELECT o_orderstatus, bit_xor(h) AS checksum, count(*) AS n
+         FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "etl_dq_audit" ->
       """WITH rowchecks AS (

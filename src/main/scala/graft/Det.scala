@@ -50,6 +50,26 @@ object Det {
   def sumFixed(prod: Column): Column =
     sum(floor(prod * FixedPoint)).cast(DoubleType) / FixedPoint
 
+  /** Spark-side md5 hex-slice → BIGINT: the ONE deterministic-hash
+    * idiom behind bucket splits, surrogate keys, bootstrap u, and row
+    * checksums — chars [start, start+len) of md5(input) parsed base-16
+    * (len ≤ 15 keeps the value in positive BIGINT range). */
+  def md5SliceExpr(input: String, start: Int, len: Int): String = {
+    require(len >= 1 && len <= 15, s"md5 slice len $len outside 1..15")
+    s"""CAST(conv(substring(md5(CAST(($input) AS STRING)), $start, $len),
+        16, 10) AS BIGINT)"""
+  }
+
+  /** DuckDB twin of [[md5SliceExpr]] — DuckDB has no conv(), so the hex
+    * chars fold through a strpos list_reduce (same digits, same base). */
+  def md5SliceSql(input: String, start: Int, len: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [strpos('0123456789abcdef',
+                 substring(md5(CAST(($input) AS VARCHAR)),
+                           CAST(i AS INTEGER), 1)) - 1
+          FOR i IN range($start, ${start + len})]),
+         (acc, x) -> acc * 16 + x)"""
+
   /** Event-time truncated to whole seconds (cross-engine-safe). */
   def secs(c: Column): Column = date_trunc("second", c)
 

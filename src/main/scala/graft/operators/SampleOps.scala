@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Det, Tables}
 
 /** Dataset-splitting / sampling operators a training pipeline needs
   * around the corpus (SURVEY §2.10 north-star family).
@@ -22,8 +22,7 @@ object SampleOps {
     * text_decontaminate so the eval set it scans against IS the frozen
     * test split this rule defines. */
   private[operators] def hashBucket =
-    expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
-            AS BIGINT) % 10""")
+    expr(Det.md5SliceExpr("doc_id", 1, 4) + " % 10")
 
   val queries: Map[String, Q] = Map(
     "split_train_test" -> ((s, d) => {
@@ -51,9 +50,8 @@ object SampleOps {
       // under retries/repartitioning (the property rand() lacks).
       // Output is the per-language replicate histogram: k≈0 for ~37%,
       // mean 1 — the bootstrap contract.
-      val u = expr(
-        """CAST(conv(substring(md5(CAST(doc_id AS STRING)), 5, 4),
-                     16, 10) AS BIGINT)""").cast(DoubleType) / lit(65536.0)
+      val u = expr(Det.md5SliceExpr("doc_id", 5, 4))
+        .cast(DoubleType) / lit(65536.0)
       val k = when(u < 0.36787944117144233, 0)
         .when(u < 0.7357588823428847, 1)
         .when(u < 0.9196986029286058, 2)
@@ -190,19 +188,10 @@ object SampleOps {
 
   /** 4-hex-char → BIGINT parse, the DuckDB twin of Spark's conv(). */
   private[operators] val hexBucketSql =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-         [strpos('0123456789abcdef',
-                 substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
-          FOR i IN range(1, 5)]),
-         (acc, x) -> acc * 16 + x) % 10"""
+    Det.md5SliceSql("doc_id", 1, 4) + " % 10"
 
   /** Chars 5-8 of md5 folded to BIGINT — the bootstrap's u numerator. */
-  private val hex58Sql =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-         [strpos('0123456789abcdef',
-                 substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
-          FOR i IN range(5, 9)]),
-         (acc, x) -> acc * 16 + x)"""
+  private val hex58Sql = Det.md5SliceSql("doc_id", 5, 4)
 
   val oracles: Map[String, String] = Map(
     "sample_bootstrap" ->

@@ -23,9 +23,7 @@ object StatOps {
   /** 60-bit surrogate key from the natural key's md5 — the single
     * definition etl_surrogate_keys and PropertySpec's layout-invariance
     * test both exercise (16^15 = 2⁶⁰ fits BIGINT). */
-  private[graft] val SurrogateKeySql =
-    """CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 15),
-                 16, 10) AS BIGINT)"""
+  private[graft] val SurrogateKeySql = Det.md5SliceExpr("c_custkey", 1, 15)
 
   val queries: Map[String, Q] = Map(
     "agg_skew_kurt" -> ((s, d) => {
@@ -163,12 +161,11 @@ object StatOps {
       // replica diverging by one row flips the group checksum. Hash
       // input sticks to integers, plain strings, and ISO date strings
       // — double→string formatting is NOT a cross-engine contract.
-      val rowHash = expr(
-        """CAST(conv(substring(md5(concat_ws('|',
+      val rowHash = expr(Det.md5SliceExpr(
+        """concat_ws('|',
              CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
              o_orderstatus, o_orderpriority,
-             CAST(CAST(o_orderdate AS DATE) AS STRING))), 1, 15),
-           16, 10) AS BIGINT)""")
+             CAST(CAST(o_orderdate AS DATE) AS STRING))""", 1, 15))
       Tables.orders(s, d)
         .select(col("o_orderstatus"), rowHash.as("h"))
         .groupBy(col("o_orderstatus"))
@@ -271,35 +268,26 @@ object StatOps {
          WHERE levenshtein(a.p_name, b.p_name) <= 4
          ORDER BY a, b""",
 
-    // 15-hex-char md5 prefix → BIGINT, the DuckDB twin of Spark's conv()
-    // (same construction as SampleOps.hexBucketSql, widened to 60 bits).
+    // 15-hex-char md5 prefix → BIGINT (Det.md5SliceSql, widened to 60
+    // bits), the DuckDB twin of Spark's conv().
     "etl_surrogate_keys" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
            SELECT c_custkey,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 [strpos('0123456789abcdef',
-                         substring(md5(CAST(c_custkey AS VARCHAR)),
-                                   CAST(i AS INTEGER), 1)) - 1
-                  FOR i IN range(1, 16)]),
-                 (acc, x) -> acc * 16 + x) AS sk
+               ${Det.md5SliceSql("c_custkey", 1, 15)} AS sk
            FROM customer)
          SELECT c_custkey, sk,
              CAST(count(*) OVER (PARTITION BY sk) AS INTEGER) AS n_shared
          FROM keyed ORDER BY c_custkey""",
 
     "etl_table_checksum" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT o_orderstatus,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 [strpos('0123456789abcdef',
-                         substring(md5(concat_ws('|',
-                           CAST(o_orderkey AS VARCHAR),
-                           CAST(o_custkey AS VARCHAR),
-                           o_orderstatus, o_orderpriority,
-                           CAST(CAST(o_orderdate AS DATE) AS VARCHAR))),
-                           CAST(i AS INTEGER), 1)) - 1
-                  FOR i IN range(1, 16)]),
-                 (acc, x) -> acc * 16 + x) AS h
+               ${Det.md5SliceSql(
+                 """concat_ws('|',
+                      CAST(o_orderkey AS VARCHAR),
+                      CAST(o_custkey AS VARCHAR),
+                      o_orderstatus, o_orderpriority,
+                      CAST(CAST(o_orderdate AS DATE) AS VARCHAR))""", 1, 15)} AS h
            FROM orders)
          SELECT o_orderstatus, bit_xor(h) AS checksum, count(*) AS n
          FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus""",

@@ -135,9 +135,11 @@ object TextOps {
       // Bigram conditional probabilities P(w2|w1) = c(w1,w2)/c(w1·) —
       // the count-based language-model estimate (the building block of
       // KenLM-style scoring and the perplexity gate's real-corpus
-      // form). Both count tables derive from ONE exploded bigram frame;
-      // exact long counts, one final division. Top-20 by pair count
-      // with a full tiebreak.
+      // form). The corpus pays ONE exploded+windowed pass: the context
+      // counts c(w1·) fold from the pair table (Σ_w2 c(w1,w2)) at
+      // vocab² cost, never a second fact-sized scan. Exact long
+      // counts, one final division. Top-20 by pair count, full
+      // tiebreak.
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -146,7 +148,7 @@ object TextOps {
         .select(col("tok").as("w1"), col("nxt").as("w2"))
       val c12 = grams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-      val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       c12.join(c1, "w1")
         .select(col("w1"), col("w2"), col("c12"),
           round(col("c12").cast(DoubleType) / col("c1").cast(DoubleType), 4)
@@ -456,7 +458,7 @@ object TextOps {
                    FROM (SELECT doc_id, $toksSql AS tokens FROM documents)))
            WHERE nxt IS NOT NULL),
          c12 AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY 1)
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
          SELECT c12.w1, w2, c12,
              round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS p
          FROM c12 JOIN c1 ON c12.w1 = c1.w1

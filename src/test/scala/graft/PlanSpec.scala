@@ -100,6 +100,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("join_dpp runtime metrics prove partitions were actually skipped") {
+    // Beyond the plan shape: after execution the fact scan's numFiles
+    // metric must cover the 2 qualifying ship_year directories, not all
+    // 7 — the hard evidence that the dynamic filter reached the scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("join_dpp")(spark, Spec.sf001)
+    df.collect()
+    // AQE hides materialized stages behind QueryStageExec leaves, so a
+    // plain collect never reaches the scan — unwrap every wrapper kind
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      here ++ kids.flatMap(allScans) ++ p.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "ship_year"))
+    assert(scans.nonEmpty, "partitioned fact scan not found in final plan")
+    val filesRead = scans.head.metrics("numFiles").value
+    val allFiles = new java.io.File(
+      "/tmp/graft_part__root_testdata_sf0_001").listFiles()
+      .filter(_.getName.startsWith("ship_year="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"read $filesRead of $allFiles files — no runtime pruning happened")
+  }
+
   test("win_interp_linear fuses both IGNORE NULLS passes into one Window") {
     // The prev- and next-actual lookups share (partition key, ordering);
     // only their frames differ, so Spark must evaluate all four window

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Stage, Tables}
 
 /** Multimodal-column operators (SURVEY.md §2.10): media as opaque
   * binary columns with typed metadata, bundled into one struct column.
@@ -26,7 +26,37 @@ object Multimodal {
     if (bytes == null) -1L
     else bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
 
+  /** Fixed blob fixture for scan_binaryfile: name → content bytes.
+    * Sizes straddle a kilobyte so length is a real signal. */
+  private val blobFixture: Seq[(String, Array[Byte])] = Seq(
+    "img_0001.bin" -> Array.tabulate(1536)(i => ((i * 7 + 13) % 251).toByte),
+    "img_0002.bin" -> Array.tabulate(777)(i => ((i * 31 + 5) % 253).toByte),
+    "aud_0001.bin" -> Array.tabulate(2048)(i => ((i * 17 + 99) % 249).toByte))
+
+  private def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
   val queries: Map[String, Q] = Map(
+    "scan_binaryfile" -> ((s, _) => {
+      // The multimodal INGEST path: raw media files enter Spark through
+      // the binaryFile source as (path, modificationTime, length,
+      // content) — this is how a 100 TB image corpus starts. The scan
+      // parallelizes per file (small files pack into tasks under
+      // maxPartitionBytes); the projection here builds the content-
+      // addressed manifest (name, length, sha-256) that multimodal_
+      // digest then dedups on. Fixture blobs stage once per session.
+      val dir = "/tmp/graft_blobs"
+      Stage.materializeOnce(s, dir) {
+        blobFixture.foreach { case (n, b) => Stage.write(s, s"$dir/$n", b) }
+        Stage.write(s, s"$dir/_SUCCESS", Array.emptyByteArray)
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(element_at(split(col("path"), "/"), -1).as("name"),
+          col("length"), sha2(col("content"), 256).as("sha256"))
+        .orderBy("name")
+    }),
+
     "multimodal_bundle" -> ((s, d) => {
       // One struct column bundling text + vector + typed metadata;
       // nested field access + nested filter. Parquet nested-schema
@@ -111,6 +141,17 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // scan_bz2_text technique: the oracle is generated from the SAME
+    // fixture literal the scan stages, with the digests computed by the
+    // JVM's MessageDigest — a hash-gate match proves Spark's binaryFile
+    // content bytes and sha2() agree with an independent SHA-256.
+    "scan_binaryfile" ->
+      s"""SELECT * FROM (VALUES ${
+        blobFixture.map { case (n, b) =>
+          s"('$n', CAST(${b.length} AS BIGINT), '${sha256Hex(b)}')"
+        }.mkString(", ")}) t(name, length, sha256)
+         ORDER BY name""",
+
     "multimodal_bundle" ->
       """SELECT doc_id, source, n_chars, CAST(len(embedding) AS INTEGER) AS dim
          FROM documents JOIN embeddings ON doc_id = vec_id

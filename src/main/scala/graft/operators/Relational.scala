@@ -426,6 +426,34 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     }),
 
+    "join_asof_tolerance" -> ((s, d) => {
+      // Feature-store as-of: latest click at-or-before each purchase,
+      // but NO OLDER than 1 hour — a stale feature must surface as
+      // NULL, never silently join (the bug class behind offline/online
+      // skew). Same window idiom as join_asof; the staleness bound
+      // rides in the join condition, which also caps the candidate
+      // scan per purchase at 100 TB (unbounded backward as-of walks a
+      // user's whole history).
+      val ev = Tables.events(s, d).withColumn("sec", epochS(col("ts")))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("sec").as("p_sec"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("sec").as("c_sec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+        .orderBy(col("c_sec").desc_nulls_last, col("click_id").desc_nulls_last)
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_sec") <= col("p_sec") &&
+          col("c_sec") >= col("p_sec") - lit(3600L), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("p_sec") - col("c_sec")).as("staleness_sec"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     "join_asof_nearest" -> ((s, d) => {
       // Nearest-direction as-of: each purchase pairs with the click
       // whose event-time is CLOSEST in either direction (join_asof is
@@ -1099,6 +1127,24 @@ object Relational {
          CAST(round(sum(CAST(l_quantity AS DECIMAL(38,4))),4) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "join_asof_tolerance" ->
+      """SELECT user_id, purchase_id, click_id, staleness_sec FROM (
+           SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                  c.event_id AS click_id,
+                  p.sec - c.sec AS staleness_sec,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY c.sec DESC NULLS LAST,
+                             c.event_id DESC NULLS LAST) AS rn
+           FROM (SELECT user_id, event_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                 FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT user_id, event_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                 FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id
+             AND c.sec <= p.sec AND c.sec >= p.sec - 3600)
+         WHERE rn = 1 ORDER BY user_id, purchase_id""",
 
     "join_asof_nearest" ->
       """SELECT user_id, purchase_id, click_id, dt_sec FROM (

@@ -19,6 +19,13 @@ import Det._
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** (1−α)^i weights for win_ewma, α=0.3: ONE Scala computation feeds
+    * both the Spark literals and (via Double.toString shortest
+    * round-trip) the oracle's decimal literals — same doubles, same
+    * fold order, both engines. */
+  private[operators] val EwmaWeights: IndexedSeq[Double] =
+    (0 to 9).map(i => math.pow(0.7, i))
+
   /** Events with 8h-gap session numbers attached (gaps-and-islands):
     * shared core of win_sessionize and etl_user_features. lag and the
     * running sum share ONE (user_id → sec_l, event_id) window spec, so
@@ -320,6 +327,34 @@ object Windows {
         .orderBy("o_custkey", "m")
     }),
 
+    "win_ewma" -> ((s, d) => {
+      // Exponentially-weighted moving average, trailing-10 truncation —
+      // the smoothing every metrics dashboard runs. The recursive EWMA
+      // doesn't frame-decompose, but with α=0.3 the weights decay below
+      // 3% by lag 9, so the truncated form is exact enough AND
+      // window-expressible: ten lag terms share ONE (key → time, id)
+      // window spec → a single Window operator over one exchange+sort,
+      // all codegen'd. Weights are Scala-computed literals; the oracle
+      // embeds the identical shortest-round-trip decimal strings, so
+      // both engines fold the same doubles in the same order.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val x = col("o_totalprice")
+      val terms = (0 to 9).map { i =>
+        val wi = lit(EwmaWeights(i))
+        (when(lag(x, i).over(w).isNotNull, wi).otherwise(lit(0.0)),
+          coalesce(lag(x, i).over(w), lit(0.0)) * wi)
+      }
+      val num = terms.map(_._2).reduce(_ + _)
+      val den = terms.map(_._1).reduce(_ + _)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(num / den, 4).as("ewma10"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "win_streaks" -> ((s, d) => {
       // Longest consecutive-active-day streak per user — the
       // gaps-and-islands variant every engagement metric needs: dedup
@@ -616,6 +651,20 @@ object Windows {
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
+
+    "win_ewma" -> {
+      val num = EwmaWeights.zipWithIndex.map { case (wi, i) =>
+        s"coalesce(lag(o_totalprice, $i) OVER w, 0.0) * $wi"
+      }.mkString(" + ")
+      val den = EwmaWeights.zipWithIndex.map { case (wi, i) =>
+        s"(CASE WHEN lag(o_totalprice, $i) OVER w IS NOT NULL THEN $wi ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""SELECT o_custkey, o_orderkey,
+             round(($num) / ($den), 4) AS ewma10
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey"""
+    },
 
     "win_streaks" ->
       """WITH days AS (

@@ -81,6 +81,23 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("join_fuzzy_levenshtein joins on the block key, never a cartesian") {
+    // The blocking key is the whole point: the fuzzy match must plan as
+    // an equi join on blk with levenshtein as a post-join filter, not
+    // as an all-pairs nested loop over the name sets.
+    val p = plan("join_fuzzy_levenshtein")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(2000))
+  }
+
+  test("win_ewma evaluates all ten lag terms in one Window operator") {
+    // Ten lags share (partition, order) — a plan with >1 Window means
+    // Spark split the chain into multiple per-partition sorts.
+    val p = plan("win_ewma")
+    val windows = "Window \\(\\d+\\)".r.findAllIn(p).length
+    assert(windows == 1, s"$windows Window operators:\n" + p.take(2000))
+  }
+
   test("subquery_not_in plans null-aware broadcast anti joins, no nested loop") {
     // NOT IN must become BroadcastHashJoin LeftAnti (isNullAwareAntiJoin)
     // — the O(n) single-column fast path; a BroadcastNestedLoopJoin here

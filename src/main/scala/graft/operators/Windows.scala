@@ -652,12 +652,17 @@ object Windows {
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
          ORDER BY o_custkey, m""",
 
+    // CAST each weight literal to DOUBLE: DuckDB would otherwise parse
+    // them as DECIMAL(18,17) and fold the numerator EXACTLY while Spark
+    // folds binary doubles — a ~1e-6/row latent hash flip at the 4-dp
+    // rounding boundary. With the cast both engines genuinely run the
+    // same IEEE fold.
     "win_ewma" -> {
       val num = EwmaWeights.zipWithIndex.map { case (wi, i) =>
-        s"coalesce(lag(o_totalprice, $i) OVER w, 0.0) * $wi"
+        s"coalesce(lag(o_totalprice, $i) OVER w, 0.0) * CAST($wi AS DOUBLE)"
       }.mkString(" + ")
       val den = EwmaWeights.zipWithIndex.map { case (wi, i) =>
-        s"(CASE WHEN lag(o_totalprice, $i) OVER w IS NOT NULL THEN $wi ELSE 0.0 END)"
+        s"(CASE WHEN lag(o_totalprice, $i) OVER w IS NOT NULL THEN CAST($wi AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
       }.mkString(" + ")
       s"""SELECT o_custkey, o_orderkey,
              round(($num) / ($den), 4) AS ewma10

@@ -145,8 +145,11 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.output.exists(_.name == "ship_year"))
     assert(scans.nonEmpty, "partitioned fact scan not found in final plan")
     val filesRead = scans.head.metrics("numFiles").value
-    val allFiles = new java.io.File(
-      "/tmp/graft_part__root_testdata_sf0_001").listFiles()
+    // same derivation as the operator: ensurePartitionedLineitem is
+    // idempotent and returns the materialized path
+    val partPath = graft.sources.Sources
+      .ensurePartitionedLineitem(spark, Spec.sf001)
+    val allFiles = new java.io.File(partPath).listFiles()
       .filter(_.getName.startsWith("ship_year="))
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
     assert(filesRead > 0 && filesRead < allFiles,

@@ -855,6 +855,27 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    "agg_weighted_avg" -> ((s, d) => {
+      // Weighted mean as a ratio of exact decimal sums — the form that
+      // partial-aggregates correctly (a naive avg-of-ratios neither
+      // distributes nor means anything). Quantity-weighted unit price
+      // per return flag; ONE shuffle, both sums partial map-side, the
+      // division happens once on the output-sized result.
+      // DECIMAL(18,4) inputs: the cross product stays exact in BOTH
+      // engines (Spark (18,4)×(18,4)→(37,8) under the 38 cap; the
+      // oracle's (19,4) forces DuckDB onto int128 — the agg_stats_corr
+      // discipline)
+      val p = expr("try_cast(l_extendedprice AS DECIMAL(18,4))")
+      val q = expr("try_cast(l_quantity AS DECIMAL(18,4))")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(p * q).as("wsum"), sum(q).as("wtot"))
+        .select(col("l_returnflag"),
+          round(col("wsum").cast(DoubleType) / col("wtot").cast(DoubleType), 4)
+            .as("w_avg_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_minmax_by" -> ((s, d) => {
       // max_by/min_by — argmax without the join-back. The ordering key
       // is a (measure, ±key) struct, making the argmax a TOTAL order:
@@ -1248,6 +1269,14 @@ object Relational {
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",
+
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE), 4)
+               AS w_avg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_bool" ->
       """SELECT o_orderstatus,

@@ -81,6 +81,27 @@ object SimOps {
       .agg(sqrt(graft.Det.sumFixed(col("v") * col("v"))).as("nrm"))
 
   val queries: Map[String, Q] = Map(
+    "sim_vector_norms" -> ((s, d) => {
+      // Vector-hygiene audit — the norm profile an ANN build runs
+      // FIRST: zero/degenerate vectors poison cosine math, and a
+      // label whose norm range collapses signals an embedding bug.
+      // Per-row norms through the fixed-point path (order-independent
+      // exact), then an output-sized per-label rollup: min/max are
+      // order-free, and the mean goes through ONE MORE fixed-point
+      // sum rather than a partition-order double fold.
+      val e = exploded(s, d)
+      val nr = norms(e).join(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id")
+      nr.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(round(col("nrm"), 4)), 4).as("min_norm"),
+          round(max(round(col("nrm"), 4)), 4).as("max_norm"),
+          round(graft.Det.sumFixed(col("nrm"))
+            / count(lit(1)).cast(DoubleType), 4).as("mean_norm"))
+        .orderBy("label")
+    }),
+
     "sim_cosine_topk" -> ((s, d) => {
       // Top-5 cosine neighbors for probe vectors vec_id < 10.
       val e = exploded(s, d)
@@ -474,6 +495,23 @@ object SimOps {
                   row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rnk
            FROM dots)
          WHERE rnk <= 3 ORDER BY a, rnk""",
+
+    "sim_vector_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(v AS DOUBLE) AS v FROM (
+             SELECT vec_id, unnest(embedding) AS v FROM embeddings)),
+         norms AS (SELECT vec_id,
+                     sqrt(CAST(sum(CAST(floor(v*v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                          / 1099511627776.0) AS nrm
+                   FROM e GROUP BY vec_id),
+         lab AS (SELECT n.vec_id, emb.label, n.nrm
+                 FROM norms n JOIN embeddings emb ON n.vec_id = emb.vec_id)
+         SELECT label, count(*) AS n_vecs,
+             round(min(round(nrm, 4)), 4) AS min_norm,
+             round(max(round(nrm, 4)), 4) AS max_norm,
+             round((CAST(sum(CAST(floor(nrm * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                    / 1099511627776.0)
+                   / CAST(count(*) AS DOUBLE), 4) AS mean_norm
+         FROM lab GROUP BY label ORDER BY label""",
 
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (

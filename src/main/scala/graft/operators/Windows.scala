@@ -327,6 +327,27 @@ object Windows {
         .orderBy("o_custkey", "m")
     }),
 
+    "win_pct_change" -> ((s, d) => {
+      // Month-over-month % change per customer — the growth metric
+      // every analytics surface reports. Aggregate to (key, month)
+      // first (so lag is over a dense per-key month series, not raw
+      // orders), then one lag + one division over a single window
+      // exchange. NULL for the first month and for a zero base —
+      // never a divide error (ANSI) or a fake 0%.
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_custkey"),
+          trunc(col("o_orderdate"), "month").as("m"))
+        .agg(sum(dec(col("o_totalprice"))).as("tot"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      val prev = lag(col("tot"), 1).over(w)
+      m.select(col("o_custkey"), col("m"),
+          money(col("tot")).as("m_total"),
+          when(prev.isNotNull && prev =!= dec(lit(0)),
+            round((col("tot").cast(DoubleType) - prev.cast(DoubleType))
+              / prev.cast(DoubleType) * 100.0, 4)).as("pct_change"))
+        .orderBy("o_custkey", "m")
+    }),
+
     "win_ewma" -> ((s, d) => {
       // Exponentially-weighted moving average, trailing-10 truncation —
       // the smoothing every metrics dashboard runs. The recursive EWMA
@@ -650,6 +671,24 @@ object Windows {
          SELECT sp.o_custkey, sp.m,
                 CAST(round(coalesce(a.m_total_d, 0), 4) AS DOUBLE) AS m_total
          FROM spine sp LEFT JOIN actual a USING (o_custkey, m)
+         ORDER BY o_custkey, m""",
+
+    "win_pct_change" ->
+      """WITH m AS (
+           SELECT o_custkey,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  sum(CAST(o_totalprice AS DECIMAL(38,4))) AS tot
+           FROM orders GROUP BY 1, 2)
+         SELECT o_custkey, m,
+             CAST(round(tot, 4) AS DOUBLE) AS m_total,
+             CASE WHEN lag(tot) OVER w IS NOT NULL
+                   AND lag(tot) OVER w <> 0
+                  THEN round((CAST(tot AS DOUBLE)
+                              - CAST(lag(tot) OVER w AS DOUBLE))
+                             / CAST(lag(tot) OVER w AS DOUBLE) * 100.0, 4)
+             END AS pct_change
+         FROM m
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY m)
          ORDER BY o_custkey, m""",
 
     // CAST each weight literal to DOUBLE: DuckDB would otherwise parse

@@ -183,6 +183,29 @@ object Wd {
         .orderBy("id")
     }),
 
+    "wd_claims_widen" -> ((s, _) => {
+      // EAV → wide: the per-property columns the reference's fixed-DDL
+      // Postgres tables hard-code (instance-of, birth date, coords).
+      // Conditional aggregation over the flattened claims — ONE
+      // output-sized shuffle on id, no join per property (the naive
+      // widen is k self-joins) — with min() as the deterministic
+      // single-value rule for multi-valued properties (production
+      // ranks truthy-first; wd_statements_truthy holds that logic).
+      val cf = claimsFlatten(entities(s))
+      val ext = cf.select(col("id"), col("pid"),
+        get_json_object(col("dv_raw"), "$.id").as("j_ent"),
+        get_json_object(col("dv_raw"), "$.time").as("j_time"),
+        get_json_object(col("dv_raw"), "$.latitude").as("j_lat"))
+      ext.groupBy(col("id"))
+        .agg(
+          min(when(col("pid") === "P31", col("j_ent"))).as("p31_class"),
+          min(when(col("pid") === "P569", col("j_time"))).as("p569_dob"),
+          min(when(col("pid") === "P625", col("j_lat").cast(DoubleType)))
+            .as("p625_lat"),
+          count(lit(1)).as("n_statements"))
+        .orderBy("id")
+    }),
+
     "etl_incremental_refresh" -> ((s, _) => {
       // wd_diff COMPOSED with the CDC-apply shape — the incremental
       // consumption story end to end: instead of reloading the new
@@ -294,6 +317,26 @@ object Wd {
                                  labels: 'JSON', claims: 'JSON',
                                  sitelinks: 'JSON', lastrevid: 'BIGINT'})
          ORDER BY id""",
+
+    "wd_claims_widen" ->
+      """WITH ent AS (
+           SELECT id, claims FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited', columns={id: 'VARCHAR', claims: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         ext AS (SELECT id, pid,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.id') AS j_ent,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.time') AS j_time,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.latitude') AS j_lat
+           FROM st)
+         SELECT id,
+             min(CASE WHEN pid = 'P31' THEN j_ent END) AS p31_class,
+             min(CASE WHEN pid = 'P569' THEN j_time END) AS p569_dob,
+             min(CASE WHEN pid = 'P625' THEN CAST(j_lat AS DOUBLE) END) AS p625_lat,
+             count(*) AS n_statements
+         FROM ext GROUP BY id ORDER BY id""",
 
     // The oracle is the DIRECT v2 rebuild — stating that applying the
     // diff to v1 reproduces it exactly is the whole point of the key.

@@ -867,9 +867,13 @@ object Relational {
       // discipline)
       val p = expr("try_cast(l_extendedprice AS DECIMAL(18,4))")
       val q = expr("try_cast(l_quantity AS DECIMAL(18,4))")
+      // one guard for BOTH sums: a row where either cast fails drops
+      // from numerator AND denominator together — a one-sided NULL
+      // would silently deflate the mean on dirty input
+      val ok = p.isNotNull && q.isNotNull
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sum(p * q).as("wsum"), sum(q).as("wtot"))
+        .agg(sum(when(ok, p * q)).as("wsum"), sum(when(ok, q)).as("wtot"))
         .select(col("l_returnflag"),
           round(col("wsum").cast(DoubleType) / col("wtot").cast(DoubleType), 4)
             .as("w_avg_price"))
@@ -1272,9 +1276,13 @@ object Relational {
 
     "agg_weighted_avg" ->
       """SELECT l_returnflag,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
-                          * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
-                   / CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE), 4)
+             round(CAST(sum(CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(19,4)) IS NOT NULL
+                              AND TRY_CAST(l_quantity AS DECIMAL(19,4)) IS NOT NULL
+                             THEN TRY_CAST(l_extendedprice AS DECIMAL(19,4))
+                                  * TRY_CAST(l_quantity AS DECIMAL(19,4)) END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN TRY_CAST(l_extendedprice AS DECIMAL(19,4)) IS NOT NULL
+                               AND TRY_CAST(l_quantity AS DECIMAL(19,4)) IS NOT NULL
+                              THEN TRY_CAST(l_quantity AS DECIMAL(19,4)) END) AS DOUBLE), 4)
                AS w_avg_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

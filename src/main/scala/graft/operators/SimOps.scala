@@ -85,19 +85,26 @@ object SimOps {
       // Vector-hygiene audit — the norm profile an ANN build runs
       // FIRST: zero/degenerate vectors poison cosine math, and a
       // label whose norm range collapses signals an embedding bug.
-      // Per-row norms through the fixed-point path (order-independent
-      // exact), then an output-sized per-label rollup: min/max are
-      // order-free, and the mean goes through ONE MORE fixed-point
-      // sum rather than a partition-order double fold.
+      // exploded() already carries label, so per-vector norms group on
+      // (vec_id, label) with no second join; the LEFT join from the
+      // base table then RESURFACES NULL/empty-embedding rows as norm 0
+      // — the audit must count the broken vectors, not drop them.
+      // min/max fold order-free over 4-dp-rounded values; the mean
+      // sums floor-quantized norms as DECIMAL(38,0) — exact,
+      // order-independent, and (unlike a fixed-point LONG) safe past
+      // 2^23 vectors per label.
       val e = exploded(s, d)
-      val nr = norms(e).join(
-        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
-        "vec_id")
+      val nrLab = e.groupBy(col("vec_id"), col("label"))
+        .agg(sqrt(graft.Det.sumFixed(col("v") * col("v"))).as("nrm0"))
+      val nr = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        .join(nrLab, Seq("vec_id", "label"), "left")
+        .withColumn("nrm", coalesce(col("nrm0"), lit(0.0)))
       nr.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           round(min(round(col("nrm"), 4)), 4).as("min_norm"),
           round(max(round(col("nrm"), 4)), 4).as("max_norm"),
-          round(graft.Det.sumFixed(col("nrm"))
+          round((sum(floor(col("nrm") * lit(1e6)).cast(DecimalType(38, 0)))
+              .cast(DoubleType) / lit(1e6))
             / count(lit(1)).cast(DoubleType), 4).as("mean_norm"))
         .orderBy("label")
     }),
@@ -497,19 +504,20 @@ object SimOps {
          WHERE rnk <= 3 ORDER BY a, rnk""",
 
     "sim_vector_norms" ->
-      """WITH e AS (SELECT vec_id, CAST(v AS DOUBLE) AS v FROM (
-             SELECT vec_id, unnest(embedding) AS v FROM embeddings)),
-         norms AS (SELECT vec_id,
+      """WITH e AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v FROM (
+             SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)),
+         norms AS (SELECT vec_id, label,
                      sqrt(CAST(sum(CAST(floor(v*v * 1099511627776.0) AS BIGINT)) AS DOUBLE)
-                          / 1099511627776.0) AS nrm
-                   FROM e GROUP BY vec_id),
-         lab AS (SELECT n.vec_id, emb.label, n.nrm
-                 FROM norms n JOIN embeddings emb ON n.vec_id = emb.vec_id)
+                          / 1099511627776.0) AS nrm0
+                   FROM e GROUP BY vec_id, label),
+         lab AS (SELECT emb.vec_id, emb.label, coalesce(n.nrm0, 0.0) AS nrm
+                 FROM embeddings emb LEFT JOIN norms n
+                   ON n.vec_id = emb.vec_id AND n.label = emb.label)
          SELECT label, count(*) AS n_vecs,
              round(min(round(nrm, 4)), 4) AS min_norm,
              round(max(round(nrm, 4)), 4) AS max_norm,
-             round((CAST(sum(CAST(floor(nrm * 1099511627776.0) AS BIGINT)) AS DOUBLE)
-                    / 1099511627776.0)
+             round((CAST(sum(CAST(floor(nrm * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1000000.0)
                    / CAST(count(*) AS DOUBLE), 4) AS mean_norm
          FROM lab GROUP BY label ORDER BY label""",
 

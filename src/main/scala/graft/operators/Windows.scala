@@ -330,19 +330,22 @@ object Windows {
     "win_pct_change" -> ((s, d) => {
       // Month-over-month % change per customer — the growth metric
       // every analytics surface reports. Aggregate to (key, month)
-      // first (so lag is over a dense per-key month series, not raw
-      // orders), then one lag + one division over a single window
-      // exchange. NULL for the first month and for a zero base —
-      // never a divide error (ANSI) or a fake 0%.
+      // first, then one lag + one division over a single window
+      // exchange. pct_change is NULL for the first month, a zero base,
+      // AND when the previous ACTIVE month isn't the calendar-adjacent
+      // one — a Jan→Mar jump must not masquerade as a monthly rate
+      // (densify with win_gap_fill first if every month must report).
       val m = Tables.orders(s, d)
         .groupBy(col("o_custkey"),
           trunc(col("o_orderdate"), "month").as("m"))
         .agg(sum(dec(col("o_totalprice"))).as("tot"))
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
       val prev = lag(col("tot"), 1).over(w)
+      val prevM = lag(col("m"), 1).over(w)
       m.select(col("o_custkey"), col("m"),
           money(col("tot")).as("m_total"),
-          when(prev.isNotNull && prev =!= dec(lit(0)),
+          when(prev.isNotNull && prev =!= dec(lit(0)) &&
+              months_between(col("m"), prevM) === 1.0,
             round((col("tot").cast(DoubleType) - prev.cast(DoubleType))
               / prev.cast(DoubleType) * 100.0, 4)).as("pct_change"))
         .orderBy("o_custkey", "m")
@@ -683,6 +686,7 @@ object Windows {
              CAST(round(tot, 4) AS DOUBLE) AS m_total,
              CASE WHEN lag(tot) OVER w IS NOT NULL
                    AND lag(tot) OVER w <> 0
+                   AND datediff('month', lag(m) OVER w, m) = 1
                   THEN round((CAST(tot AS DOUBLE)
                               - CAST(lag(tot) OVER w AS DOUBLE))
                              / CAST(lag(tot) OVER w AS DOUBLE) * 100.0, 4)

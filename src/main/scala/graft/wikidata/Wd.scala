@@ -191,16 +191,18 @@ object Wd {
       // widen is k self-joins) — with min() as the deterministic
       // single-value rule for multi-valued properties (production
       // ranks truthy-first; wd_statements_truthy holds that logic).
+      // JSON parses live INSIDE the pid guards: on a real dump with
+      // ~12k properties, >99.9% of statements match none of the
+      // selected columns and must not pay three discarded parses
       val cf = claimsFlatten(entities(s))
-      val ext = cf.select(col("id"), col("pid"),
-        get_json_object(col("dv_raw"), "$.id").as("j_ent"),
-        get_json_object(col("dv_raw"), "$.time").as("j_time"),
-        get_json_object(col("dv_raw"), "$.latitude").as("j_lat"))
-      ext.groupBy(col("id"))
+      cf.groupBy(col("id"))
         .agg(
-          min(when(col("pid") === "P31", col("j_ent"))).as("p31_class"),
-          min(when(col("pid") === "P569", col("j_time"))).as("p569_dob"),
-          min(when(col("pid") === "P625", col("j_lat").cast(DoubleType)))
+          min(when(col("pid") === "P31",
+            get_json_object(col("dv_raw"), "$.id"))).as("p31_class"),
+          min(when(col("pid") === "P569",
+            get_json_object(col("dv_raw"), "$.time"))).as("p569_dob"),
+          min(when(col("pid") === "P625",
+            get_json_object(col("dv_raw"), "$.latitude").cast(DoubleType)))
             .as("p625_lat"),
           count(lit(1)).as("n_statements"))
         .orderBy("id")

@@ -24,6 +24,7 @@ object SparkEntry {
       graft.wikidata.Etl.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
       SampleOps.queries ++ Multimodal.queries ++ StatOps.queries ++
+      GraphOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.wikidata.Etl.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++
       SampleOps.oracles ++ Multimodal.oracles ++ StatOps.oracles ++
+      GraphOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

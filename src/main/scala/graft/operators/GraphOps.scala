@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Stage, Tables}
+
+/** Graph-analytics operator family (round 4i).
+  *
+  * Wikidata IS a graph, and a training-data pipeline runs link analysis
+  * over it (and over co-occurrence structure mined from transactional
+  * tables) constantly: importance ranking for corpus weighting, triangle
+  * density for community/quality signals, bounded-hop reachability for
+  * contamination spread. This family implements the four canonical
+  * shapes — degree profile, fixed-iteration PageRank, oriented triangle
+  * counting, k-hop BFS — Spark-first: every step is a DataFrame
+  * equi-join/aggregation (shuffle on the node key, AQE-reusable
+  * exchanges), never a driver-side adjacency structure.
+  *
+  * The graph: part co-occurrence from `lineitem` — an undirected edge
+  * (a,b), a<b, for every pair of parts appearing in the same order. The
+  * node/edge count scales with the fixture SF (unlike the hand-sized
+  * Wikidata fixture), so the bench line tracks real graph growth. Pair
+  * explosion is bounded by basket size (≤7 lines/order in TPC-H-shaped
+  * data; a retail-scale pipeline caps the basket or pre-aggregates
+  * before pairing — same discipline as dedup_simhash's hot-bucket cap).
+  *
+  * Scale notes (100 TB):
+  *  - The edge table is built ONCE per snapshot and stored
+  *    (Stage.materializeOnce → parquet), then every analytics key reads
+  *    the stored table: build-once/query-many, exactly the production
+  *    shape — and the single most effective shuffle saver here, since
+  *    all four keys share the self-join+distinct that derives the edges.
+  *  - PageRank: one shuffle per iteration (contribution aggregation on
+  *    dst). Rank state is BIGINT fixed-point (Q=2³⁰): integer division
+  *    fx div degree and integer sums are exact and order-independent in
+  *    both engines, so the oracle hash-matches without any float
+  *    tolerance. Long capacity bounds the node count at ~2²⁸ per this
+  *    scale (85·Q·N < 2⁶³); beyond that, drop Q to 2²⁰ or lift the
+  *    contribution sum to DECIMAL(38,0) — documented, not silent.
+  *  - Triangles: edges oriented low→high by (degree, node) total order,
+  *    the standard wedge-bounding trick — Σ out-deg² is O(m^1.5) instead
+  *    of the unoriented Σ deg² blow-up on hubs, and each triangle is
+  *    counted exactly once, no post-hoc dedup shuffle.
+  *  - BFS: per-hop frontier = join + distinct + anti-join against
+  *    visited, all equi-joins on node; the frontier never lands on the
+  *    driver.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed-point scale for PageRank ranks: 2³⁰. */
+  private val Qfx: Long = 1L << 30
+  /** floor(0.15 · Q) via integer arithmetic — same literal both engines. */
+  private val R15: Long = (15L * Qfx) / 100
+  /** PageRank iteration count (unrolled identically in the oracle). */
+  private val Iters = 3
+
+  private def edgesPath(d: String): String =
+    s"/tmp/graft_edges_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Canonical undirected edge list (a < b), built once per fixture dir
+    * and stored — all graph keys read the stored table. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val p = Stage.materializeOnce(s, edgesPath(d)) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+        .write.mode("overwrite").parquet(edgesPath(d))
+    }
+    s.read.parquet(p)
+  }
+
+  /** Symmetric (directed-both-ways) view of the stored edges. */
+  private def und(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  private def degPath(d: String): String =
+    s"/tmp/graft_degrees_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Per-node degree over the symmetric edges — stored next to the edge
+    * table (its own materializeOnce: degree is a graph attribute every
+    * analytics pass needs, so PageRank's per-iteration deg reference and
+    * the triangle orientation both become parquet scans instead of
+    * repeated groupBy shuffles). */
+  private def degrees(s: SparkSession, d: String): DataFrame = {
+    val p = Stage.materializeOnce(s, degPath(d)) {
+      und(s, d).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .write.mode("overwrite").parquet(degPath(d))
+    }
+    s.read.parquet(p)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_degree_stats" -> ((s, d) => {
+      // Degree distribution — the first profile run on any new graph
+      // snapshot (hub detection, power-law sanity). Output is
+      // degree-cardinality-sized (≪ nodes), always driver-safe.
+      degrees(s, d)
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy("degree")
+    }),
+
+    "graph_pagerank" -> ((s, d) => {
+      // Fixed-iteration PageRank (damping 0.85, 3 rounds) for corpus
+      // importance weighting. All rank state is BIGINT fixed-point
+      // (Q=2³⁰): contribution = fx div degree (exact integer division),
+      // damped update = R15 + (85·Σ) div 100 (exact) — bit-identical
+      // across engines and accumulation orders. One dst-keyed shuffle
+      // per iteration; the deg/und exchanges are identical across
+      // iterations, so AQE reuses them instead of rescanning.
+      val dg = degrees(s, d)
+      val u = und(s, d)
+      var r = dg.select(col("node"), col("degree"), lit(Qfx).as("fx"))
+      for (_ <- 1 to Iters) {
+        val sums = u.join(r, col("src") === col("node"))
+          .select(col("dst"), expr("fx div degree").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        r = dg.join(sums, col("node") === col("dst"), "left")
+          .select(col("node"), col("degree"),
+            (lit(R15) +
+              expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("fx"))
+      }
+      r.select(col("node"),
+          (col("fx").cast(DoubleType) / Qfx.toDouble).as("pr"))
+        .orderBy("node")
+    }),
+
+    "graph_triangle_count" -> ((s, d) => {
+      // Exactly-once triangle counting: orient every undirected edge
+      // low→high by the (degree, node) total order, then count wedges
+      // (s→t1, s→t2, t1 "below" t2) closed by an oriented edge t1→t2.
+      // Each triangle has a unique minimum-order apex s, so no dedup
+      // pass; the orientation bounds per-node out-degree by O(√m).
+      val dg = degrees(s, d)
+      val wd = edges(s, d)
+        .join(dg.select(col("node").as("a"), col("degree").as("da")), "a")
+        .join(dg.select(col("node").as("b"), col("degree").as("db")), "b")
+      val aLow = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = wd.select(
+        when(aLow, col("a")).otherwise(col("b")).as("s"),
+        when(aLow, col("b")).otherwise(col("a")).as("t"),
+        when(aLow, col("db")).otherwise(col("da")).as("tdeg"))
+      val o1 = o.select(col("s"), col("t").as("t1"), col("tdeg").as("td1"))
+      val o2 = o.select(col("s").as("s2"), col("t").as("t2"),
+        col("tdeg").as("td2"))
+      val wedges = o1.join(o2, col("s") === col("s2") &&
+        (col("td1") < col("td2") ||
+          (col("td1") === col("td2") && col("t1") < col("t2"))))
+      // Closure probe: the wedge side is O(Σ out-deg²) rows (≈34× the
+      // edge count on this graph) — a sort-merge join would sort it;
+      // hash-building the edge side instead keeps the big side
+      // streaming, un-sorted.
+      val o3 = o.select(col("s").as("s3"), col("t").as("t3")).hint("shuffle_hash")
+      wedges.join(o3, col("t1") === col("s3") && col("t2") === col("t3"))
+        .groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
+    }),
+
+    "graph_khop" -> ((s, d) => {
+      // Bounded-hop reachability (3 hops) from a seed set — the
+      // contamination-spread / neighborhood-expansion primitive. Seeds:
+      // graph nodes whose part has p_size = 50. Per hop: frontier
+      // expansion is one src-keyed join + distinct + anti-join against
+      // the visited set; min-distance labels come free from the
+      // expansion order (a node is claimed by its FIRST reaching hop).
+      val u = und(s, d)
+      val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("node"))
+        .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
+      var visited = seeds.withColumn("dist", lit(0))
+      var frontier = seeds
+      for (k <- 1 to 3) {
+        val next = u.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+        visited = visited.union(next.withColumn("dist", lit(k)))
+        frontier = next
+      }
+      visited.orderBy("node")
+    }))
+
+  /** Shared oracle prefix: replay the edge build from lineitem (the
+    * stored parquet is derived from exactly this). */
+  private val edgeCtes =
+    """li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       pairs AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                 FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       und AS (SELECT a AS src, b AS dst FROM pairs
+               UNION ALL SELECT b, a FROM pairs),
+       deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY src)"""
+
+  /** One PageRank oracle round: sums s$k from r$prev, ranks r$k. */
+  private def prRound(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""s$k AS (SELECT u.dst AS node, sum(r.fx // r.degree) AS sc
+                FROM und u JOIN $prev r ON u.src = r.node GROUP BY u.dst),
+        r$k AS (SELECT d.node, d.degree,
+                  CAST($R15 + (85 * coalesce(s$k.sc, 0)) // 100 AS BIGINT) AS fx
+                FROM deg d LEFT JOIN s$k ON d.node = s$k.node)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree_stats" ->
+      s"""WITH $edgeCtes
+         SELECT degree, count(*) AS n_nodes,
+                min(node) AS min_node, max(node) AS max_node
+         FROM deg GROUP BY degree ORDER BY degree""",
+
+    "graph_pagerank" ->
+      s"""WITH $edgeCtes,
+         r0 AS (SELECT node, degree, CAST($Qfx AS BIGINT) AS fx FROM deg),
+         ${(1 to Iters).map(prRound).mkString(",\n")}
+         SELECT node, CAST(fx AS DOUBLE) / $Qfx.0 AS pr
+         FROM r$Iters ORDER BY node""",
+
+    "graph_triangle_count" ->
+      s"""WITH $edgeCtes,
+         wd AS (SELECT p.a, p.b, da.degree AS da, db.degree AS db
+                FROM pairs p JOIN deg da ON da.node = p.a
+                             JOIN deg db ON db.node = p.b),
+         o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+                           THEN a ELSE b END AS s,
+                      CASE WHEN da < db OR (da = db AND a < b)
+                           THEN b ELSE a END AS t,
+                      CASE WHEN da < db OR (da = db AND a < b)
+                           THEN db ELSE da END AS tdeg
+               FROM wd)
+         SELECT e1.s AS node, count(*) AS n_tri
+         FROM o e1 JOIN o e2 ON e1.s = e2.s
+              AND (e1.tdeg < e2.tdeg
+                   OR (e1.tdeg = e2.tdeg AND e1.t < e2.t))
+         JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
+         GROUP BY e1.s ORDER BY node""",
+
+    "graph_khop" ->
+      s"""WITH $edgeCtes,
+         seeds AS (SELECT DISTINCT d.node FROM deg d
+                   JOIN part p ON p.p_partkey = d.node AND p.p_size = 50),
+         d1 AS (SELECT DISTINCT u.dst AS node FROM und u
+                JOIN seeds sd ON u.src = sd.node
+                WHERE u.dst NOT IN (SELECT node FROM seeds)),
+         d2 AS (SELECT DISTINCT u.dst AS node FROM und u
+                JOIN d1 ON u.src = d1.node
+                WHERE u.dst NOT IN (SELECT node FROM seeds
+                                    UNION ALL SELECT node FROM d1)),
+         d3 AS (SELECT DISTINCT u.dst AS node FROM und u
+                JOIN d2 ON u.src = d2.node
+                WHERE u.dst NOT IN (SELECT node FROM seeds
+                                    UNION ALL SELECT node FROM d1
+                                    UNION ALL SELECT node FROM d2))
+         SELECT node, 0 AS dist FROM seeds
+         UNION ALL SELECT node, 1 FROM d1
+         UNION ALL SELECT node, 2 FROM d2
+         UNION ALL SELECT node, 3 FROM d3
+         ORDER BY node""")
+}

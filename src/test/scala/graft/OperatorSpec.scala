@@ -759,6 +759,61 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(k => assert(m(k) == 0L, s"$k = ${m(k)}"))
   }
 
+  test("graph_degree_stats: handshake lemma — Σ degree·n_nodes = 2·|edges|") {
+    val li = Tables.lineitem(spark, Spec.sf001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().count()
+    val degSum = q("graph_degree_stats").collect()
+      .map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(degSum === 2 * edges, s"Σ deg = $degSum, edges = $edges")
+  }
+
+  test("graph_pagerank: mass ≈ N (fixed-point truncation only shrinks it)") {
+    val rows = q("graph_pagerank").collect()
+    val n = rows.length.toDouble
+    val mass = rows.map(_.getDouble(1)).sum
+    // each of the 3 damped rounds loses at most 1 ulp-of-Q per node to
+    // integer truncation; mass can only drift DOWN from N, and barely
+    assert(mass <= n + 1e-6 && mass >= 0.95 * n, s"mass $mass for $n nodes")
+    assert(rows.forall(_.getDouble(1) > 0.0), "ranks are strictly positive")
+  }
+
+  test("graph_triangle_count: oriented count equals brute-force count") {
+    val li = Tables.lineitem(spark, Spec.sf001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    // brute force: canonical a<b<c with all three canonical edges present
+    val e1 = e.select(col("a").as("u"), col("b").as("v"))
+    val e2 = e.select(col("a").as("v2"), col("b").as("w2"))
+    val e3 = e.select(col("a").as("u3"), col("b").as("w3"))
+    val brute = e1.join(e2, col("v") === col("v2"))
+      .join(e3, col("u") === col("u3") && col("w2") === col("w3")).count()
+    val oriented = q("graph_triangle_count").collect().map(_.getLong(1)).sum
+    assert(oriented === brute, s"oriented $oriented vs brute $brute")
+  }
+
+  test("graph_khop: dists in 0..3, nodes unique, hop-1 adjacent to a seed") {
+    val rows = q("graph_khop").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.map(_._1).distinct.length === rows.length, "each node once")
+    assert(rows.forall { case (_, k) => k >= 0 && k <= 3 })
+    val seeds = rows.filter(_._2 == 0).map(_._1).toSet
+    assert(seeds.nonEmpty, "seed set non-empty at sf0.001")
+    val li = Tables.lineitem(spark, Spec.sf001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val adj = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+      .select(col("x.pk").as("s"), col("y.pk").as("t")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(_._2 == 1).foreach { case (node, _) =>
+      assert(seeds.exists(sd => adj.contains((sd, node))),
+        s"hop-1 node $node not adjacent to any seed")
+    }
+  }
+
   test("win_interp_linear: actual months pass through, gaps lerp between neighbors") {
     val rows = q("win_interp_linear").collect()
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2), r.getDouble(3)))

@@ -11,9 +11,10 @@ import graft.{Stage, Tables}
   * over it (and over co-occurrence structure mined from transactional
   * tables) constantly: importance ranking for corpus weighting, triangle
   * density for community/quality signals, bounded-hop reachability for
-  * contamination spread. This family implements the four canonical
+  * contamination spread. This family implements the canonical
   * shapes — degree profile, fixed-iteration PageRank, oriented triangle
-  * counting, k-hop BFS — Spark-first: every step is a DataFrame
+  * counting, per-edge embeddedness (common neighbors / Jaccard), local
+  * clustering coefficients, k-hop BFS — Spark-first: every step is a DataFrame
   * equi-join/aggregation (shuffle on the node key, AQE-reusable
   * exchanges), never a driver-side adjacency structure.
   *
@@ -84,6 +85,9 @@ object GraphOps {
   private def degPath(d: String): String =
     s"/tmp/graft_degrees_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  private def triPath(d: String): String =
+    s"/tmp/graft_triangles_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
   /** Per-node degree over the symmetric edges — stored next to the edge
     * table (its own materializeOnce: degree is a graph attribute every
     * analytics pass needs, so PageRank's per-iteration deg reference and
@@ -94,6 +98,43 @@ object GraphOps {
       und(s, d).groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))
         .write.mode("overwrite").parquet(degPath(d))
+    }
+    s.read.parquet(p)
+  }
+
+  /** Oriented triangle list (s, t1, t2) — the third stored graph
+    * artifact. Enumeration is the expensive pass (wedge generation is
+    * O(Σ out-deg²) ≈ 41M rows at sf0.1 vs 1.2M edges), and THREE keys
+    * consume triangles (per-apex counts, per-edge embeddedness,
+    * per-node clustering), so a production stack materializes the list
+    * per snapshot exactly like edges/degrees. Orientation low→high by
+    * the (degree, node) total order gives each triangle a unique
+    * minimum-order apex s — enumerated exactly once, no dedup shuffle.
+    * The closure probe hash-builds the edge side (shuffle_hash hint):
+    * sort-merge would sort the 41M-row wedge side. */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    val p = Stage.materializeOnce(s, triPath(d)) {
+      val dg = degrees(s, d)
+      val wd = edges(s, d)
+        .join(dg.select(col("node").as("a"), col("degree").as("da")), "a")
+        .join(dg.select(col("node").as("b"), col("degree").as("db")), "b")
+      val aLow = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = wd.select(
+        when(aLow, col("a")).otherwise(col("b")).as("s"),
+        when(aLow, col("b")).otherwise(col("a")).as("t"),
+        when(aLow, col("db")).otherwise(col("da")).as("tdeg"))
+      val o1 = o.select(col("s"), col("t").as("t1"), col("tdeg").as("td1"))
+      val o2 = o.select(col("s").as("s2"), col("t").as("t2"),
+        col("tdeg").as("td2"))
+      val wedges = o1.join(o2, col("s") === col("s2") &&
+        (col("td1") < col("td2") ||
+          (col("td1") === col("td2") && col("t1") < col("t2"))))
+      val o3 = o.select(col("s").as("s3"), col("t").as("t3"))
+        .hint("shuffle_hash")
+      wedges.join(o3, col("t1") === col("s3") && col("t2") === col("t3"))
+        .select(col("s"), col("t1"), col("t2"))
+        .write.mode("overwrite").parquet(triPath(d))
     }
     s.read.parquet(p)
   }
@@ -136,35 +177,62 @@ object GraphOps {
     }),
 
     "graph_triangle_count" -> ((s, d) => {
-      // Exactly-once triangle counting: orient every undirected edge
-      // low→high by the (degree, node) total order, then count wedges
-      // (s→t1, s→t2, t1 "below" t2) closed by an oriented edge t1→t2.
-      // Each triangle has a unique minimum-order apex s, so no dedup
-      // pass; the orientation bounds per-node out-degree by O(√m).
-      val dg = degrees(s, d)
-      val wd = edges(s, d)
-        .join(dg.select(col("node").as("a"), col("degree").as("da")), "a")
-        .join(dg.select(col("node").as("b"), col("degree").as("db")), "b")
-      val aLow = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val o = wd.select(
-        when(aLow, col("a")).otherwise(col("b")).as("s"),
-        when(aLow, col("b")).otherwise(col("a")).as("t"),
-        when(aLow, col("db")).otherwise(col("da")).as("tdeg"))
-      val o1 = o.select(col("s"), col("t").as("t1"), col("tdeg").as("td1"))
-      val o2 = o.select(col("s").as("s2"), col("t").as("t2"),
-        col("tdeg").as("td2"))
-      val wedges = o1.join(o2, col("s") === col("s2") &&
-        (col("td1") < col("td2") ||
-          (col("td1") === col("td2") && col("t1") < col("t2"))))
-      // Closure probe: the wedge side is O(Σ out-deg²) rows (≈34× the
-      // edge count on this graph) — a sort-merge join would sort it;
-      // hash-building the edge side instead keeps the big side
-      // streaming, un-sorted.
-      val o3 = o.select(col("s").as("s3"), col("t").as("t3")).hint("shuffle_hash")
-      wedges.join(o3, col("t1") === col("s3") && col("t2") === col("t3"))
+      // Per-apex triangle counts over the stored oriented triangle
+      // list (see `triangles` for the enumeration and its cost model).
+      triangles(s, d)
         .groupBy(col("s").as("node"))
         .agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
+    }),
+
+    "graph_common_neighbors" -> ((s, d) => {
+      // Per-edge embeddedness: |N(a) ∩ N(b)| and the neighbor-set
+      // Jaccard cn/(da+db−cn) for every existing edge — the tie-strength
+      // / link-quality signal. Computed by exploding each stored
+      // triangle into its 3 canonical (min,max) edges and counting:
+      // cost O(3·triangles), never the hub-quadratic N(a)⋈N(b)
+      // wedge join on x. Zero-triangle edges surface with cn=0 via the
+      // left join. Denominator ≥ cn+2 (a,b are each other's neighbors
+      // but never common ones), so the division is total.
+      val tri = triangles(s, d)
+      val cn = tri.select(explode(array(
+          struct(least(col("s"), col("t1")).as("a"),
+            greatest(col("s"), col("t1")).as("b")),
+          struct(least(col("s"), col("t2")).as("a"),
+            greatest(col("s"), col("t2")).as("b")),
+          struct(least(col("t1"), col("t2")).as("a"),
+            greatest(col("t1"), col("t2")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      val dg = degrees(s, d)
+      edges(s, d)
+        .join(dg.select(col("node").as("a"), col("degree").as("da")), "a")
+        .join(dg.select(col("node").as("b"), col("degree").as("db")), "b")
+        .join(cn, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("cn"), lit(0L)).as("cn"),
+          round(coalesce(col("cn"), lit(0L)).cast(DoubleType) /
+            (col("da") + col("db") - coalesce(col("cn"), lit(0L))), 4)
+            .as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    "graph_clustering_coeff" -> ((s, d) => {
+      // Local clustering coefficient 2T/(deg·(deg−1)) per node — the
+      // community-density profile. T = triangle PARTICIPATION (all 3
+      // corners), not apex counts: explode the stored list's corners
+      // and count. Nodes in no triangle keep coeff 0.0 via the left
+      // join; deg<2 nodes are 0 by definition (guarded division).
+      val part = triangles(s, d)
+        .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      degrees(s, d).join(part, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("degree") >= 2,
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("degree") * (col("degree") - 1)), 4))
+            .otherwise(lit(0.0)).as("coeff"))
         .orderBy("node")
     }),
 
@@ -211,6 +279,26 @@ object GraphOps {
                 FROM deg d LEFT JOIN s$k ON d.node = s$k.node)"""
   }
 
+  /** Oriented-triangle CTEs shared by the three triangle consumers —
+    * replays the `triangles` enumeration (orientation, wedge bound,
+    * closure) from the pairs/deg CTEs. */
+  private val triCtes =
+    """wd AS (SELECT p.a, p.b, da.degree AS da, db.degree AS db
+              FROM pairs p JOIN deg da ON da.node = p.a
+                           JOIN deg db ON db.node = p.b),
+       o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+                         THEN a ELSE b END AS s,
+                    CASE WHEN da < db OR (da = db AND a < b)
+                         THEN b ELSE a END AS t,
+                    CASE WHEN da < db OR (da = db AND a < b)
+                         THEN db ELSE da END AS tdeg
+             FROM wd),
+       tri AS (SELECT e1.s, e1.t AS t1, e2.t AS t2
+               FROM o e1 JOIN o e2 ON e1.s = e2.s
+                    AND (e1.tdeg < e2.tdeg
+                         OR (e1.tdeg = e2.tdeg AND e1.t < e2.t))
+               JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t)"""
+
   val oracles: Map[String, String] = Map(
     "graph_degree_stats" ->
       s"""WITH $edgeCtes
@@ -227,22 +315,43 @@ object GraphOps {
 
     "graph_triangle_count" ->
       s"""WITH $edgeCtes,
-         wd AS (SELECT p.a, p.b, da.degree AS da, db.degree AS db
-                FROM pairs p JOIN deg da ON da.node = p.a
-                             JOIN deg db ON db.node = p.b),
-         o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
-                           THEN a ELSE b END AS s,
-                      CASE WHEN da < db OR (da = db AND a < b)
-                           THEN b ELSE a END AS t,
-                      CASE WHEN da < db OR (da = db AND a < b)
-                           THEN db ELSE da END AS tdeg
-               FROM wd)
-         SELECT e1.s AS node, count(*) AS n_tri
-         FROM o e1 JOIN o e2 ON e1.s = e2.s
-              AND (e1.tdeg < e2.tdeg
-                   OR (e1.tdeg = e2.tdeg AND e1.t < e2.t))
-         JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
-         GROUP BY e1.s ORDER BY node""",
+         $triCtes
+         SELECT s AS node, count(*) AS n_tri
+         FROM tri GROUP BY s ORDER BY node""",
+
+    "graph_common_neighbors" ->
+      s"""WITH $edgeCtes,
+         $triCtes,
+         tedges AS (SELECT least(s, t1) AS a, greatest(s, t1) AS b FROM tri
+                    UNION ALL SELECT least(s, t2), greatest(s, t2) FROM tri
+                    UNION ALL SELECT least(t1, t2), greatest(t1, t2) FROM tri),
+         cnt AS (SELECT a, b, count(*) AS cn FROM tedges GROUP BY a, b)
+         SELECT p.a, p.b,
+                CAST(coalesce(cnt.cn, 0) AS BIGINT) AS cn,
+                round(CAST(coalesce(cnt.cn, 0) AS DOUBLE) /
+                      (da.degree + db.degree - coalesce(cnt.cn, 0)), 4)
+                  AS jaccard
+         FROM pairs p
+         JOIN deg da ON da.node = p.a
+         JOIN deg db ON db.node = p.b
+         LEFT JOIN cnt ON cnt.a = p.a AND cnt.b = p.b
+         ORDER BY p.a, p.b""",
+
+    "graph_clustering_coeff" ->
+      s"""WITH $edgeCtes,
+         $triCtes,
+         corners AS (SELECT s AS node FROM tri
+                     UNION ALL SELECT t1 FROM tri
+                     UNION ALL SELECT t2 FROM tri),
+         pt AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+         SELECT d.node, d.degree,
+                CAST(coalesce(pt.n_tri, 0) AS BIGINT) AS n_tri,
+                CASE WHEN d.degree >= 2
+                     THEN round(2.0 * coalesce(pt.n_tri, 0) /
+                                (d.degree * (d.degree - 1)), 4)
+                     ELSE 0.0 END AS coeff
+         FROM deg d LEFT JOIN pt ON pt.node = d.node
+         ORDER BY d.node""",
 
     "graph_khop" ->
       s"""WITH $edgeCtes,

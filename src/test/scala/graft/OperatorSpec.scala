@@ -796,6 +796,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(oriented === brute, s"oriented $oriented vs brute $brute")
   }
 
+  test("graph_common_neighbors: Σ cn = 3·|triangles|, jaccard in [0,1)") {
+    val rows = q("graph_common_neighbors").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    val tri = q("graph_triangle_count").collect().map(_.getLong(1)).sum
+    // each triangle contributes one common neighbor to each of its 3 edges
+    assert(rows.map(_._1).sum === 3 * tri)
+    rows.foreach { case (cn, j) =>
+      assert(j >= 0.0 && j < 1.0, s"jaccard $j out of range")
+      assert((cn == 0) == (j == 0.0), "jaccard zero iff no common neighbor")
+    }
+  }
+
+  test("graph_clustering_coeff: Σ participation = 3·|triangles|, coeff in [0,1]") {
+    val rows = q("graph_clustering_coeff").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val tri = q("graph_triangle_count").collect().map(_.getLong(1)).sum
+    // every triangle has exactly 3 corners
+    assert(rows.map(_._2).sum === 3 * tri)
+    rows.foreach { case (deg, t, c) =>
+      assert(c >= 0.0 && c <= 1.0, s"coeff $c out of range")
+      if (deg < 2) assert(t == 0L && c == 0.0, "deg<2 cannot close a triangle")
+    }
+  }
+
   test("graph_khop: dists in 0..3, nodes unique, hop-1 adjacent to a seed") {
     val rows = q("graph_khop").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(rows.map(_._1).distinct.length === rows.length, "each node once")

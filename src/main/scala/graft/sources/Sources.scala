@@ -32,6 +32,62 @@ object Sources {
       path
     }
 
+  /** Range-clustered lineitem twin, materialized once per scale dir:
+    * repartitionByRange(16, l_partkey) + sortWithinPartitions means
+    * every output file covers a narrow, disjoint l_partkey range, so
+    * the parquet row-group min/max stats let a selective scan decode
+    * only the qualifying groups. At 100 TB this layout choice — made
+    * once at write time — is the difference between a point-range query
+    * reading gigabytes and reading the whole table; PlanSpec proves the
+    * pruning from the scan's runtime numOutputRows metric. */
+  def ensureSortedLineitem(s: SparkSession, d: String): String =
+    Stage.materializeOnce(s,
+      "/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_")) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice")
+        .repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet("/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }
+
+  /** Z-ordered lineitem twin: both filter dimensions are quantized to a
+    * shared 8-bit grid (bounds from a broadcast 1-row aggregate — no
+    * driver collect) and bit-interleaved into a 16-bit z-value; range
+    * partitioning + sorting on z gives every file a bounded rectangle
+    * of (l_partkey, l_suppkey) space, so per-column row-group stats
+    * prune selective scans on EITHER dimension — the property a plain
+    * sort only provides for its leading column. The interleave is 16
+    * codegen'd shift/and/or terms, no UDF. */
+  def ensureZorderLineitem(s: SparkSession, d: String): String =
+    Stage.materializeOnce(s,
+      "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")) {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice")
+      val bounds = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val wb = li.crossJoin(broadcast(bounds))
+        .withColumn("pb", ((col("l_partkey") - col("pmin")) * 255 /
+          greatest(col("pmax") - col("pmin"), lit(1))).cast(IntegerType))
+        .withColumn("sb", ((col("l_suppkey") - col("smin")) * 255 /
+          greatest(col("smax") - col("smin"), lit(1))).cast(IntegerType))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("pb"), i).bitwiseAND(lit(1)), 2 * i + 1)
+          .bitwiseOR(
+            shiftleft(shiftright(col("sb"), i).bitwiseAND(lit(1)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+      wb.withColumn("zv", z)
+        .repartitionByRange(16, col("zv"))
+        .sortWithinPartitions("zv")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice")
+        .write.mode("overwrite")
+        .parquet("/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    }
+
   private val csvPath = "/tmp/graft_sample.csv"
   private val csvContent =
     """id,name,val,note
@@ -272,6 +328,34 @@ object Sources {
         .orderBy("ship_year")
     }),
 
+    "sink_parquet_sorted" -> ((s, d) => {
+      // Write-time clustering: the read-back box scan decodes only the
+      // row groups whose l_partkey range intersects [101, 150] (layout
+      // built by ensureSortedLineitem; pruning proven in PlanSpec from
+      // runtime scan metrics). The RESULT is layout-invariant — the
+      // oracle replays the same filter+agg over the unsorted source.
+      s.read.parquet(ensureSortedLineitem(s, d))
+        .filter(col("l_partkey").between(101, 150))
+        .groupBy(expr("l_partkey div 10").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("l_extendedprice")).as("revenue"))
+        .orderBy("bucket")
+    }),
+
+    "sink_parquet_zorder" -> ((s, d) => {
+      // Two-dimensional clustering: the box filter touches both z
+      // dimensions; either predicate alone also prunes (PlanSpec
+      // contrasts the z-layout's suppkey-only scan against the
+      // partkey-sorted twin, where that filter decodes everything).
+      s.read.parquet(ensureZorderLineitem(s, d))
+        .filter(col("l_partkey").between(101, 150) &&
+          col("l_suppkey").between(2, 5))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_suppkey")
+    }),
+
     "sink_pg_copy" -> ((s, d) => {
       // The reference's REAL ingest path, runnable offline: DDL from
       // PgDdl, bulk load via psql \copy into a local Postgres 15, then
@@ -385,6 +469,23 @@ object Sources {
                AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
          FROM lineitem
          GROUP BY 1 ORDER BY ship_year""",
+
+    // Layout-invariant read-backs: the clustered twins hold exactly the
+    // source rows, so the oracle filters/aggregates the original table.
+    "sink_parquet_sorted" ->
+      """SELECT l_partkey // 10 AS bucket, count(*) AS n,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))), 4)
+               AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_partkey BETWEEN 101 AND 150
+         GROUP BY 1 ORDER BY bucket""",
+
+    "sink_parquet_zorder" ->
+      """SELECT l_suppkey, count(*) AS n,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))), 4)
+               AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_partkey BETWEEN 101 AND 150 AND l_suppkey BETWEEN 2 AND 5
+         GROUP BY 1 ORDER BY l_suppkey""",
 
     // The v1 generation never wrote r_len → NULL, exactly what the
     // merged read surfaces for pre-evolution files.

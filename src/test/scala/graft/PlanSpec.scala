@@ -345,4 +345,61 @@ class PlanSpec extends AnyFunSuite {
       .toDF("a", "b").selectExpr("dot_f(a, b) AS d")
     assert(n.head().isNullAt(0))
   }
+
+  /** Rows the parquet scan actually DECODED (its runtime numOutputRows
+    * metric) — less than the table size iff row-group min/max stats
+    * pruned something. Unwraps AQE/stage/reuse wrappers like the
+    * join_dpp metric test. */
+  private def decodedRows(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    df.collect()
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      here ++ kids.flatMap(allScans) ++ p.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan in final plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("sorted layout: row-group stats prune the selective partkey scan") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.sources.Sources.ensureSortedLineitem(spark, Spec.sf001)
+    val total = spark.read.parquet(path).count()
+    val dec = decodedRows(
+      spark.read.parquet(path).filter(col("l_partkey").between(101, 150)))
+    // the range is ~25% of rows; clustered files bound decode at the
+    // qualifying groups plus boundary spill — far under a full decode
+    assert(dec > 0 && dec <= total / 2,
+      s"scan decoded $dec of $total rows — min/max stats pruned nothing")
+  }
+
+  test("z-order layout: secondary-dimension filter prunes; plain sort cannot") {
+    import org.apache.spark.sql.functions.col
+    val zp = graft.sources.Sources.ensureZorderLineitem(spark, Spec.sf001)
+    val sp = graft.sources.Sources.ensureSortedLineitem(spark, Spec.sf001)
+    val zTot = spark.read.parquet(zp).count()
+    val zDec = decodedRows(
+      spark.read.parquet(zp).filter(col("l_suppkey").between(2, 5)))
+    val sDec = decodedRows(
+      spark.read.parquet(sp).filter(col("l_suppkey").between(2, 5)))
+    // partkey-sorted files all span the full suppkey range → no pruning
+    assert(sDec == zTot,
+      s"partkey-sorted layout unexpectedly pruned a suppkey filter ($sDec)")
+    // z-ordered files bound BOTH dimensions → the same filter skips
+    // every row group whose suppkey rectangle misses [2, 5]
+    assert(zDec < sDec && zDec <= (zTot * 0.85).toLong,
+      s"z-order decoded $zDec of $zTot — no secondary-dimension pruning")
+  }
 }

@@ -25,7 +25,48 @@ object StatOps {
     * test both exercise (16^15 = 2⁶⁰ fits BIGINT). */
   private[graft] val SurrogateKeySql = Det.md5SliceExpr("c_custkey", 1, 15)
 
+  /** Count-Min sketch geometry: 4 independent hash rows × 256 cells.
+    * Width 256 keeps the whole sketch at 1 KiB of longs per executor —
+    * the point of CMS is that this footprint is INDEPENDENT of input
+    * cardinality. The hash family is the repo's md5-slice idiom seeded
+    * by the row index, so the oracle replays every cell exactly. */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
   val queries: Map[String, Q] = Map(
+    "agg_countmin" -> ((s, d) => {
+      // Count-Min frequency estimation — the mergeable bounded-memory
+      // answer to "how often does key k appear in a 100 TB stream".
+      // Relational formulation: the sketch IS a (j, cell) -> count
+      // table, built with ONE shuffle whose map-side partial
+      // aggregation caps every partition's contribution at depth×width
+      // rows regardless of input size; sketches from different sources
+      // merge by summing cells. Point estimates then probe min over
+      // the depth rows — here for user_ids 0..9 (present at every SF).
+      // Unlike HLL/t-digest this sketch is hash-green: the md5 family
+      // is deterministic and replayed cell-for-cell by DuckDB. CMS
+      // guarantees est ≥ true (collisions only add) — OperatorSpec
+      // pins both bounds against the exact counts.
+      val js = array((0 until CmsDepth).map(lit): _*)
+      val cells = Tables.events(s, d).select(col("user_id"))
+        .select(col("user_id"), explode(js).as("j"))
+        .withColumn("cell",
+          expr(s"${Det.md5SliceExpr("concat(j, ':', user_id)", 1, 8)}" +
+            s" % $CmsWidth"))
+        .groupBy("j", "cell").agg(count(lit(1)).as("c"))
+      val probes = Tables.events(s, d)
+        .filter(col("user_id") < 10)
+        .select(col("user_id").as("k")).distinct()
+        .select(col("k"), explode(js).as("j"))
+        .withColumn("cell",
+          expr(s"${Det.md5SliceExpr("concat(j, ':', k)", 1, 8)}" +
+            s" % $CmsWidth"))
+      probes.join(cells, Seq("j", "cell"), "left")
+        .groupBy("k")
+        .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+        .orderBy("k")
+    }),
+
     "agg_skew_kurt" -> ((s, d) => {
       // Third/fourth-moment statistics (skewness, excess kurtosis) via
       // EXACT integer power sums: l_quantity is integral by data
@@ -210,6 +251,26 @@ object StatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the sketch cell-for-cell: same md5 hash family (seeded by
+    // the depth row index), same width, same min-over-rows estimate.
+    "agg_countmin" ->
+      s"""WITH js AS (SELECT unnest(range($CmsDepth)) AS j),
+         cells AS (
+           SELECT j,
+                  ${Det.md5SliceSql("concat(j, ':', user_id)", 1, 8)}
+                    % $CmsWidth AS cell,
+                  count(*) AS c
+           FROM events CROSS JOIN js GROUP BY 1, 2),
+         probes AS (
+           SELECT k, j,
+                  ${Det.md5SliceSql("concat(j, ':', k)", 1, 8)}
+                    % $CmsWidth AS cell
+           FROM (SELECT DISTINCT user_id AS k FROM events
+                 WHERE user_id < 10) CROSS JOIN js)
+         SELECT k, min(coalesce(c, 0)) AS cms_est
+         FROM probes LEFT JOIN cells USING (j, cell)
+         GROUP BY k ORDER BY k""",
+
     "agg_skew_kurt" ->
       """WITH sums AS (
            SELECT l_returnflag,

@@ -77,6 +77,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 6).count() === 15L)
   }
 
+  test("agg_countmin: est ≥ exact always, overshoot within the ε·N bound") {
+    // CMS one-sided guarantee: collisions only ADD, so the estimate can
+    // never undercount; expected overshoot per hash row is N/width
+    // (~0.4% of the stream), min over 4 rows asserted at 5% headroom
+    val est = SparkEntry.queries("agg_countmin")(spark, Spec.sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, Spec.sf01)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.events(spark, Spec.sf01).count()
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(est(k) >= ex, s"user $k: CMS undercounted ${est(k)} < $ex")
+      assert(est(k) <= ex + (n * 0.05).toLong,
+        s"user $k: est=${est(k)} exact=$ex exceeds the ε·N bound")
+    }
+  }
+
   test("agg_approx_distinct stays within HLL error bounds of the exact count") {
     // the un-oracle-able sketch key gets a hard numeric check instead:
     // configured rsd=0.01, asserted at 6x headroom per group at sf0.01

@@ -247,13 +247,22 @@ object GraphOps {
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
-      var visited = seeds.withColumn("dist", lit(0))
+      // Iterative lineage truncation (same rationale as the
+      // dedup_components fixpoint): without it, hop k's plan re-derives
+      // hops 1..k-1 — the anti-join target AND the frontier each embed
+      // the full prior chain, so work grows quadratically in depth.
+      // Eager localCheckpoint pins each hop's (small) frontier and
+      // visited set; at 100 TB with deep walks, swap for a durable
+      // checkpoint dir exactly as components does.
+      var visited = seeds.withColumn("dist", lit(0)).localCheckpoint(true)
       var frontier = seeds
       for (k <- 1 to 3) {
         val next = u.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
         visited = visited.union(next.withColumn("dist", lit(k)))
+          .localCheckpoint(true)
         frontier = next
       }
       visited.orderBy("node")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Det, Tables}
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.10
   * + the north-star additions: language-ID, quality scoring, token
@@ -93,6 +93,30 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "text_feature_hash" -> ((s, d) => {
+      // Hashing-trick featurization (the Weinberger et al. hashing
+      // vectorizer): token → stable bucket md5 % D, with a sign bit
+      // from an independent md5 slice so collisions cancel in
+      // expectation instead of only inflating. Vocabulary-free — no
+      // fit pass, no dictionary broadcast, shard outputs merge by
+      // summing (doc, idx) — which is exactly why it scales to 100 TB
+      // where a fitted CountVectorizer's vocabulary does not. One
+      // explode + one (doc_id, idx) shuffle; zero weights are dropped
+      // to keep the output sparse.
+      val D = 512
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .withColumn("idx",
+          expr(s"${Det.md5SliceExpr("tok", 1, 8)} % $D"))
+        .withColumn("sgn", expr(
+          s"CASE WHEN ${Det.md5SliceExpr("tok", 9, 1)} % 2 = 0 " +
+            "THEN 1 ELSE -1 END"))
+        .groupBy("doc_id", "idx")
+        .agg(sum(col("sgn")).cast(LongType).as("weight"))
+        .filter(col("weight") =!= 0)
+        .orderBy("doc_id", "idx")
+    }),
+
     "text_wordcount" -> ((s, d) => {
       Tables.documents(s, d)
         .select(explode(toks).as("word"))
@@ -444,6 +468,18 @@ object TextOps {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // Same md5 bucket + independent md5 sign bit, replayed per token.
+    "text_feature_hash" ->
+      s"""SELECT doc_id, idx, weight FROM (
+           SELECT doc_id,
+                  ${Det.md5SliceSql("tok", 1, 8)} % 512 AS idx,
+                  CAST(sum(CASE WHEN ${Det.md5SliceSql("tok", 9, 1)} % 2 = 0
+                                THEN 1 ELSE -1 END) AS BIGINT) AS weight
+           FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+           GROUP BY 1, 2)
+         WHERE weight <> 0
+         ORDER BY doc_id, idx""",
+
     "text_wordcount" ->
       s"""SELECT word, count(*) AS cnt
          FROM (SELECT unnest($toksSql) AS word FROM documents)

@@ -778,6 +778,18 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(k => assert(m(k) == 0L, s"$k = ${m(k)}"))
   }
 
+  test("text_feature_hash: idx in [0,512), weights nonzero, Σ|w| ≤ tokens") {
+    val rows = q("text_feature_hash").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (i, _) => i >= 0 && i < 512 })
+    assert(rows.forall(_._2 != 0L), "sparse output must drop zero weights")
+    val tokens = Tables.documents(spark, Spec.sf001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    // signed sums can only cancel, never exceed the token count
+    assert(rows.map(_._2.abs).sum <= tokens)
+  }
+
   test("graph_degree_stats: handshake lemma — Σ degree·n_nodes = 2·|edges|") {
     val li = Tables.lineitem(spark, Spec.sf001)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))

@@ -255,7 +255,9 @@ object GraphOps {
       // visited set; at 100 TB with deep walks, swap for a durable
       // checkpoint dir exactly as components does.
       var visited = seeds.withColumn("dist", lit(0)).localCheckpoint(true)
-      var frontier = seeds
+      // hop 1 reads the CHECKPOINTED seed blocks — `seeds` itself would
+      // re-derive the part-filter ⋈ degrees subplan a second time
+      var frontier = visited.select("node")
       for (k <- 1 to 3) {
         val next = u.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()

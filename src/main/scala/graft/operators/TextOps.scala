@@ -21,6 +21,11 @@ object TextOps {
   /** Whitespace tokens minus the trailing empty token (FIXTURES.md). */
   private def toks: Column = filter(split(col("text"), " "), t => t =!= lit(""))
 
+  /** Feature-hashing dimension — ONE constant interpolated into both
+    * the query and its oracle so they cannot drift (and read by the
+    * spec's range assertion). */
+  private[graft] val HashDim = 512
+
   private val Stop = Seq("the", "a", "of", "and", "to")
 
   /** Token count guarded for division: a token-less document yields
@@ -103,11 +108,10 @@ object TextOps {
       // where a fitted CountVectorizer's vocabulary does not. One
       // explode + one (doc_id, idx) shuffle; zero weights are dropped
       // to keep the output sparse.
-      val D = 512
       Tables.documents(s, d)
         .select(col("doc_id"), explode(toks).as("tok"))
         .withColumn("idx",
-          expr(s"${Det.md5SliceExpr("tok", 1, 8)} % $D"))
+          expr(s"${Det.md5SliceExpr("tok", 1, 8)} % $HashDim"))
         .withColumn("sgn", expr(
           s"CASE WHEN ${Det.md5SliceExpr("tok", 9, 1)} % 2 = 0 " +
             "THEN 1 ELSE -1 END"))
@@ -472,7 +476,7 @@ object TextOps {
     "text_feature_hash" ->
       s"""SELECT doc_id, idx, weight FROM (
            SELECT doc_id,
-                  ${Det.md5SliceSql("tok", 1, 8)} % 512 AS idx,
+                  ${Det.md5SliceSql("tok", 1, 8)} % $HashDim AS idx,
                   CAST(sum(CASE WHEN ${Det.md5SliceSql("tok", 9, 1)} % 2 = 0
                                 THEN 1 ELSE -1 END) AS BIGINT) AS weight
            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)

@@ -40,17 +40,17 @@ object Sources {
     * once at write time — is the difference between a point-range query
     * reading gigabytes and reading the whole table; PlanSpec proves the
     * pruning from the scan's runtime numOutputRows metric. */
-  def ensureSortedLineitem(s: SparkSession, d: String): String =
-    Stage.materializeOnce(s,
-      "/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_")) {
+  def ensureSortedLineitem(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Stage.materializeOnce(s, path) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice")
         .repartitionByRange(16, col("l_partkey"))
         .sortWithinPartitions("l_partkey")
-        .write.mode("overwrite")
-        .parquet("/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .write.mode("overwrite").parquet(path)
     }
+  }
 
   /** Z-ordered lineitem twin: both filter dimensions are quantized to a
     * shared 8-bit grid (bounds from a broadcast 1-row aggregate — no
@@ -60,9 +60,9 @@ object Sources {
     * prune selective scans on EITHER dimension — the property a plain
     * sort only provides for its leading column. The interleave is 16
     * codegen'd shift/and/or terms, no UDF. */
-  def ensureZorderLineitem(s: SparkSession, d: String): String =
-    Stage.materializeOnce(s,
-      "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")) {
+  def ensureZorderLineitem(s: SparkSession, d: String): String = {
+    val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    Stage.materializeOnce(s, path) {
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice")
@@ -84,9 +84,9 @@ object Sources {
         .sortWithinPartitions("zv")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice")
-        .write.mode("overwrite")
-        .parquet("/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .write.mode("overwrite").parquet(path)
     }
+  }
 
   private val csvPath = "/tmp/graft_sample.csv"
   private val csvContent =

@@ -778,10 +778,11 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(k => assert(m(k) == 0L, s"$k = ${m(k)}"))
   }
 
-  test("text_feature_hash: idx in [0,512), weights nonzero, Σ|w| ≤ tokens") {
+  test("text_feature_hash: idx in [0,HashDim), weights nonzero, Σ|w| ≤ tokens") {
     val rows = q("text_feature_hash").collect()
       .map(r => (r.getLong(1), r.getLong(2)))
-    assert(rows.forall { case (i, _) => i >= 0 && i < 512 })
+    assert(rows.forall { case (i, _) =>
+      i >= 0 && i < graft.operators.TextOps.HashDim })
     assert(rows.forall(_._2 != 0L), "sparse output must drop zero weights")
     val tokens = Tables.documents(spark, Spec.sf001)
       .select(explode(split(col("text"), " ")).as("t"))
@@ -790,12 +791,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._2.abs).sum <= tokens)
   }
 
-  test("graph_degree_stats: handshake lemma — Σ degree·n_nodes = 2·|edges|") {
+  /** Ground-truth canonical (a < b) co-occurrence edge list, derived
+    * independently of GraphOps — the reference every graph assertion
+    * compares against. Must track GraphOps.edges' definition. */
+  private def refEdges = {
     val li = Tables.lineitem(spark, Spec.sf001)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("x")
+    li.as("x")
       .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().count()
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+  }
+
+  test("graph_degree_stats: handshake lemma — Σ degree·n_nodes = 2·|edges|") {
+    val edges = refEdges.count()
     val degSum = q("graph_degree_stats").collect()
       .map(r => r.getLong(0) * r.getLong(1)).sum
     assert(degSum === 2 * edges, s"Σ deg = $degSum, edges = $edges")
@@ -812,11 +820,7 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("graph_triangle_count: oriented count equals brute-force count") {
-    val li = Tables.lineitem(spark, Spec.sf001)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("x")
-      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    val e = refEdges
     // brute force: canonical a<b<c with all three canonical edges present
     val e1 = e.select(col("a").as("u"), col("b").as("v"))
     val e2 = e.select(col("a").as("v2"), col("b").as("w2"))
@@ -857,12 +861,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall { case (_, k) => k >= 0 && k <= 3 })
     val seeds = rows.filter(_._2 == 0).map(_._1).toSet
     assert(seeds.nonEmpty, "seed set non-empty at sf0.001")
-    val li = Tables.lineitem(spark, Spec.sf001)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val adj = li.as("x")
-      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
-      .select(col("x.pk").as("s"), col("y.pk").as("t")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // symmetric adjacency = canonical edges in both directions
+    val adj = refEdges.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
     rows.filter(_._2 == 1).foreach { case (node, _) =>
       assert(seeds.exists(sd => adj.contains((sd, node))),
         s"hop-1 node $node not adjacent to any seed")

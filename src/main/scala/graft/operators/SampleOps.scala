@@ -25,6 +25,30 @@ object SampleOps {
     expr(Det.md5SliceExpr("doc_id", 1, 4) + " % 10")
 
   val queries: Map[String, Q] = Map(
+    "sample_negative" -> ((s, d) => {
+      // Deterministic negative sampling for contrastive training: for
+      // each query document, the 5 pseudo-random corpus docs from a
+      // DIFFERENT source, ranked by md5(query, candidate) — stable
+      // under retries and repartitioning, unlike rand()-based picks.
+      // The bounded query batch broadcasts against the corpus (one
+      // scan, per-row cost O(|batch|)); a corpus-scale query set swaps
+      // the broadcast for the hash-bucket assignment split_train_test
+      // uses. The source-mismatch predicate is the hard-negative
+      // policy seam (swap for label/cluster inequality in a real run).
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val qs = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("q_id"), col("source").as("q_src"))
+      val ranked = docs.join(broadcast(qs), col("source") =!= col("q_src"))
+        .withColumn("h",
+          expr(Det.md5SliceExpr("concat(q_id, ':', doc_id)", 1, 15)))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("h"), col("doc_id"))))
+      ranked.filter(col("rnk") <= 5)
+        .select(col("q_id"), col("doc_id").as("neg_id"),
+          col("rnk").cast(IntegerType).as("rnk"))
+        .orderBy("q_id", "rnk")
+    }),
+
     "split_train_test" -> ((s, d) => {
       // 80/10/10 train/valid/test split. One narrow scan, no shuffle
       // until the (tiny) presentation sort: assignment is a pure
@@ -194,6 +218,19 @@ object SampleOps {
   private val hex58Sql = Det.md5SliceSql("doc_id", 5, 4)
 
   val oracles: Map[String, String] = Map(
+    // Same md5 rank per (query, candidate), same source-mismatch policy.
+    "sample_negative" ->
+      s"""WITH qs AS (SELECT doc_id AS q_id, source AS q_src
+                      FROM documents WHERE doc_id < 20),
+         ranked AS (
+           SELECT q_id, d.doc_id AS neg_id,
+                  row_number() OVER (PARTITION BY q_id ORDER BY
+                    ${Det.md5SliceSql("concat(q_id, ':', d.doc_id)", 1, 15)},
+                    d.doc_id) AS rnk
+           FROM documents d JOIN qs ON d.source <> qs.q_src)
+         SELECT q_id, neg_id, CAST(rnk AS INTEGER) AS rnk
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
     "sample_bootstrap" ->
       s"""WITH u AS (
            SELECT lang, CAST($hex58Sql AS DOUBLE) / 65536.0 AS u

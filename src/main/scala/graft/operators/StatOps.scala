@@ -67,6 +67,27 @@ object StatOps {
         .orderBy("k")
     }),
 
+    "agg_mad" -> ((s, d) => {
+      // Median absolute deviation — the robust dispersion statistic
+      // (outlier-immune where stddev is not; the robust-stats
+      // complement to win_zscore). Two passes by construction: the
+      // group median, then the median of absolute deviations from it.
+      // The per-group median table is broadcast back (group-count-sized,
+      // never corpus-sized); both engines interpolate medians with the
+      // same quantile_cont definition proven by agg_percentile.
+      val med = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      Tables.lineitem(s, d).join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(min(col("med")), 4).as("med"),
+          round(expr("percentile(abs(l_quantity - med), 0.5)"), 4)
+            .as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_skew_kurt" -> ((s, d) => {
       // Third/fourth-moment statistics (skewness, excess kurtosis) via
       // EXACT integer power sums: l_quantity is integral by data
@@ -270,6 +291,18 @@ object StatOps {
          SELECT k, min(coalesce(c, 0)) AS cms_est
          FROM probes LEFT JOIN cells USING (j, cell)
          GROUP BY k ORDER BY k""",
+
+    "agg_mad" ->
+      """WITH med AS (
+           SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag,
+                round(min(m.med), 4) AS med,
+                round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 4)
+                  AS mad,
+                count(*) AS n
+         FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
 
     "agg_skew_kurt" ->
       """WITH sums AS (

@@ -778,6 +778,35 @@ class OperatorSpec extends AnyFunSuite {
       .foreach(k => assert(m(k) == 0L, s"$k = ${m(k)}"))
   }
 
+  test("agg_mad: robust bounds — 0 ≤ MAD ≤ max|dev|, median inside range") {
+    val qs = Tables.lineitem(spark, Spec.sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    q("agg_mad").collect().foreach { r =>
+      val (flag, med, mad) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val (lo, hi) = qs(flag)
+      assert(med >= lo && med <= hi, s"$flag median $med outside [$lo,$hi]")
+      assert(mad >= 0 && mad <= (hi - lo), s"$flag MAD $mad out of bounds")
+    }
+  }
+
+  test("sample_negative: 5 distinct negatives per query, none share the source") {
+    val src = Tables.documents(spark, Spec.sf001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("sample_negative").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (qid, negs) =>
+      assert(negs.length == 5 && negs.map(_._2).distinct.length == 5,
+        s"query $qid: ${negs.length} negatives")
+      assert(negs.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      negs.foreach { case (_, n, _) =>
+        assert(src(n) != src(qid), s"negative $n shares source with $qid")
+      }
+    }
+  }
+
   test("text_feature_hash: idx in [0,HashDim), weights nonzero, Σ|w| ≤ tokens") {
     val rows = q("text_feature_hash").collect()
       .map(r => (r.getLong(1), r.getLong(2)))

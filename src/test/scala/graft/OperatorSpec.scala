@@ -285,6 +285,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(r >= 0.7, s"LSH recall@3 = $r")
   }
 
+  test("sim_pq_search recall@5 >= 0.8 vs brute-force L2 ground truth") {
+    // Exact L2 top-5 per probe (same fixed-point longs as the key).
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, Spec.sf001)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a"), col("pos"), col("v").as("va"))
+    val dd = col("va") - col("vb")
+    val l2 = broadcast(p)
+      .join(e.select(col("vec_id").as("b"), col("pos"), col("v").as("vb")), "pos")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(sum(floor(dd * dd * Det.FixedPoint).cast("long")).as("l2l"))
+    val w = Window.partitionBy("a").orderBy(col("l2l"), col("b"))
+    val truth = l2.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).collect()
+      .groupBy(_.getLong(0)).map { case (a, g) => a -> g.map(_.getLong(1)).toSet }
+    val got = q("sim_pq_search").collect()
+      .groupBy(_.getLong(0)).map { case (a, g) => a -> g.map(_.getLong(1)).toSet }
+    val recalls = truth.map { case (a, t) =>
+      (t & got.getOrElse(a, Set.empty)).size.toDouble / t.size
+    }
+    val r = recalls.sum / recalls.size
+    info(f"PQ shortlist+rerank recall@5 = $r%.3f")
+    assert(r >= 0.8, s"PQ recall@5 = $r")
+    // And the emitted l2 distances are the TRUE distances (the re-rank
+    // is exact): every returned pair's l2l matches the ground table.
+    val truthMap = l2.collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1)) -> r0.getLong(2)).toMap
+    q("sim_pq_search").collect().foreach { r0 =>
+      val exp = truthMap((r0.getLong(0), r0.getLong(1)))
+      assert(math.abs(r0.getDouble(2) - exp.toDouble / Det.FixedPoint) < 1e-3)
+    }
+  }
+
   test("heavy_hitters sketch: Misra-Gries guarantees under eviction") {
     import spark.implicits._
     graft.functions.HeavyHittersAgg.register(spark)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Stage, Tables}
@@ -283,6 +284,37 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    "graph_link_predict" -> ((s, d) => {
+      // Common-neighbor link prediction — the missing-edge /
+      // recommendation primitive: for each probe node, the top-3
+      // NON-neighbors ranked by shared-neighbor count (ties by node).
+      // Probes are the 20 smallest md5(node) (deterministic,
+      // corpus-size-independent — the sim-family technique), so wedge
+      // cost is probes × deg² and NEVER the hub-quadratic Σ deg² over
+      // the whole graph: exactly the per-user-batch shape a
+      // recommender runs at 100 TB (candidates for a user cohort, not
+      // all-pairs). Wedge expansion is two node-keyed equi-joins off
+      // the stored edge table, existing edges leave via one left-anti
+      // join, and the probe frame collapses map-side before the one
+      // (u, w) shuffle.
+      val u = und(s, d)
+      val probes = degrees(s, d)
+        .orderBy(md5(col("node").cast(StringType)), col("node"))
+        .select(col("node").as("u")).limit(20)
+      val uv = u.join(broadcast(probes), col("src") === col("u"))
+        .select(col("u"), col("dst").as("v"))
+      val wedges = uv.join(u, col("v") === col("src"))
+        .filter(col("dst") =!= col("u"))
+        .select(col("u"), col("dst").as("w"))
+      val cn = wedges.groupBy("u", "w").agg(count(lit(1)).as("cn"))
+      val nonEdge = cn.join(u.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"), "left_anti")
+      val wN = Window.partitionBy("u").orderBy(col("cn").desc, col("w"))
+      nonEdge.withColumn("rnk", row_number().over(wN).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .orderBy("u", "rnk")
+    }),
+
     "graph_khop" -> ((s, d) => {
       // Bounded-hop reachability (3 hops) from a seed set — the
       // contamination-spread / neighborhood-expansion primitive. Seeds:
@@ -319,13 +351,20 @@ object GraphOps {
 
   /** Shared oracle prefix: replay the edge build from lineitem (the
     * stored parquet is derived from exactly this). */
+  /** Shared oracle edge CTEs. pairs/deg are MATERIALIZED: DuckDB
+    * inlines plain CTEs per reference, and the iterative oracles
+    * (PageRank rounds, k-core rounds) reference the chain a second
+    * time per round — inlining makes the expanded plan (and its spill)
+    * grow exponentially in round depth (observed: k-core at sf0.1
+    * exhausted 40 GB of temp before the fix; 2.4 s after). */
   private val edgeCtes =
     """li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       pairs AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+       pairs AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b
                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
        und AS (SELECT a AS src, b AS dst FROM pairs
                UNION ALL SELECT b, a FROM pairs),
-       deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY src)"""
+       deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree
+                 FROM und GROUP BY src)"""
 
   /** One PageRank oracle round: sums s$k from r$prev, ranks r$k. */
   private def prRound(k: Int): String = {
@@ -361,23 +400,44 @@ object GraphOps {
     * degrees d$k, survivors a$k (threshold from the kth CTE). */
   private def kcoreRound(k: Int): String = {
     val prev = s"a${k - 1}"
-    s"""i$k AS (SELECT p.a, p.b FROM pairs p
+    s"""i$k AS MATERIALIZED (SELECT p.a, p.b FROM pairs p
                 JOIN $prev x ON p.a = x.node
                 JOIN $prev y ON p.b = y.node),
-        d$k AS (SELECT node, count(*) AS degree
+        d$k AS MATERIALIZED (SELECT node, count(*) AS degree
                 FROM (SELECT a AS node FROM i$k
                       UNION ALL SELECT b FROM i$k) GROUP BY 1),
-        a$k AS (SELECT node FROM d$k, kth WHERE degree >= kth.kth)"""
+        a$k AS MATERIALIZED (SELECT node FROM d$k, kth
+                WHERE degree >= kth.kth)"""
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_link_predict" ->
+      s"""WITH $edgeCtes,
+         probes AS (SELECT node AS u FROM deg
+                    ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 20),
+         uv AS (SELECT p.u, un.dst AS v FROM und un
+                JOIN probes p ON un.src = p.u),
+         wedges AS (SELECT uv.u, un.dst AS w FROM uv
+                    JOIN und un ON un.src = uv.v
+                    WHERE un.dst <> uv.u),
+         cn AS (SELECT u, w, count(*) AS cn FROM wedges GROUP BY 1, 2),
+         ne AS (SELECT c.u, c.w, c.cn FROM cn c
+                WHERE NOT EXISTS (SELECT 1 FROM und e
+                                  WHERE e.src = c.u AND e.dst = c.w))
+         SELECT u, w, cn, rnk FROM (
+           SELECT u, w, cn,
+                  CAST(row_number() OVER (PARTITION BY u
+                    ORDER BY cn DESC, w) AS INTEGER) AS rnk
+           FROM ne) WHERE rnk <= 3 ORDER BY u, rnk""",
+
     "graph_kcore" ->
       s"""WITH $edgeCtes,
-         kth AS (SELECT CAST(ceil(quantile_cont(degree, 0.5) * 0.7) AS BIGINT)
-                   AS kth FROM deg),
-         a0 AS (SELECT node FROM deg, kth WHERE degree >= kth.kth),
+         kth AS MATERIALIZED (SELECT CAST(ceil(quantile_cont(degree, 0.5)
+                   * 0.7) AS BIGINT) AS kth FROM deg),
+         a0 AS MATERIALIZED (SELECT node FROM deg, kth
+                 WHERE degree >= kth.kth),
          ${(1 to KCoreRounds).map(kcoreRound).mkString(",\n")},
-         fin AS (SELECT p.a, p.b FROM pairs p
+         fin AS MATERIALIZED (SELECT p.a, p.b FROM pairs p
                  JOIN a$KCoreRounds x ON p.a = x.node
                  JOIN a$KCoreRounds y ON p.b = y.node)
          SELECT node, count(*) AS core_degree

@@ -307,7 +307,10 @@ object GraphOps {
         .filter(col("dst") =!= col("u"))
         .select(col("u"), col("dst").as("w"))
       val cn = wedges.groupBy("u", "w").agg(count(lit(1)).as("cn"))
-      val nonEdge = cn.join(u.select(col("src").as("u"), col("dst").as("w")),
+      // Existing-edge exclusion anti-joins against the PROBE-INCIDENT
+      // edges only (uv again — candidates all have u ∈ probes), a
+      // broadcast-sized frame, instead of shuffling the full edge set.
+      val nonEdge = cn.join(broadcast(uv.select(col("u"), col("v").as("w"))),
         Seq("u", "w"), "left_anti")
       val wN = Window.partitionBy("u").orderBy(col("cn").desc, col("w"))
       nonEdge.withColumn("rnk", row_number().over(wN).cast(IntegerType))
@@ -422,8 +425,8 @@ object GraphOps {
                     WHERE un.dst <> uv.u),
          cn AS (SELECT u, w, count(*) AS cn FROM wedges GROUP BY 1, 2),
          ne AS (SELECT c.u, c.w, c.cn FROM cn c
-                WHERE NOT EXISTS (SELECT 1 FROM und e
-                                  WHERE e.src = c.u AND e.dst = c.w))
+                WHERE NOT EXISTS (SELECT 1 FROM uv e
+                                  WHERE e.u = c.u AND e.v = c.w))
          SELECT u, w, cn, rnk FROM (
            SELECT u, w, cn,
                   CAST(row_number() OVER (PARTITION BY u

@@ -152,6 +152,63 @@ object StatOps {
         .orderBy("lang")
     }),
 
+    "join_geo_radius" -> ((s, d) => {
+      // Grid-bucketed geo-radius join — the SPATIAL member of the
+      // blocked-join family (join_range_bucketed for intervals,
+      // join_fuzzy_levenshtein for strings): customers within 800 km
+      // of each supplier, without the O(n·m) cross join. Both point
+      // sets land on an 8°×8° grid; the supplier side explodes to its
+      // candidate cell neighborhood, whose LONGITUDE span adapts to
+      // latitude (cells shrink toward the poles — nlon is derived
+      // per row from the worst partner latitude by the same IEEE
+      // expression in both engines, and is provably ≤ 3 for the
+      // |lat| ≤ 70° domain; polar caps are excluded and documented —
+      // production gives the poles a dedicated partition). Candidate
+      // generation is then ONE cell-keyed equi-join (each pair meets
+      // exactly once because the probe side owns exactly one cell),
+      // the exact haversine ≤ R filter runs on candidates only, and
+      // at 100 TB the cell key is what the shuffle partitions on —
+      // Σ cell² cost with the usual hot-cell (dense-city) salting
+      // lever, never all-pairs.
+      val R = 800.0; val G = 8.0; val KmPerDeg = 111.045
+      def pts(df: DataFrame, key: String, mlat: Int, mlon: Int) =
+        df.select(col(key),
+            ((col(key) * mlat % 1800).cast(DoubleType) / 10.0 - 90.0).as("lat"),
+            ((col(key) * mlon % 3600).cast(DoubleType) / 10.0 - 180.0).as("lon"))
+          .filter(abs(col("lat")) <= 70.0)
+      val su = pts(Tables.supplier(s, d), "s_suppkey", 397, 1381)
+      val cu = pts(Tables.customer(s, d), "c_custkey", 463, 977)
+      val maxPartnerLat = least(abs(col("lat")) + lit(R / KmPerDeg), lit(70.0))
+      val nlon = (floor(lit(R) / (lit(KmPerDeg) * lit(G)
+        * cos(radians(maxPartnerLat)))).cast(IntegerType) + 1).as("nlon")
+      val sCells = su
+        .withColumn("nlon", nlon)
+        .withColumn("i", explode(sequence(lit(-1), lit(1))))
+        .withColumn("j", explode(sequence(lit(-3), lit(3))))
+        .filter(abs(col("j")) <= col("nlon"))
+        .select(col("s_suppkey"), col("lat").as("slat"), col("lon").as("slon"),
+          (floor(col("lat") / G).cast(IntegerType) + col("i")).as("clat"),
+          pmod(floor(col("lon") / G).cast(IntegerType) + col("j"), lit(45))
+            .as("clon"))
+      val cCells = cu.select(col("c_custkey"),
+        col("lat").as("clat2"), col("lon").as("clon2"),
+        floor(col("lat") / G).cast(IntegerType).as("clat"),
+        pmod(floor(col("lon") / G).cast(IntegerType), lit(45)).as("clon"))
+      val rad = lit(math.Pi) / lit(180.0)
+      val dlat = (col("clat2") - col("slat")) * rad
+      val dlon = (col("clon2") - col("slon")) * rad
+      val a = sin(dlat / 2) * sin(dlat / 2) +
+        cos(col("slat") * rad) * cos(col("clat2") * rad) *
+          sin(dlon / 2) * sin(dlon / 2)
+      val km = lit(2.0) * lit(6371.0) * asin(sqrt(a))
+      sCells.join(cCells, Seq("clat", "clon"))
+        .withColumn("kmRaw", km)
+        .filter(col("kmRaw") <= R)
+        .select(col("s_suppkey"), col("c_custkey"),
+          round(col("kmRaw"), 2).as("km"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
     "fn_geo_haversine" -> ((s, d) => {
       // Great-circle (haversine) distance — the geo primitive for the
       // reference's globecoordinate datavalues (SURVEY §1.1). Synthetic
@@ -335,6 +392,49 @@ object StatOps {
                / 1099511627776.0), 4) AS entropy_bits
          FROM cnt JOIN tot ON cnt.lang = tot.lang
          GROUP BY cnt.lang, n_sources ORDER BY cnt.lang""",
+
+    // Same candidate generation (grid cells, latitude-adaptive lon
+    // span, canonical mod-45 wrap) and the same one-expression IEEE
+    // haversine as the Spark side — association mirrored exactly
+    // ((pi()/180.0) parenthesized) so both engines run identical ops.
+    "join_geo_radius" ->
+      """WITH s0 AS (SELECT s_suppkey,
+             CAST(s_suppkey*397 % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST(s_suppkey*1381 % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+           FROM supplier),
+         su AS (SELECT * FROM s0 WHERE abs(lat) <= 70.0),
+         c0 AS (SELECT c_custkey,
+             CAST(c_custkey*463 % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST(c_custkey*977 % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+           FROM customer),
+         cu AS (SELECT * FROM c0 WHERE abs(lat) <= 70.0),
+         sn AS (SELECT *, CAST(floor(800.0 / (111.045 * 8.0
+                  * cos(radians(least(abs(lat) + 800.0/111.045, 70.0)))))
+                  AS INTEGER) + 1 AS nlon
+                FROM su),
+         sc AS (SELECT s_suppkey, lat AS slat, lon AS slon,
+                  CAST(floor(lat/8.0) AS INTEGER) + i.i AS clat,
+                  ((CAST(floor(lon/8.0) AS INTEGER) + j.j) % 45 + 45) % 45
+                    AS clon
+                FROM sn,
+                     (SELECT unnest([-1,0,1]) AS i) i,
+                     (SELECT unnest([-3,-2,-1,0,1,2,3]) AS j) j
+                WHERE abs(j.j) <= sn.nlon),
+         cc AS (SELECT c_custkey, lat AS clat2, lon AS clon2,
+                  CAST(floor(lat/8.0) AS INTEGER) AS clat,
+                  ((CAST(floor(lon/8.0) AS INTEGER)) % 45 + 45) % 45 AS clon
+                FROM cu),
+         dist AS (SELECT s.s_suppkey, c.c_custkey,
+                    2.0*6371.0*asin(sqrt(
+                      sin((c.clat2-s.slat)*(pi()/180.0)/2)
+                        * sin((c.clat2-s.slat)*(pi()/180.0)/2)
+                      + cos(s.slat*(pi()/180.0))*cos(c.clat2*(pi()/180.0))
+                        * sin((c.clon2-s.slon)*(pi()/180.0)/2)
+                        * sin((c.clon2-s.slon)*(pi()/180.0)/2))) AS kmr
+                  FROM sc s JOIN cc c USING (clat, clon))
+         SELECT s_suppkey, c_custkey, round(kmr, 2) AS km
+         FROM dist WHERE kmr <= 800.0
+         ORDER BY s_suppkey, c_custkey""",
 
     "fn_geo_haversine" ->
       """WITH c AS (

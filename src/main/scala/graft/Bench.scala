@@ -42,14 +42,21 @@ object Bench {
     val keys = selected.keys.toVector
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // A key that throws must not contribute a timing sample: an
+    // analysis-time crash "runs" in milliseconds and would silently
+    // deflate the suite total (round-5 lesson). Failed keys are
+    // reported with a -1 sentinel and excluded from the total.
+    val failedKeys = scala.collection.mutable.Set.empty[String]
     (1 to passes).foreach { pass =>
       val rnd = new scala.util.Random(0x9E3779B97F4A7C15L * pass)
       rnd.shuffle(keys).foreach { name =>
         val fn = selected(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        if (ok) samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        else failedKeys += name
       }
     }
     def median(v: Vector[Double]): Double = {
@@ -58,18 +65,24 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = samples.map { case (k, v) => k -> median(v) }
+    // Keys with zero successful passes get the -1 sentinel; keys that
+    // succeeded at least once use the median of their successful runs.
+    val broken = (failedKeys -- samples.keySet).toSeq.sorted
+    val results = samples.map { case (k, v) => k -> median(v) } ++
+      broken.map(_ -> -1.0)
     // Full per-query detail goes out as non-JSON debug lines: the driver
     // captures only a bounded tail of stdout, so the machine-readable
     // summary below must stay short and LAST. These lines are for humans.
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(s"BENCHQ $k ${fmt(v)}")
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    broken.foreach(k => println(s"BENCHFAIL $k"))
+    // Total covers only keys that actually ran; sentinel rows excluded.
+    val total = if (samples.nonEmpty) samples.values.map(median).sum else 0.0
     // Compact final JSON line: 3-dp timings, slowest queries first, and a
     // hard length budget so the line (plus any build-tool epilogue) fits
     // inside the driver's stdout tail window without truncation.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${broken.size},"queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     val budget = 1500 - head.length - tail.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

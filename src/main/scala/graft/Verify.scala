@@ -30,13 +30,31 @@ object Verify {
     }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // A failed key must still produce an artifact the driver can see:
+    // silently writing nothing shrinks the key list and makes the
+    // correctness sheet look clean while losing coverage (round-5
+    // lesson). On failure we write a directory containing only a
+    // _FAILED marker — any parquet read of it errors loudly, so the
+    // driver records an explicit error row instead of omitting the key.
+    var failedCount = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failedCount += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir))
+            Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+          Files.createDirectories(dir)
+          val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+          Files.writeString(dir.resolve("_FAILED"), msg)
+        } catch { case _: Throwable => () }
       }
     }
+    println(s"[verify] FAILED $failedCount of ${selected.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductF.build(exprs)))
     e.injectFunction((
+      FunctionIdentifier("l2fx"),
+      new ExpressionInfo(classOf[graft.functions.L2FixedF].getName, "l2fx"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.L2FixedF.build(exprs)))
+    e.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[graft.functions.HeavyHittersAgg].getName,
         "heavy_hitters"),

@@ -98,6 +98,32 @@ object GraphOps {
   private def degPath(d: String): String =
     s"/tmp/graft_degrees_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  private def wedgesPath(d: String): String =
+    s"/tmp/graft_wedges_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Weighted canonical edges (a < b, w): per-pair order co-occurrence
+    * count folded to an integer cost w = 10 - least(cnt, 9) ∈ [1, 9] —
+    * frequently co-bought parts are "close". The (ok, pk) projection is
+    * deduplicated FIRST so cnt counts orders, not line-pair
+    * multiplicity. Stored like the unweighted snapshot
+    * (build-once/query-many); integer costs keep every path sum exact
+    * and order-independent in both engines. */
+  private def wedges(s: SparkSession, d: String): DataFrame = {
+    val p = Stage.materializeOnce(s, wedgesPath(d)) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("a"), col("b"),
+          (lit(10L) - least(col("cnt"), lit(9L))).cast(LongType).as("w"))
+        .write.mode("overwrite").parquet(wedgesPath(d))
+    }
+    s.read.parquet(p)
+  }
+
   private def triPath(d: String): String =
     s"/tmp/graft_triangles_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
@@ -350,6 +376,48 @@ object GraphOps {
         frontier = next
       }
       visited.orderBy("node")
+    }),
+
+    "graph_sssp" -> ((s, d) => {
+      // Bounded single-source shortest paths (3 relaxation rounds) from
+      // the khop seed set over WEIGHTED co-occurrence edges — khop asks
+      // "what is reachable", this asks "how close is it" (nearest-hub
+      // routing, influence radius, weighted contamination spread).
+      // Frontier Bellman-Ford: round k relaxes ONLY nodes whose label
+      // improved in round k-1 — the classic invariant (after k rounds,
+      // dist = min cost over ≤k-edge paths) holds, but per-round work
+      // tracks the improving set, not the whole label table: the same
+      // delta discipline as khop's frontier and dedup_incremental. All
+      // integer arithmetic (costs ∈ [1,9], BIGINT sums) so the oracle
+      // hash-matches with no float tolerance. Each round: one src-keyed
+      // equi-join + two aggregations — no driver-side state; eager
+      // localCheckpoint truncates the per-round lineage exactly like
+      // khop/components (durable checkpoints at 100 TB).
+      val e = wedges(s, d)
+      val wu = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("node"))
+        .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
+      var dist = seeds.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var frontier = dist
+      for (_ <- 1 to 3) {
+        // candidate labels out of the frontier, combined per node BEFORE
+        // the dist join (partial agg collapses the ×degree expansion)
+        val relax = wu.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+        val improved = relax.as("r")
+          .join(dist.as("dd"), col("r.node") === col("dd.node"), "left_outer")
+          .filter(col("dd.dist").isNull || col("r.dist") < col("dd.dist"))
+          .select(col("r.node").as("node"), col("r.dist").as("dist"))
+          .localCheckpoint(true)
+        dist = dist.union(improved)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      dist.orderBy("node")
     }))
 
   /** Shared oracle prefix: replay the edge build from lineitem (the
@@ -519,5 +587,43 @@ object GraphOps {
          UNION ALL SELECT node, 1 FROM d1
          UNION ALL SELECT node, 2 FROM d2
          UNION ALL SELECT node, 3 FROM d3
-         ORDER BY node""")
+         ORDER BY node""",
+
+    // Full (non-frontier) relaxation unrolled 3 rounds — after k rounds
+    // both formulations hold the identical invariant label "min cost
+    // over ≤k-edge paths", so the frontier optimization on the Spark
+    // side never changes the result, only the per-round work set.
+    // Weighted pairs re-derive the Spark snapshot: DISTINCT (ok, pk)
+    // first so cnt counts orders, then w = 10 - LEAST(cnt, 9).
+    "graph_sssp" ->
+      s"""WITH $edgeCtes,
+         liD AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem),
+         wpairs AS MATERIALIZED (
+           SELECT x.pk AS a, y.pk AS b,
+                  CAST(10 - LEAST(count(*), 9) AS BIGINT) AS w
+           FROM liD x JOIN liD y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY x.pk, y.pk),
+         wund AS (SELECT a AS src, b AS dst, w FROM wpairs
+                  UNION ALL SELECT b, a, w FROM wpairs),
+         s0 AS MATERIALIZED (
+           SELECT DISTINCT d.node, CAST(0 AS BIGINT) AS dist
+           FROM deg d JOIN part p ON p.p_partkey = d.node
+                                 AND p.p_size = 50),
+         s1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM s0
+           UNION ALL
+           SELECT u.dst, x.dist + u.w FROM s0 x
+           JOIN wund u ON u.src = x.node) GROUP BY node),
+         s2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM s1
+           UNION ALL
+           SELECT u.dst, x.dist + u.w FROM s1 x
+           JOIN wund u ON u.src = x.node) GROUP BY node),
+         s3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM s2
+           UNION ALL
+           SELECT u.dst, x.dist + u.w FROM s2 x
+           JOIN wund u ON u.src = x.node) GROUP BY node)
+         SELECT node, dist FROM s3 ORDER BY node""")
 }

@@ -237,6 +237,61 @@ object SimOps {
         .orderBy("a", "rnk")
     }),
 
+    "sim_kmeans" -> ((s, d) => {
+      // Multi-round Lloyd k-means over the embedding corpus (k=8, two
+      // mean-update rounds + final assignment) — the semantic-clustering
+      // primitive behind corpus stratification, IVF coarse-quantizer
+      // training (sim_ann_ivf embeds ONE of these rounds), and
+      // diversity-aware sampling. Output is the cluster profile
+      // (size + inertia), the convergence signal a training pipeline
+      // monitors per round. Every round is the same two shuffles:
+      // assignment = broadcast(k centroids) product collapsed map-side
+      // (O(N·k) compute, O(N) shuffle bytes), means = one (cluster,
+      // pos)-keyed aggregate — no driver-side state, rounds are a
+      // fixed unrolled count exactly like PageRank's. Determinism:
+      // distances come from the native l2fx expression — per-TERM
+      // floored fixed-point LONG sums, order-free AND codegen'd (the
+      // DotProductF rationale, but for argmin: an integer distance can
+      // never flip a tie on a last-ulp float difference) — and means
+      // round-trip through FLOAT so both engines carry bit-identical
+      // centroids into the next round.
+      graft.functions.L2FixedF.register(s)
+      val emb = Tables.embeddings(s, d)
+      // nearest centroid by exact fixed-point squared L2 (min_by over a
+      // (d2l, cent_id) total order), keeping the min distance for the
+      // inertia sum and the vector for the mean pass — the whole ×k
+      // candidate expansion collapses map-side before the one N-row
+      // shuffle (no position explosion anywhere in the assignment)
+      def assign(cents: DataFrame): DataFrame =
+        emb.join(broadcast(cents))
+          .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
+          .groupBy(col("vec_id"))
+          .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
+            min(col("d2l")).as("d2l"),
+            first(col("embedding")).as("embedding"))
+      // cluster means, FLOAT-rounded (the sim_ann_ivf cev discipline);
+      // the (cluster, pos) aggregate partial-aggregates map-side to
+      // k×dims rows — the only exploded frame in the pipeline
+      def means(asg: DataFrame): DataFrame =
+        asg.select(col("cluster"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cluster").as("cent_id"), col("pos"))
+          .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
+            .as("m"))
+          .groupBy(col("cent_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cent_id"),
+            expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
+      val c1 = means(assign(sampleCentroids(emb, 8)))
+      val c2 = means(assign(c1))
+      assign(c2)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d2l")).cast(DoubleType) / graft.Det.FixedPoint, 4)
+            .as("inertia"))
+        .orderBy("cluster")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // Banded multi-table LSH, the scale path: 32 deterministic
       // hyperplanes (SplitMix64 of (plane,dim), fixed literal seed)
@@ -476,7 +531,52 @@ object SimOps {
       (0 until Lsh.Dims).map(i => s"($p,${i + 1},${Lsh.weight(p, i)})")
     }.mkString(",")
 
+  /** One k-means oracle round: fixed-point L2 distances from cev$k +
+    * (d2l, cent_id)-ordered argmin — replays the Spark min_by total
+    * order. */
+  private def kmAssign(k: Int): String =
+    s"""dist$k AS (SELECT e.vec_id, c.cent_id,
+           sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1099511627776.0)
+               AS BIGINT)) AS d2l
+         FROM ev e JOIN cev$k c ON e.pos = c.pos GROUP BY 1, 2),
+       a$k AS MATERIALIZED (SELECT vec_id, cent_id AS cluster, d2l FROM (
+           SELECT vec_id, cent_id, d2l,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2l, cent_id) AS rn
+           FROM dist$k) WHERE rn = 1)"""
+
+  /** FLOAT-rounded fixed-point cluster means of round $k's assignment —
+    * the sim_ann_ivf cev discipline, producing cev${k + 1}. */
+  private def kmMeans(k: Int): String =
+    s"""cev${k + 1} AS MATERIALIZED (SELECT a.cluster AS cent_id, e.pos,
+          CAST(CAST((CAST(sum(CAST(floor(e.v * 1099511627776.0) AS BIGINT))
+              AS DOUBLE) / 1099511627776.0) / count(*) AS FLOAT) AS DOUBLE)
+            AS cv
+        FROM a$k a JOIN ev e ON e.vec_id = a.vec_id GROUP BY 1, 2)"""
+
   val oracles: Map[String, String] = Map(
+    // Mirrors the full Lloyd pipeline: identical md5-ordered k=8 seed
+    // sample, two mean-update rounds + final assignment, all distances
+    // as order-free fixed-point LONG sums and all means FLOAT-rounded —
+    // bit-identical centroids and labels in both engines, no float
+    // tolerance anywhere.
+    "sim_kmeans" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         cents0 AS (SELECT vec_id AS cent_id FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         cev0 AS (SELECT c.cent_id, e.pos, e.v AS cv
+                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
+         ${kmAssign(0)}, ${kmMeans(0)},
+         ${kmAssign(1)}, ${kmMeans(1)},
+         ${kmAssign(2)}
+         SELECT cluster, count(*) AS n,
+                round(CAST(sum(d2l) AS DOUBLE) / 1099511627776.0, 4)
+                  AS inertia
+         FROM a2 GROUP BY cluster ORDER BY cluster""",
+
     // Mirrors the full IVF pipeline: identical md5-ordered centroid
     // sample, one Lloyd refinement round (fixed-point cluster means
     // rounded through FLOAT — bit-identical refined centroids on both

@@ -936,6 +936,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_sssp: brackets khop hop counts (costs are in [1,9] per edge)") {
+    // Same seeds, same graph, 3 rounds: the weighted label of a node
+    // reached in h hops is bounded by h ≤ dist ≤ 9·h (edge costs are
+    // 1..9), and the reached sets coincide (both are "within 3 edges").
+    val sssp = q("graph_sssp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val khop = q("graph_khop").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(sssp.keySet === khop.keySet, "reached sets must coincide")
+    khop.foreach { case (node, h) =>
+      val dist = sssp(node)
+      assert(dist >= h && dist <= 9L * h || (h == 0 && dist == 0),
+        s"node $node: hops $h, weighted dist $dist outside [$h, ${9 * h}]")
+    }
+    assert(sssp.values.exists(_ > 0), "non-seed labels exist")
+  }
+
+  test("sim_kmeans: clusters partition the corpus, inertia non-negative") {
+    val rows = q("sim_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.length === rows.length, "cluster ids unique")
+    assert(rows.length <= 8 && rows.nonEmpty, "at most k=8 clusters")
+    val corpus = Tables.embeddings(spark, Spec.sf001).count()
+    assert(rows.map(_._2).sum === corpus, "every vector in exactly one cluster")
+    assert(rows.forall(_._3 >= 0.0), "inertia is a sum of squared distances")
+  }
+
   test("win_interp_linear: actual months pass through, gaps lerp between neighbors") {
     val rows = q("win_interp_linear").collect()
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2), r.getDouble(3)))

@@ -351,6 +351,31 @@ class PlanSpec extends AnyFunSuite {
     assert(n.head().isNullAt(0))
   }
 
+  test("l2fx: exact fixed-point L2, resolves via extensions, null-safe") {
+    import spark.implicits._
+    // (1-4)² + (2-5)² + (3-6)² = 27 exactly → 27·2⁴⁰ (integers are
+    // exact in double, floor is identity)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").selectExpr("l2fx(a, b) AS d")
+    assert(df.head().getLong(0) === 27L * (1L << 40))
+    // agrees with the exploded floor-per-term formulation (the oracle's
+    // shape) on non-integer values
+    val v = Seq((Array(0.25f, -1.5f), Array(1.125f, 0.75f)))
+      .toDF("a", "b")
+    val viaExpr = v.selectExpr("l2fx(a, b) AS d").head().getLong(0)
+    val viaHof = v.selectExpr(
+      """aggregate(zip_with(a, b, (x, y) ->
+           CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                      (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                      1099511627776.0) AS BIGINT)),
+         CAST(0 AS BIGINT), (acc, t) -> acc + t) AS d""")
+      .head().getLong(0)
+    assert(viaExpr === viaHof)
+    val n = Seq((null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("a", "b").selectExpr("l2fx(a, b) AS d")
+    assert(n.head().isNullAt(0))
+  }
+
   /** Rows the parquet scan actually DECODED (its runtime numOutputRows
     * metric) — less than the table size iff row-group min/max stats
     * pruned something. */

@@ -231,6 +231,36 @@ object Sources {
         .orderBy("r_name")
     }),
 
+    "scan_xml" -> ((s, d) => {
+      // Third text interchange format: Spark 4 ships a NATIVE XML
+      // datasource (XmlFileFormat — no external package), so the XML
+      // feeds/dumps a warehouse still receives scan in parallel tasks
+      // like CSV/JSON. Sample materialized once per sf dir (scan_orc
+      // policy); the read carries an explicit schema + rowTag —
+      // inferSchema stays banned for the same determinism reasons as
+      // CSV (SURVEY §1.3). Doubles survive the text round trip because
+      // Spark writes the shortest round-tripping decimal.
+      val out = "/tmp/graft_xml_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!Stage.exists(s, s"$out/_SUCCESS")) {
+        Tables.supplier(s, d)
+          .write.mode("overwrite").format("xml")
+          .option("rowTag", "supplier").save(out)
+      }
+      s.read.format("xml")
+        .schema(StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType))))
+        .option("rowTag", "supplier")
+        .load(out)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sumMoney(col("s_acctbal")).as("total_bal"))
+        .orderBy("n_name")
+    }),
+
     "sink_parquet" -> ((s, d) => {
       // Materialize-and-reread round trip: the result IS the sink's
       // output, so the oracle (direct SQL) proves write fidelity.
@@ -448,6 +478,15 @@ object Sources {
            columns={'id': 'INTEGER', 'name': 'VARCHAR',
                     'val': 'DOUBLE', 'note': 'VARCHAR'})
          ORDER BY id""",
+
+    // The XML round trip is exact (shortest round-tripping decimals +
+    // explicit read schema), so the oracle is the direct relational
+    // statement of the same join/agg over the source parquet.
+    "scan_xml" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+             CAST(round(sum(CAST(s_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
 
     "scan_partitioned" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -33,6 +33,21 @@ object StatOps {
   private val CmsDepth = 4
   private val CmsWidth = 256
 
+  /** HyperLogLog geometry: m = 64 registers (p = 6). The 60-bit
+    * md5-slice hash splits into a 6-bit register index and a 54-bit
+    * suffix whose leading-zero rank feeds the register max — so ranks
+    * are 1..55 and the harmonic-sum terms 2^(55−M_j) stay exact
+    * BIGINTs (64 · 2⁵⁵ = 2⁶¹ < Long.Max). */
+  private val HllM = 64
+
+  /** α·m²·2⁵⁵ — the one double constant in the HLL estimate, computed
+    * once here and injected as the SAME shortest-round-trip literal
+    * into the Spark plan and the DuckDB oracle, so both engines divide
+    * the identical IEEE double by the identical exact BIGINT sum. */
+  private val HllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM) *
+      (1L << 55).toDouble
+
   val queries: Map[String, Q] = Map(
     "agg_countmin" -> ((s, d) => {
       // Count-Min frequency estimation — the mergeable bounded-memory
@@ -65,6 +80,45 @@ object StatOps {
         .groupBy("k")
         .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
         .orderBy("k")
+    }),
+
+    "agg_hll_cells" -> ((s, d) => {
+      // HyperLogLog distinct estimation as a RELATIONAL register table —
+      // the mergeable bounded-memory answer to "how many distinct users
+      // per segment in a 100 TB stream", and the hash-green counterpart
+      // to the ✗-oracle agg_approx_distinct (whose HLL++ sketch bytes
+      // are engine-private). The sketch IS (group, j) → max rank: one
+      // shuffle whose map-side partial agg caps every partition's
+      // contribution at m rows per group regardless of input size;
+      // sketches merge by register-max — the HLL merge law. Everything
+      // the oracle hashes is exact: md5-slice hash, integer rank via
+      // length(bin(w)) (no float log2), harmonic sum as BIGINT
+      // 2^(55−M_j) terms, and ONE shared double literal for α·m²·2⁵⁵.
+      // OperatorSpec bounds the estimate against the exact distinct
+      // count (σ = 1.04/√64 ≈ 13%).
+      val m = HllM
+      val regs = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(Det.md5SliceExpr("user_id", 1, 15)).as("h"))
+        .withColumn("j", col("h") % m)
+        .withColumn("w", expr(s"h div $m"))
+        .withColumn("r", when(col("w") === 0L, lit(55))
+          .otherwise(lit(55) - length(expr("bin(w)"))))
+        .groupBy(col("event_type"), col("j"))
+        .agg(max(col("r")).as("mj"))
+      regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nz"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)")).as("sp"))
+        .withColumn("s_sum",
+          col("sp") + (lit(m.toLong) - col("nz")) * lit(1L << 55))
+        .withColumn("raw", lit(HllAlphaNum) / col("s_sum").cast(DoubleType))
+        .withColumn("zeros", lit(m.toLong) - col("nz"))
+        .withColumn("hll_est", round(
+          when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast(DoubleType)))
+            .otherwise(col("raw")), 4))
+        .select(col("event_type"), col("nz"), col("hll_est"))
+        .orderBy("event_type")
     }),
 
     "agg_mad" -> ((s, d) => {
@@ -348,6 +402,33 @@ object StatOps {
          SELECT k, min(coalesce(c, 0)) AS cms_est
          FROM probes LEFT JOIN cells USING (j, cell)
          GROUP BY k ORDER BY k""",
+
+    // Replays the HLL register table exactly: same md5-slice hash,
+    // same integer rank (length(bin(w))), exact BIGINT harmonic-sum
+    // terms, and the identical injected α·m²·2⁵⁵ literal; ln() appears
+    // only inside the 4-dp-rounded small-range branch.
+    "agg_hll_cells" ->
+      s"""WITH pts AS (SELECT event_type,
+             ${Det.md5SliceSql("user_id", 1, 15)} AS h FROM events),
+         regs AS (SELECT event_type, h % $HllM AS j,
+                    max(CASE WHEN h // $HllM = 0 THEN 55
+                             ELSE 55 - length(bin(h // $HllM)) END) AS mj
+                  FROM pts GROUP BY 1, 2),
+         agg AS (SELECT event_type, count(*) AS nz,
+                   sum(CAST(1 AS BIGINT) << (55 - mj)) AS sp
+                 FROM regs GROUP BY 1)
+         SELECT event_type, nz,
+                round(CASE WHEN raw <= ${2.5 * HllM} AND zeros > 0
+                           THEN ${HllM.toDouble} *
+                                ln(${HllM.toDouble} / CAST(zeros AS DOUBLE))
+                           ELSE raw END, 4) AS hll_est
+         FROM (SELECT event_type, nz,
+                 $HllAlphaNum /
+                   CAST(sp + ($HllM - nz) * (CAST(1 AS BIGINT) << 55)
+                        AS DOUBLE) AS raw,
+                 $HllM - nz AS zeros
+               FROM agg)
+         ORDER BY event_type""",
 
     "agg_mad" ->
       """WITH med AS (

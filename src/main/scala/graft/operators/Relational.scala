@@ -588,32 +588,57 @@ object Relational {
     }),
 
     "agg_approx_distinct" -> ((s, d) => {
-      // HLL++ sketch — the ONLY way to count distincts at 100 TB without
-      // an expand shuffle. No oracle (sketch differs from DuckDB's).
+      // Bounded-memory distinct estimation, hash-green: a KMV bottom-k
+      // sketch over the deterministic md5-slice hash (k smallest
+      // distinct hash values per group, kept by the native mergeable
+      // kmv_bottomk aggregate — each partition ships ≤ k longs per
+      // group, the same shuffle law as HLL++'s registers). Estimate =
+      // (k−1)·H / h_(k) with H = 16¹⁵ the hash range, σ ≈ 1/√(k−2) ≈ 9%
+      // at k=128; groups with < k distinct values report exactly.
+      // Unlike approx_count_distinct (the engine-private-sketch twin
+      // kept under nativeSketches) every kept value is a deterministic
+      // hash order statistic, so DuckDB replays the sketch verbatim
+      // with distinct + row_number. OperatorSpec pins the estimate
+      // against the exact count at both SFs.
+      graft.functions.KmvBottomKAgg.register(s)
       Tables.events(s, d)
+        .select(col("event_type"),
+          expr(Det.md5SliceExpr("user_id", 1, 15)).as("h"))
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        .agg(expr(s"kmv_bottomk(h, $KmvK)").as("ks"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), kmvEstimate(col("ks")).as("approx_users"),
+          col("n"))
         .orderBy("event_type")
     }),
 
     "agg_sketch_union" -> ((s, d) => {
       // The 100 TB distinct-counting ARCHITECTURE, not just the
-      // function: per-day HLL sketches are built in one scan, persist
-      // as binary columns, and any later rollup (weekly, all-time)
-      // UNIONS the stored sketches without rescanning events —
-      // hll_union_agg over O(days) rows replaces an O(events) rescan
-      // per reporting window. Like agg_approx_distinct, the sketch is
-      // engine-specific (Apache DataSketches) so there is no DuckDB
-      // oracle; OperatorSpec bounds the estimate against the exact
-      // distinct count instead.
+      // function: per-day KMV sketches are built in one scan over the
+      // fact table, persist as k-long arrays, and any later rollup
+      // (weekly, all-time) UNIONS the stored sketches without
+      // rescanning events — bottom-k over O(days·k) sketch values
+      // replaces an O(events) rescan per reporting window (KMV union
+      // law: the k smallest of a union of bottom-k sets IS the
+      // bottom-k of the union). Same deterministic md5 hash family as
+      // agg_approx_distinct, so the whole two-level pipeline is
+      // replayed exactly by the DuckDB oracle — the hash-green
+      // counterpart of the DataSketches hll_union_agg twin kept under
+      // nativeSketches.
+      graft.functions.KmvBottomKAgg.register(s)
       val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
-      daily.groupBy(col("event_type"))
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-          .as("approx_users"),
-          count(lit(1)).as("n_days"))
+        .select(Det.epochS(col("ts")).as("sec"), col("event_type"),
+          expr(Det.md5SliceExpr("user_id", 1, 15)).as("h"))
+        .select(expr("sec div 86400").as("day"), col("event_type"), col("h"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(expr(s"kmv_bottomk(h, $KmvK)").as("ks"))
+      daily
+        .select(col("event_type"), col("day"), explode(col("ks")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(expr(s"kmv_bottomk(h, $KmvK)").as("ks"),
+          countDistinct(col("day")).as("n_days"))
+        .select(col("event_type"), kmvEstimate(col("ks")).as("approx_users"),
+          col("n_days"))
         .orderBy("event_type")
     }),
 
@@ -668,15 +693,28 @@ object Relational {
     }),
 
     "agg_approx_quantile" -> ((s, d) => {
-      // The scale tier for agg_percentile: approx_percentile's t-digest
-      // sketch is mergeable (partial-aggregates across executors, no
-      // per-group sort). No oracle — sketch internals differ per engine;
-      // bounded-error property vs the exact key is the check.
+      // The scale tier for agg_percentile, hash-green: exact percentile
+      // needs a per-group sort of EVERY row, so the approximate tier
+      // computes it over a deterministic md5 row-sample (20%: hash of
+      // the (l_orderkey, l_linenumber) row key mod 5 = 0). Sampling is
+      // a map-side codegen'd filter — the sort the percentile pays is
+      // over 1/5 of the data, and the rank error at n·0.2 samples per
+      // group (~√(1/n_s) ≈ 0.6% at sf0.1) is the same order as a
+      // t-digest at accuracy 1000. Both engines replay the identical
+      // sample (md5 is the shared hash family) and the identical
+      // linear-interpolation percentile (Spark percentile ≡ DuckDB
+      // quantile_cont — the agg_percentile pairing), so the key is
+      // fully hash-checkable; the mergeable-sketch twin
+      // (approx_percentile, engine-private t-digest bytes) is kept
+      // under nativeSketches with its own error-bound spec.
       Tables.lineitem(s, d)
+        .withColumn("u", expr(
+          Det.md5SliceExpr("concat(l_orderkey, ':', l_linenumber)", 1, 8)))
+        .filter(col("u") % 5 === 0)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 4).as("p50_approx"),
-          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_approx"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
@@ -984,6 +1022,70 @@ object Relational {
       val b = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
         .select(col("o_custkey").as("k"))
       a.except(b).orderBy("k")
+    })
+  )
+
+  // ---- KMV distinct-sketch constants (agg_approx_distinct /
+  //      agg_sketch_union) ----
+  /** Sketch size: 128 hash order statistics per group (1 KiB of state),
+    * σ ≈ 1/√126 ≈ 8.9%. Groups with < k distinct values report
+    * exactly — at the sf0.01 verify gate the estimator path is live
+    * (150 distinct users per event_type > k when the union fills). */
+  private val KmvK = 128
+
+  /** (k−1)·16¹⁵ — numerator of the KMV estimate. 127·2⁶⁰ is exactly
+    * representable as a double (7-bit integer × exponent shift), and
+    * the SAME shortest-round-trip literal is injected into the Spark
+    * plan and the DuckDB oracle, so both engines divide the identical
+    * IEEE double by the identical hash order statistic. */
+  private val KmvNum: Double = (KmvK - 1).toDouble * (1L << 60).toDouble
+
+  /** Estimate from an ascending bottom-k array: exact size when the
+    * sketch never filled, else (k−1)·H / h_(k). */
+  private def kmvEstimate(ks: org.apache.spark.sql.Column) =
+    when(size(ks) < KmvK, size(ks).cast(DoubleType))
+      .otherwise(round(lit(KmvNum) / element_at(ks, KmvK).cast(DoubleType), 4))
+
+  /** The engine-native sketch twins of the three hash-green
+    * deterministic sketch keys. These are the at-scale production
+    * implementations (HLL++ registers, t-digest, DataSketches HLL
+    * unions — all mergeable, all partial-aggregating), but their
+    * sketch bytes are engine-private so no cross-engine oracle can
+    * replay them; OperatorSpec bounds each against its exact
+    * counterpart instead. They are deliberately NOT part of the driver
+    * inventory (`SparkEntry.queries`), whose contract is that every
+    * declared key hash-verifies. */
+  val nativeSketches: Map[String, Q] = Map(
+    "sketch_hll_native" -> ((s, d) =>
+      // HLL++ — approx distinct without the expand shuffle.
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    "sketch_tdigest_native" -> ((s, d) =>
+      // approx_percentile's t-digest: mergeable, no per-group sort.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 4)
+            .as("p50_approx"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4)
+            .as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "sketch_hll_union_native" -> ((s, d) => {
+      // Per-day DataSketches HLL sketches unioned per reporting window.
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
     })
   )
 
@@ -1315,6 +1417,63 @@ object Relational {
              round(quantile_cont(l_quantity, 0.75), 4) AS p75,
              count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Same deterministic md5 row-sample, same linear-interpolation
+    // percentile (quantile_cont ≡ Spark percentile).
+    "agg_approx_quantile" ->
+      s"""SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_approx,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+             count(*) AS n
+         FROM lineitem
+         WHERE ${Det.md5SliceSql(
+               "concat(l_orderkey, ':', l_linenumber)", 1, 8)} % 5 = 0
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Replays the KMV sketch verbatim: same md5 hash family, same
+    // bottom-k order statistics (distinct + row_number), same injected
+    // (k−1)·16¹⁵ numerator literal.
+    "agg_approx_distinct" ->
+      s"""WITH hs AS (SELECT DISTINCT event_type,
+                  ${Det.md5SliceSql("user_id", 1, 15)} AS h FROM events),
+         ranked AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+                  FROM hs),
+         sk AS (SELECT event_type, count(*) AS nz, max(h) AS hk
+                FROM ranked WHERE rk <= $KmvK GROUP BY 1),
+         cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+         SELECT event_type,
+                CASE WHEN nz < $KmvK THEN CAST(nz AS DOUBLE)
+                     ELSE round($KmvNum / CAST(hk AS DOUBLE), 4)
+                END AS approx_users, n
+         FROM sk JOIN cnt USING (event_type) ORDER BY event_type""",
+
+    // Two-level replay: per-day bottom-k sketches, then the KMV union
+    // law (bottom-k of the unioned sketch values).
+    "agg_sketch_union" ->
+      s"""WITH pts AS (SELECT DISTINCT
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  event_type,
+                  ${Det.md5SliceSql("user_id", 1, 15)} AS h FROM events),
+         daily AS (SELECT day, event_type, h,
+                  row_number() OVER (PARTITION BY day, event_type
+                                     ORDER BY h) AS rk
+                  FROM pts),
+         sk AS (SELECT event_type, day, h FROM daily WHERE rk <= $KmvK),
+         uni AS (SELECT DISTINCT event_type, h FROM sk),
+         ranked AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+                  FROM uni),
+         m AS (SELECT event_type, count(*) AS nz, max(h) AS hk
+               FROM ranked WHERE rk <= $KmvK GROUP BY 1),
+         days AS (SELECT event_type, count(DISTINCT day) AS n_days
+                  FROM sk GROUP BY 1)
+         SELECT event_type,
+                CASE WHEN nz < $KmvK THEN CAST(nz AS DOUBLE)
+                     ELSE round($KmvNum / CAST(hk AS DOUBLE), 4)
+                END AS approx_users, n_days
+         FROM m JOIN days USING (event_type) ORDER BY event_type""",
 
     // Same exact-decimal power sums, same closed-form double expression
     // (see the Spark side): both engines cast identical decimals to

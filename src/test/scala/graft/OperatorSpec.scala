@@ -96,10 +96,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("agg_approx_distinct stays within HLL error bounds of the exact count") {
-    // the un-oracle-able sketch key gets a hard numeric check instead:
-    // configured rsd=0.01, asserted at 6x headroom per group at sf0.01
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, Spec.sf01)
+  test("agg_approx_distinct (KMV) tracks the exact distinct count at both SFs") {
+    // k=128 ⇒ σ ≈ 8.9% once the sketch fills; the hash is fixed so the
+    // estimate is deterministic — the bound just needs to clear the one
+    // realized draw per (sf, group) with margin.
+    for (sf <- Seq(Spec.sf01, "/root/testdata/sf0.1")) {
+      val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact = Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet === exact.keySet)
+      exact.foreach { case (k, ex) =>
+        val rel = math.abs(approx(k) - ex) / ex
+        assert(rel <= 0.25, s"$sf $k: approx=${approx(k)} exact=$ex rel=$rel")
+      }
+    }
+  }
+
+  test("sketch_hll_native stays within HLL error bounds of the exact count") {
+    // the engine-native sketch twin (no oracle possible) gets a hard
+    // numeric check: configured rsd=0.01, asserted at 6x headroom
+    val approx = operators.Relational.nativeSketches("sketch_hll_native")(
+        spark, Spec.sf01)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, Spec.sf01)
       .groupBy(col("event_type"))
@@ -113,10 +133,10 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("agg_approx_quantile within rank-error bounds of the exact distribution") {
-    // t-digest accuracy=1000 => rank error ~1e-3; assert the returned
-    // value's rank window overlaps the target at 10x headroom. The
-    // window [frac(<v), frac(<=v)] handles the heavy ties of the
-    // integer-valued quantity column.
+    // 20% md5 sample ⇒ rank error σ = √(0.25/n_s) ≈ 0.8% per group at
+    // sf0.01; assert the returned value's full-data rank window
+    // overlaps the target at ~3σ. The window [frac(<v), frac(<=v)]
+    // handles the heavy ties of the integer-valued quantity column.
     val rows = SparkEntry.queries("agg_approx_quantile")(spark, Spec.sf01).collect()
     assert(rows.nonEmpty)
     Tables.lineitem(spark, Spec.sf01)
@@ -132,9 +152,9 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach { r =>
       val flag = r.getString(0)
       val (lo50, hi50) = rankWindow(flag, "l_quantity", r.getDouble(1))
-      assert(lo50 <= 0.51 && hi50 >= 0.49, s"$flag p50 rank=[$lo50,$hi50]")
+      assert(lo50 <= 0.525 && hi50 >= 0.475, s"$flag p50 rank=[$lo50,$hi50]")
       val (lo95, hi95) = rankWindow(flag, "l_extendedprice", r.getDouble(2))
-      assert(lo95 <= 0.96 && hi95 >= 0.94, s"$flag p95 rank=[$lo95,$hi95]")
+      assert(lo95 <= 0.975 && hi95 >= 0.925, s"$flag p95 rank=[$lo95,$hi95]")
     }
   }
 
@@ -226,15 +246,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
   }
 
-  test("approx_percentile lands within sketch error of the exact percentile") {
+  test("sampled and t-digest quantiles land within error of the exact percentile") {
     val exact = q("agg_percentile").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
-    val approx = q("agg_approx_quantile").collect()
+    val sampled = q("agg_approx_quantile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap // p50_approx
-    assert(exact.keySet === approx.keySet)
+    val tdigest = operators.Relational.nativeSketches("sketch_tdigest_native")(
+        spark, Spec.sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet === sampled.keySet)
+    assert(exact.keySet === tdigest.keySet)
     exact.foreach { case (k, p50) =>
-      assert(math.abs(approx(k) - p50) <= math.max(2.0, p50 * 0.05),
-        s"group $k: exact=$p50 approx=${approx(k)}")
+      assert(math.abs(sampled(k) - p50) <= math.max(2.0, p50 * 0.05),
+        s"group $k: exact=$p50 sampled=${sampled(k)}")
+      assert(math.abs(tdigest(k) - p50) <= math.max(2.0, p50 * 0.05),
+        s"group $k: exact=$p50 tdigest=${tdigest(k)}")
     }
   }
 
@@ -562,19 +588,39 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("agg_sketch_union: unioned daily sketches track the exact distinct count") {
-    // lgConfigK=12 → rsd ≈ 1.6%; a 10% bound is far outside noise, so a
-    // failure means the union path (not the sketch) is broken.
-    val approx = q("agg_sketch_union").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.events(spark, Spec.sf001)
+    // KMV key: at sf0.001 the union never fills (15 distinct < k) so
+    // the estimate must be EXACT; at sf0.1 the estimator is live and
+    // the deterministic draw must land inside the σ≈9% envelope.
+    val exactSmall = Tables.events(spark, Spec.sf001)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
-    for ((k, ex) <- exact) {
-      val ap = approx(k).toDouble
+    val kmvSmall = q("agg_sketch_union").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kmvSmall.keySet === exactSmall.keySet)
+    for ((k, ex) <- exactSmall)
+      assert(kmvSmall(k) === ex.toDouble, s"$k: unfilled sketch must be exact")
+    val exactBig = Tables.events(spark, "/root/testdata/sf0.1")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kmvBig = SparkEntry.queries("agg_sketch_union")(
+        spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, ex) <- exactBig)
+      assert(math.abs(kmvBig(k) - ex) / ex <= 0.25,
+        s"$k: union approx ${kmvBig(k)} vs exact $ex")
+    // native DataSketches union twin: lgConfigK=12 → rsd ≈ 1.6%; a 10%
+    // bound is far outside noise, so a failure means the union path
+    // (not the sketch) is broken.
+    val native = operators.Relational.nativeSketches(
+        "sketch_hll_union_native")(spark, Spec.sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(native.keySet === exactSmall.keySet)
+    for ((k, ex) <- exactSmall) {
+      val ap = native(k).toDouble
       assert(math.abs(ap - ex) / ex <= 0.1,
-        s"$k: approx $ap vs exact $ex exceeds 10%")
+        s"$k: native union approx $ap vs exact $ex exceeds 10%")
     }
   }
 

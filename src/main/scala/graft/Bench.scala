@@ -14,6 +14,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC parity with Verify/RunOne: the NTZ→TimestampType cast in
+      // Tables.events is session-TZ dependent, so an unpinned TZ would
+      // shift event-time filter selectivity (and timings) on a
+      // non-UTC host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -46,7 +51,10 @@ object Bench {
     // analysis-time crash "runs" in milliseconds and would silently
     // deflate the suite total (round-5 lesson). Failed keys are
     // reported with a -1 sentinel and excluded from the total.
-    val failedKeys = scala.collection.mutable.Set.empty[String]
+    // Per-key failure COUNTS (not a set): a key that fails some passes
+    // but succeeds once would otherwise vanish from the failure report
+    // while its median silently covered only the good passes.
+    val failCount = scala.collection.mutable.Map.empty[String, Int]
     (1 to passes).foreach { pass =>
       val rnd = new scala.util.Random(0x9E3779B97F4A7C15L * pass)
       rnd.shuffle(keys).foreach { name =>
@@ -56,7 +64,7 @@ object Bench {
                  catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-        else failedKeys += name
+        else failCount(name) = failCount.getOrElse(name, 0) + 1
       }
     }
     def median(v: Vector[Double]): Double = {
@@ -67,7 +75,11 @@ object Bench {
     }
     // Keys with zero successful passes get the -1 sentinel; keys that
     // succeeded at least once use the median of their successful runs.
-    val broken = (failedKeys -- samples.keySet).toSeq.sorted
+    // Intermittent keys (some passes failed, some succeeded) are listed
+    // separately — their median covers only the good passes, which must
+    // be visible rather than silently folded into the total.
+    val broken = (failCount.keySet -- samples.keySet).toSeq.sorted
+    val flaky = (failCount.keySet & samples.keySet).toSeq.sorted
     val results = samples.map { case (k, v) => k -> median(v) } ++
       broken.map(_ -> -1.0)
     // Full per-query detail goes out as non-JSON debug lines: the driver
@@ -77,12 +89,13 @@ object Bench {
       println(s"BENCHQ $k ${fmt(v)}")
     }
     broken.foreach(k => println(s"BENCHFAIL $k"))
+    flaky.foreach(k => println(s"BENCHFLAKY $k ${failCount(k)}/$passes"))
     // Total covers only keys that actually ran; sentinel rows excluded.
     val total = if (samples.nonEmpty) samples.values.map(median).sum else 0.0
     // Compact final JSON line: 3-dp timings, slowest queries first, and a
     // hard length budget so the line (plus any build-tool epilogue) fits
     // inside the driver's stdout tail window without truncation.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${broken.size},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${broken.size},"flaky":${flaky.size},"queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     val budget = 1500 - head.length - tail.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -40,7 +40,12 @@ case class DotProductF(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // Fail fast on ragged inputs (see L2FixedF): a silent min-length
+    // truncation masks corrupted embedding data with a plausible score.
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_f: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -56,7 +61,11 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |int $n = $l.numElements();
+         |if ($r.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_f: array length mismatch (" + $n + " vs " + $r.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $l.getFloat($i) * (double) $r.getFloat($i);

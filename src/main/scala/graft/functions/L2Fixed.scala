@@ -41,7 +41,14 @@ case class L2FixedF(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // Fail fast on ragged inputs: silently truncating to the shorter
+    // array would let corrupted embedding data produce a plausible
+    // distance (and an oracle that mirrors the truncation would never
+    // see the drift).
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"l2fx: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -59,7 +66,11 @@ case class L2FixedF(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val dd = ctx.freshName("dd")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |int $n = $l.numElements();
+         |if ($r.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "l2fx: array length mismatch (" + $n + " vs " + $r.numElements() + ")");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $dd = (double) $l.getFloat($i) - (double) $r.getFloat($i);

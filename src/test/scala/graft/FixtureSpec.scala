@@ -20,7 +20,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * Schema-only reads: just parquet footers, no data scan.
   */
 class FixtureSpec extends AnyFunSuite {
-  lazy val spark = Spec.spark
+  lazy val spark = {
+    val s = Spec.spark
+    // Pin the legacy-nanos conf up front: the raw Tables.table schema
+    // read below must SUCCEED on NANOS fixtures so the named `ts_or_long`
+    // assertion fires — without this, the conf is only set once some
+    // earlier suite happens to call Tables.events in the shared session,
+    // and a fresh run would die with PARQUET_TYPE_ILLEGAL instead.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
 
   // kind → acceptable Spark types
   private def ok(kind: String, dt: DataType): Boolean = kind match {
@@ -84,6 +93,19 @@ class FixtureSpec extends AnyFunSuite {
     for (sf <- Seq(Spec.sf001, Spec.sf01)) {
       val dt = Tables.events(spark, sf).schema("ts").dataType
       assert(dt === TimestampType, s"events.ts at $sf: $dt")
+    }
+  }
+
+  test("embedding arrays are uniform 64-length at every SF") {
+    // The dot_f/l2fx kernels fail fast on ragged arrays; this tripwire
+    // catches a regenerated fixture with a different dimensionality
+    // before those runtime errors scatter across the sim/dedup keys.
+    import org.apache.spark.sql.functions.{col, size}
+    for (sf <- Seq(Spec.sf001, Spec.sf01)) {
+      val lens = Tables.embeddings(spark, sf)
+        .select(size(col("embedding")).as("n")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(lens === Seq(64), s"$sf embedding lengths: $lens")
     }
   }
 }

@@ -95,6 +95,25 @@ object GraphOps {
       .union(e.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Test hook: the stored per-node degree table (helpers stay
+    * private; OperatorSpec recomputes the k-core threshold from it). */
+  private[graft] def testDegrees(s: SparkSession, d: String): DataFrame =
+    degrees(s, d)
+
+  /** One damped fixed-point PageRank update: contribution fan-out on
+    * the symmetric edges, dst-keyed sum, exact integer damping. Shared
+    * by the fixed-unroll (oracle-replayed) and run-to-convergence
+    * modes of graph_pagerank so the two can never drift. */
+  private def prStep(dg: DataFrame, u: DataFrame, r: DataFrame): DataFrame = {
+    val sums = u.join(r, col("src") === col("node"))
+      .select(col("dst"), expr("fx div degree").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("sc"))
+    dg.join(sums, col("node") === col("dst"), "left")
+      .select(col("node"), col("degree"),
+        (lit(R15) +
+          expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("fx"))
+  }
+
   private def degPath(d: String): String =
     s"/tmp/graft_degrees_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
@@ -198,17 +217,38 @@ object GraphOps {
       // across engines and accumulation orders. One dst-keyed shuffle
       // per iteration; the deg/und exchanges are identical across
       // iterations, so AQE reuses them instead of rescanning.
+      //
+      // Config gate (spark.graft.pagerank.converge=true): run to a
+      // fixed point instead — iterate until the max |Δfx| across nodes
+      // drops under spark.graft.pagerank.tolFx (default Q/10⁴ ≈ 1e-4
+      // rank units; EXACT integer comparison, so "converged" can't
+      // drift with accumulation order), with the components fixpoint's
+      // checkpoint discipline truncating lineage per round. The
+      // DECLARED key keeps the fixed unroll so the oracle can replay
+      // it; the gate is the production mode for graphs whose diameter
+      // is unknown up front.
       val dg = degrees(s, d)
       val u = und(s, d)
       var r = dg.select(col("node"), col("degree"), lit(Qfx).as("fx"))
-      for (_ <- 1 to Iters) {
-        val sums = u.join(r, col("src") === col("node"))
-          .select(col("dst"), expr("fx div degree").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("sc"))
-        r = dg.join(sums, col("node") === col("dst"), "left")
-          .select(col("node"), col("degree"),
-            (lit(R15) +
-              expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("fx"))
+      if (s.conf.get("spark.graft.pagerank.converge", "false").toBoolean) {
+        val tol = s.conf.get("spark.graft.pagerank.tolFx",
+          (Qfx / 10000L).toString).toLong
+        val cap = s.conf.get("spark.graft.pagerank.maxIters", "50").toInt
+        var iters = 0
+        var done = false
+        while (!done && iters < cap) {
+          val nxt = prStep(dg, u, r).localCheckpoint(true)
+          val delta = nxt.as("n")
+            .join(r.select(col("node").as("pn"), col("fx").as("pfx")),
+              col("node") === col("pn"))
+            .agg(max(abs(col("fx") - col("pfx"))).as("d"))
+            .head().getLong(0)
+          done = delta <= tol
+          r = nxt
+          iters += 1
+        }
+      } else {
+        for (_ <- 1 to Iters) r = prStep(dg, u, r)
       }
       r.select(col("node"),
           (col("fx").cast(DoubleType) / Qfx.toDouble).as("pr"))
@@ -303,8 +343,29 @@ object GraphOps {
           .union(induced.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("degree"))
       }
+      // Config gate (spark.graft.kcore.converge=true): peel to the true
+      // k-core fixed point instead of the oracle-replayable 3 rounds.
+      // Peeling is monotone (the alive set only shrinks), so an exact
+      // integer survivor-count equality IS set equality — the same
+      // change-count discipline as the components fixpoint; survivors()
+      // localCheckpoints each round, bounding lineage.
       var alive = survivors(dg)
-      for (_ <- 1 to KCoreRounds) alive = survivors(inducedDeg(alive))
+      if (s.conf.get("spark.graft.kcore.converge", "false").toBoolean) {
+        val cap = s.conf.get("spark.graft.kcore.maxRounds", "50").toInt
+        var n = alive.count()
+        var rounds = 0
+        var done = false
+        while (!done && rounds < cap) {
+          val next = survivors(inducedDeg(alive))
+          val m = next.count()
+          done = m == n
+          alive = next
+          n = m
+          rounds += 1
+        }
+      } else {
+        for (_ <- 1 to KCoreRounds) alive = survivors(inducedDeg(alive))
+      }
       inducedDeg(alive)
         .select(col("node"), col("degree").as("core_degree"))
         .orderBy("node")

@@ -930,6 +930,60 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(1) > 0.0), "ranks are strictly positive")
   }
 
+  test("graph_pagerank converge mode reaches an integer fixed point at sf0.01") {
+    // Run-to-convergence gate: with tolFx=0 the loop must hit an EXACT
+    // integer fixed point (every node's fx unchanged by one more damped
+    // round) before the iteration cap — and that fixed point must
+    // differ from the 3-round unroll only within the tolerance the
+    // geometric 0.85-damping tail allows.
+    spark.conf.set("spark.graft.pagerank.converge", "true")
+    spark.conf.set("spark.graft.pagerank.tolFx", "0")
+    try {
+      val conv = SparkEntry.queries("graph_pagerank")(spark, Spec.sf01)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.conf.set("spark.graft.pagerank.converge", "false")
+      val fixed = SparkEntry.queries("graph_pagerank")(spark, Spec.sf01)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(conv.keySet === fixed.keySet)
+      val n = conv.size.toDouble
+      val mass = conv.values.sum
+      assert(mass <= n + 1e-6 && mass >= 0.95 * n,
+        s"converged mass $mass for $n nodes")
+      // after round t the remaining movement is bounded by 0.85^t; the
+      // 3-round unroll must already be within that envelope of the
+      // fixed point (loose 2×0.85³ ≈ 1.23 absolute bound per node)
+      val maxDiff = conv.keysIterator
+        .map(k => math.abs(conv(k) - fixed(k))).max
+      assert(maxDiff <= 2 * math.pow(0.85, 3),
+        s"3-round unroll vs fixed point: max |Δpr| = $maxDiff")
+    } finally {
+      spark.conf.unset("spark.graft.pagerank.converge")
+      spark.conf.unset("spark.graft.pagerank.tolFx")
+    }
+  }
+
+  test("graph_kcore converge mode peels to a stable core at sf0.01") {
+    spark.conf.set("spark.graft.kcore.converge", "true")
+    try {
+      val core = SparkEntry.queries("graph_kcore")(spark, Spec.sf01)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.kcore.converge", "false")
+      val fixedRounds = SparkEntry.queries("graph_kcore")(spark, Spec.sf01)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // converged core ⊆ 3-round peel (peeling is monotone)
+      assert(core.keySet.subsetOf(fixedRounds.keySet),
+        "converged core must be a subset of the bounded peel")
+      assert(core.nonEmpty, "k-core converged to the empty graph")
+      // stability: every surviving node's induced degree clears the
+      // SAME threshold the peel used (recomputed here from the full
+      // degree table, exactly as the query derives it)
+      val kth = math.ceil(graft.operators.GraphOps.testDegrees(spark, Spec.sf01)
+        .agg(expr("percentile(degree, 0.5)")).head().getDouble(0) * 0.7).toLong
+      assert(core.values.forall(_ >= kth),
+        s"unstable core: some induced degree < $kth")
+    } finally spark.conf.unset("spark.graft.kcore.converge")
+  }
+
   test("graph_triangle_count: oriented count equals brute-force count") {
     val e = refEdges
     // brute force: canonical a<b<c with all three canonical edges present

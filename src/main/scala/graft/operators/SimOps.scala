@@ -77,6 +77,13 @@ object SimOps {
     * cost is probes×C×dims regardless of corpus size. */
   private val PqShortlist = 150
 
+  /** dedup_semantic cosine threshold. On this synthetic corpus the
+    * within-cluster cosine tail tops out at ~0.49 (near-orthogonal
+    * vectors), so 0.35 ≈ the p99 "clearly correlated" slice; real text
+    * near-dups sit at ≥ 0.9 — tune up as similarity concentrates, the
+    * plan is threshold-agnostic. */
+  private val SemDedupT = 0.35
+
   /** (vec_id, pos, v:double) exploded view of the embedding table. */
   private def exploded(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -255,41 +262,54 @@ object SimOps {
       // never flip a tie on a last-ulp float difference) — and means
       // round-trip through FLOAT so both engines carry bit-identical
       // centroids into the next round.
-      graft.functions.L2FixedF.register(s)
-      val emb = Tables.embeddings(s, d)
-      // nearest centroid by exact fixed-point squared L2 (min_by over a
-      // (d2l, cent_id) total order), keeping the min distance for the
-      // inertia sum and the vector for the mean pass — the whole ×k
-      // candidate expansion collapses map-side before the one N-row
-      // shuffle (no position explosion anywhere in the assignment)
-      def assign(cents: DataFrame): DataFrame =
-        emb.join(broadcast(cents))
-          .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
-          .groupBy(col("vec_id"))
-          .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
-            min(col("d2l")).as("d2l"),
-            first(col("embedding")).as("embedding"))
-      // cluster means, FLOAT-rounded (the sim_ann_ivf cev discipline);
-      // the (cluster, pos) aggregate partial-aggregates map-side to
-      // k×dims rows — the only exploded frame in the pipeline
-      def means(asg: DataFrame): DataFrame =
-        asg.select(col("cluster"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cluster").as("cent_id"), col("pos"))
-          .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
-            .as("m"))
-          .groupBy(col("cent_id"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cent_id"),
-            expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
-      val c1 = means(assign(sampleCentroids(emb, 8)))
-      val c2 = means(assign(c1))
-      assign(c2)
+      kmeansAssigned(s, Tables.embeddings(s, d))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("d2l")).cast(DoubleType) / graft.Det.FixedPoint, 4)
             .as("inertia"))
         .orderBy("cluster")
+    }),
+
+    "dedup_semantic" -> ((s, d) => {
+      // Full-corpus semantic dedup — the SemDeDup production shape:
+      // cluster the embedding corpus (the sim_kmeans two-round Lloyd,
+      // shared via kmeansAssigned so labels can never drift), then
+      // generate candidate pairs ONLY within each cluster and keep
+      // those above the cosine threshold. Bucketed, not all-pairs:
+      // the pair join is (cluster, pos)-keyed, so cost is
+      // Σ_c |c|²·d/2 instead of N²·d — and at 100 TB k scales with N
+      // (N/k vectors per cluster held constant) so per-cluster pair
+      // generation stays bounded while clusters process in parallel.
+      // Dedup semantics: a surviving pair (a, b) marks b as a's
+      // near-duplicate; the keep-min-representative / transitive
+      // closure over these pairs is exactly what dedup_components +
+      // dedup_apply consume. Determinism: the exact order-independent
+      // fixed-point dot path (Det.sumFixed) for both norms and dots —
+      // a raw double sum would drift with shuffle order at the
+      // threshold boundary.
+      val asg = kmeansAssigned(s, Tables.embeddings(s, d))
+      val ev = asg
+        .select(col("vec_id"), col("cluster"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("cluster"), col("pos"),
+          col("v").cast(DoubleType).as("v"))
+      val norms = ev.groupBy("vec_id")
+        .agg(sqrt(graft.Det.sumFixed(col("v") * col("v"))).as("nrm"))
+      val ea = ev.select(col("cluster"), col("vec_id").as("a"),
+        col("pos"), col("v").as("va"))
+      val eb = ev.select(col("cluster").as("clb"), col("vec_id").as("b"),
+        col("pos").as("posb"), col("v").as("vb"))
+      val dots = ea.join(eb, col("cluster") === col("clb")
+          && col("pos") === col("posb") && col("a") < col("b"))
+        .groupBy(col("cluster"), col("a"), col("b"))
+        .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
+      dots
+        .join(norms.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
+        .join(norms.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
+        .select(col("a"), col("b"), col("cluster"),
+          round(col("dotd") / (col("na") * col("nb")), 4).as("cos"))
+        .filter(col("cos") >= SemDedupT)
+        .orderBy("a", "b")
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
@@ -430,6 +450,42 @@ object SimOps {
         .orderBy("vec_id")
     })
   )
+
+  /** Final (vec_id, cluster, d2l, embedding) assignment of the
+    * two-round Lloyd pipeline (k=8 seed → assign/means ×2 → assign) —
+    * the ONE k-means implementation shared by sim_kmeans (profile) and
+    * dedup_semantic (SemDeDup bucketing), so their cluster labels can
+    * never drift apart.
+    *
+    * Shape per round: nearest centroid by exact fixed-point squared L2
+    * (min_by over a (d2l, cent_id) total order) with the k centroids
+    * broadcast — the ×k candidate expansion collapses map-side before
+    * the one N-row shuffle; means are FLOAT-rounded fixed-point sums
+    * (the sim_ann_ivf cev discipline) so both engines carry
+    * bit-identical centroids into the next round. */
+  private def kmeansAssigned(s: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.L2FixedF.register(s)
+    def assign(cents: DataFrame): DataFrame =
+      emb.join(broadcast(cents))
+        .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
+        .groupBy(col("vec_id"))
+        .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
+          min(col("d2l")).as("d2l"),
+          first(col("embedding")).as("embedding"))
+    def means(asg: DataFrame): DataFrame =
+      asg.select(col("cluster"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster").as("cent_id"), col("pos"))
+        .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
+          .as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
+    val c1 = means(assign(sampleCentroids(emb, 8)))
+    val c2 = means(assign(c1))
+    assign(c2)
+  }
 
   /** k smallest md5(cent_id) as (cent_id, cent_emb) — the deterministic
     * uniform centroid sample whose size is independent of table
@@ -576,6 +632,48 @@ object SimOps {
                 round(CAST(sum(d2l) AS DOUBLE) / 1099511627776.0, 4)
                   AS inertia
          FROM a2 GROUP BY cluster ORDER BY cluster""",
+
+    // Mirrors the full SemDeDup pipeline: the sim_kmeans Lloyd chain
+    // (identical seed sample, FLOAT-rounded means, fixed-point argmin)
+    // for cluster labels, then within-cluster pairs with the exact
+    // fixed-point dot/norm arithmetic (the dedup_embedding recipe) —
+    // the threshold compare runs on identically-rounded values, so no
+    // pair can flip engines at the boundary.
+    "dedup_semantic" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         cents0 AS (SELECT vec_id AS cent_id FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         cev0 AS (SELECT c.cent_id, e.pos, e.v AS cv
+                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
+         ${kmAssign(0)}, ${kmMeans(0)},
+         ${kmAssign(1)}, ${kmMeans(1)},
+         ${kmAssign(2)},
+         nrm AS (SELECT vec_id,
+                   sqrt(CAST(sum(CAST(floor(v * v * 1099511627776.0)
+                     AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS nrm
+                 FROM ev GROUP BY 1),
+         pairs AS (SELECT xa.vec_id AS a, xb.vec_id AS b,
+                          xa.cluster AS cluster
+                   FROM a2 xa JOIN a2 xb
+                     ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id),
+         dots AS (SELECT p.a, p.b, p.cluster,
+                    CAST(sum(CAST(floor(ea.v * eb.v * 1099511627776.0)
+                      AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS dotd
+                  FROM pairs p
+                  JOIN ev ea ON ea.vec_id = p.a
+                  JOIN ev eb ON eb.vec_id = p.b AND eb.pos = ea.pos
+                  GROUP BY 1, 2, 3)
+         SELECT a, b, cluster, cos FROM (
+           SELECT d.a, d.b, d.cluster,
+                  round(d.dotd / (na.nrm * nb.nrm), 4) AS cos
+           FROM dots d
+           JOIN nrm na ON na.vec_id = d.a
+           JOIN nrm nb ON nb.vec_id = d.b)
+         WHERE cos >= $SemDedupT
+         ORDER BY a, b""",
 
     // Mirrors the full IVF pipeline: identical md5-ordered centroid
     // sample, one Lloyd refinement round (fixed-point cluster means

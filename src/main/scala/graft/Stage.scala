@@ -42,4 +42,38 @@ object Stage {
       if (!exists(s, s"$path/_SUCCESS")) write
       path
     }
+
+  /** Cheap input fingerprint for derived-table cache paths: FNV-1a over
+    * each source path's name, total length, and newest modification
+    * time (recursive content summary + file statuses — metadata only,
+    * no data scan).
+    *
+    * Derived /tmp twins (graph edge lists, dedup component labels,
+    * sorted/z-ordered lineitem copies) are keyed by scale-dir tag and
+    * guarded by a `_SUCCESS` marker, which is correct until the driver
+    * regenerates the fixtures IN PLACE (it has: round 5) — then a
+    * stale marker would silently serve derived data from the previous
+    * fixture generation. Folding this stamp into the path makes a
+    * regenerated input resolve to a FRESH path (old caches are simply
+    * abandoned), so staleness is structurally impossible rather than
+    * policed. A rewrite with identical bytes also rotates the path
+    * (mtime moved) — one redundant rebuild, never a wrong answer. */
+  def inputStamp(s: SparkSession, paths: String*): String = {
+    var acc = 0xcbf29ce484222325L
+    def mix(v: Long): Unit = { acc ^= v; acc *= 0x100000001b3L }
+    paths.foreach { p =>
+      val f = fs(s, p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      mix(p.hashCode.toLong)
+      if (f.exists(hp)) {
+        val sum = f.getContentSummary(hp)
+        mix(sum.getLength)
+        val newest =
+          if (f.getFileStatus(hp).isFile) f.getFileStatus(hp).getModificationTime
+          else f.listStatus(hp).map(_.getModificationTime).foldLeft(0L)(math.max)
+        mix(newest)
+      }
+    }
+    java.lang.Long.toHexString(acc)
+  }
 }

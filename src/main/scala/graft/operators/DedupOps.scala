@@ -346,7 +346,11 @@ object DedupOps {
       // anti join against the (pair-participant-sized) drop list — at
       // 100 TB that list is the rare-duplicate slice, orders of
       // magnitude smaller than the corpus.
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // Path carries Stage.inputStamp(documents): a regenerated fixture
+      // rotates the cache path, so stored labels can never go stale
+      // against the corpus they label (round-5 lesson).
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        Stage.inputStamp(s, s"$d/documents.parquet")
       val labPath = Stage.materializeOnce(s, s"/tmp/graft_components_$tag") {
         queries("dedup_components")(s, d)
           .write.mode("overwrite").parquet(s"/tmp/graft_components_$tag")

@@ -70,20 +70,24 @@ object GraphOps {
     * (proven by agg_percentile) and identical IEEE double ops. */
   private val KCoreRounds = 3
 
-  private def edgesPath(d: String): String =
-    s"/tmp/graft_edges_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Derived-graph cache paths carry Stage.inputStamp(lineitem) so a
+    * driver-side fixture regeneration rotates the path instead of
+    * serving a stale `_SUCCESS`-marked snapshot. */
+  private def gpath(s: SparkSession, d: String, kind: String): String =
+    s"/tmp/graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      Stage.inputStamp(s, s"$d/lineitem.parquet")
 
   /** Canonical undirected edge list (a < b), built once per fixture dir
     * and stored — all graph keys read the stored table. */
   private def edges(s: SparkSession, d: String): DataFrame = {
-    val p = Stage.materializeOnce(s, edgesPath(d)) {
+    val p = Stage.materializeOnce(s, gpath(s, d, "edges")) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("a"), col("y.pk").as("b"))
         .distinct()
-        .write.mode("overwrite").parquet(edgesPath(d))
+        .write.mode("overwrite").parquet(gpath(s, d, "edges"))
     }
     s.read.parquet(p)
   }
@@ -114,11 +118,6 @@ object GraphOps {
           expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100")).as("fx"))
   }
 
-  private def degPath(d: String): String =
-    s"/tmp/graft_degrees_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-
-  private def wedgesPath(d: String): String =
-    s"/tmp/graft_wedges_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Weighted canonical edges (a < b, w): per-pair order co-occurrence
     * count folded to an integer cost w = 10 - least(cnt, 9) ∈ [1, 9] —
@@ -128,7 +127,7 @@ object GraphOps {
     * (build-once/query-many); integer costs keep every path sum exact
     * and order-independent in both engines. */
   private def wedges(s: SparkSession, d: String): DataFrame = {
-    val p = Stage.materializeOnce(s, wedgesPath(d)) {
+    val p = Stage.materializeOnce(s, gpath(s, d, "wedges")) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -138,13 +137,11 @@ object GraphOps {
         .agg(count(lit(1)).as("cnt"))
         .select(col("a"), col("b"),
           (lit(10L) - least(col("cnt"), lit(9L))).cast(LongType).as("w"))
-        .write.mode("overwrite").parquet(wedgesPath(d))
+        .write.mode("overwrite").parquet(gpath(s, d, "wedges"))
     }
     s.read.parquet(p)
   }
 
-  private def triPath(d: String): String =
-    s"/tmp/graft_triangles_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Per-node degree over the symmetric edges — stored next to the edge
     * table (its own materializeOnce: degree is a graph attribute every
@@ -152,10 +149,10 @@ object GraphOps {
     * the triangle orientation both become parquet scans instead of
     * repeated groupBy shuffles). */
   private def degrees(s: SparkSession, d: String): DataFrame = {
-    val p = Stage.materializeOnce(s, degPath(d)) {
+    val p = Stage.materializeOnce(s, gpath(s, d, "degrees")) {
       und(s, d).groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))
-        .write.mode("overwrite").parquet(degPath(d))
+        .write.mode("overwrite").parquet(gpath(s, d, "degrees"))
     }
     s.read.parquet(p)
   }
@@ -171,7 +168,7 @@ object GraphOps {
     * The closure probe hash-builds the edge side (shuffle_hash hint):
     * sort-merge would sort the 41M-row wedge side. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
-    val p = Stage.materializeOnce(s, triPath(d)) {
+    val p = Stage.materializeOnce(s, gpath(s, d, "triangles")) {
       val dg = degrees(s, d)
       val wd = edges(s, d)
         .join(dg.select(col("node").as("a"), col("degree").as("da")), "a")
@@ -192,7 +189,7 @@ object GraphOps {
         .hint("shuffle_hash")
       wedges.join(o3, col("t1") === col("s3") && col("t2") === col("t3"))
         .select(col("s"), col("t1"), col("t2"))
-        .write.mode("overwrite").parquet(triPath(d))
+        .write.mode("overwrite").parquet(gpath(s, d, "triangles"))
     }
     s.read.parquet(p)
   }

@@ -23,7 +23,11 @@ object Sources {
     * sink_parquet_partitioned's baseline. */
   def ensurePartitionedLineitem(s: SparkSession, d: String): String =
     synchronized {
-      val path = "/tmp/graft_part_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      // All derived lineitem/orders twins fold Stage.inputStamp into the
+      // path: fixture regeneration rotates the cache instead of serving
+      // a stale _SUCCESS-marked copy.
+      val path = "/tmp/graft_part_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Stage.inputStamp(s, s"$d/lineitem.parquet")
       if (!Stage.exists(s, s"$path/_SUCCESS")) {
         Tables.lineitem(s, d)
           .withColumn("ship_year", year(col("l_shipdate")))
@@ -41,7 +45,8 @@ object Sources {
     * reading gigabytes and reading the whole table; PlanSpec proves the
     * pruning from the scan's runtime numOutputRows metric. */
   def ensureSortedLineitem(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val path = "/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Stage.inputStamp(s, s"$d/lineitem.parquet")
     Stage.materializeOnce(s, path) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
@@ -61,7 +66,8 @@ object Sources {
     * sort only provides for its leading column. The interleave is 16
     * codegen'd shift/and/or terms, no UDF. */
   def ensureZorderLineitem(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Stage.inputStamp(s, s"$d/lineitem.parquet")
     Stage.materializeOnce(s, path) {
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
@@ -308,7 +314,8 @@ object Sources {
       // directory, or AQE-rebalance, and size by maxRecordsPerFile).
       // Both stages materialize once per scale dir; the read-back
       // aggregate proves content survived the rewrite byte-exactly.
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        Stage.inputStamp(s, s"$d/orders.parquet")
       val frag = Stage.materializeOnce(s, s"/tmp/graft_frag_$tag") {
         Tables.orders(s, d).repartition(128)
           .write.mode("overwrite").parquet(s"/tmp/graft_frag_$tag")
@@ -337,11 +344,12 @@ object Sources {
       // scale dir; the dynamic overwrite is idempotent (derived from
       // the immutable source), so re-invocations converge.
       val base = ensurePartitionedLineitem(s, d)
-      val out = Stage.materializeOnce(s,
-        "/tmp/graft_dynpart_" + d.replaceAll("[^A-Za-z0-9]", "_")) {
+      val dynTag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        Stage.inputStamp(s, s"$d/lineitem.parquet")
+      val out = Stage.materializeOnce(s, s"/tmp/graft_dynpart_$dynTag") {
         s.read.parquet(base).write.mode("overwrite")
           .partitionBy("ship_year")
-          .parquet("/tmp/graft_dynpart_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+          .parquet(s"/tmp/graft_dynpart_$dynTag")
       }
       val repriced = s.read.parquet(base)
         .filter(col("ship_year") === 1996)

@@ -1018,6 +1018,23 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.kcore.converge")
   }
 
+  test("Stage.inputStamp: stable for unchanged inputs, rotates on rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp").toFile
+    val f = new java.io.File(dir, "t.parquet")
+    java.nio.file.Files.writeString(f.toPath, "generation-1")
+    val s1 = Stage.inputStamp(spark, f.getAbsolutePath)
+    assert(s1 === Stage.inputStamp(spark, f.getAbsolutePath),
+      "stamp must be stable while the input is untouched")
+    // regeneration with different bytes (length change ⇒ no reliance on
+    // local-FS mtime granularity) must rotate the stamp — this is the
+    // round-5 in-place fixture regeneration scenario
+    java.nio.file.Files.writeString(f.toPath, "generation-2-longer")
+    val s2 = Stage.inputStamp(spark, f.getAbsolutePath)
+    assert(s1 !== s2, "rewritten input must rotate the stamp")
+    // distinct inputs stamp distinctly (path is mixed in even if absent)
+    assert(Stage.inputStamp(spark, f.getAbsolutePath + ".other") !== s2)
+  }
+
   test("graph_triangle_count: oriented count equals brute-force count") {
     val e = refEdges
     // brute force: canonical a<b<c with all three canonical edges present

@@ -386,12 +386,10 @@ object SimOps {
       // C=150 candidates. Stage 2 fetches full-precision vectors for
       // ONLY those candidates (probes×C×64 values — independent of
       // corpus size N) and emits the exact-L2 top-5. Measured recall@5
-      // vs brute force: 0.92 at sf0.001, 0.80 at sf0.01 (OperatorSpec
-      // floor 0.8), while raw ADC top-5 without the refine step
-      // retrieves 0.08 — which is why production PQ always re-ranks.
-      // (The sampled 16-code codebook is the recall lever: the Lloyd
-      // block in sim_ann_ivf lifts shortlist quality further if
-      // trained codebooks are worth the extra oracle complexity.)
+      // vs brute force with the Lloyd-trained codebook (pqCents): 0.86
+      // at sf0.001, 0.88 at sf0.01 (0.80 before training; OperatorSpec
+      // floor 0.85), while raw ADC top-5 without the refine step
+      // retrieves ~0.08 — which is why production PQ always re-ranks.
       // All distance arithmetic is exact fixed-point longs, so ranks
       // and ties (broken by vec_id) are order-independent.
       val emb = Tables.embeddings(s, d)
@@ -537,10 +535,9 @@ object SimOps {
           .as("recon_err"))
   }
 
-  /** The 16 PQ codebook sub-vectors, exploded to (code, pos, cv) with
-    * 0-based pos — the md5-ordered deterministic sample (code 0..15 by
-    * the same order). Broadcast by every consumer. */
-  private def pqCents(emb: DataFrame): DataFrame = {
+  /** SEED codebook: 16 md5-sampled sub-vectors, exploded to (code, pos,
+    * cv) with 0-based pos (code 0..15 by the same md5 order). */
+  private def pqSeedCents(emb: DataFrame): DataFrame = {
     val wC = Window.orderBy(md5(col("cent_vid").cast(StringType)), col("cent_vid"))
     emb
       .select(col("vec_id").as("cent_vid"), col("embedding").as("ce"))
@@ -548,6 +545,36 @@ object SimOps {
       .limit(PqK) // TakeOrderedAndProject; the window below sees k=16 rows
       .withColumn("code", row_number().over(wC) - 1)
       .select(col("code"), posexplode(col("ce")).as(Seq("pos", "cv")))
+  }
+
+  /** TRAINED codebook: one per-subspace Lloyd refinement over the seed
+    * sample — every corpus sub-vector is assigned to its nearest seed
+    * code (the pqSubDists kernel, exact fixed-point argmin), then each
+    * (code, pos) cell becomes the FLOAT-rounded fixed-point mean of its
+    * members (the sim_kmeans cev discipline, so both engines carry
+    * bit-identical centroids). Codes a subspace leaves empty keep their
+    * seed sub-vector. One extra O(N·16·d) broadcast pass at build time;
+    * measured recall@5 of sim_pq_search rises 0.80 → 0.88 at sf0.01
+    * (OperatorSpec pins the floor at sf0.001, where it is 0.86).
+    * Production trains 256 codes per subspace with more rounds — same
+    * plan shape, larger broadcast. */
+  private def pqCents(emb: DataFrame): DataFrame = {
+    val seed = pqSeedCents(emb)
+    val ex = emb.select(col("vec_id").as("id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val asg = pqSubDists(ex, seed)
+      .groupBy(col("id"), col("sub"))
+      .agg(expr("min_by(code, struct(d2l, code))").as("code"))
+    val means = ex
+      .withColumn("sub", expr(s"pos div ${64 / PqSubs}"))
+      .join(asg, Seq("id", "sub"))
+      .groupBy(col("code"), col("pos"))
+      .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
+        .as("m"))
+      .select(col("code"), col("pos"), col("m").cast(FloatType).as("cvm"))
+    seed.join(means, Seq("code", "pos"), "left")
+      .select(col("code"), col("pos"),
+        coalesce(col("cvm"), col("cv")).as("cv"))
   }
 
   /** Per-subspace fixed-point squared distances of `vecs` (cols id, pos,
@@ -565,13 +592,27 @@ object SimOps {
   /** (vec_id, sub, bcode, sub_err) — per-subspace argmin codes, the
     * encoded form every PQ consumer (code-string build, ADC search)
     * reads. */
-  private def pqSubCodes(emb: DataFrame): DataFrame = {
+  private def pqSubCodes(emb: DataFrame): DataFrame =
+    pqSubCodesWith(emb, pqCents(emb))
+
+  private def pqSubCodesWith(emb: DataFrame, cents: DataFrame): DataFrame = {
     val ex = emb.select(col("vec_id").as("id"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
-    pqSubDists(ex, pqCents(emb))
+    pqSubDists(ex, cents)
       .groupBy(col("id").as("vec_id"), col("sub"))
       .agg(expr("min_by(code, struct(d2l, code))").as("bcode"),
         min(col("d2l")).as("sub_err"))
+  }
+
+  /** Test hook: total fixed-point reconstruction error of the corpus
+    * under the seed vs the trained codebook — OperatorSpec asserts the
+    * Lloyd round strictly improves it. */
+  private[graft] def testPqTotalRecon(s: SparkSession, d: String,
+      trained: Boolean): Long = {
+    val emb = Tables.embeddings(s, d)
+    val cents = if (trained) pqCents(emb) else pqSeedCents(emb)
+    pqSubCodesWith(emb, cents)
+      .agg(sum(col("sub_err")).as("t")).head().getLong(0)
   }
 
   /** The Planes×Dims (32×64) plane matrix as a DuckDB VALUES list, emitted from the
@@ -916,9 +957,12 @@ object SimOps {
          ORDER BY a.vec_id"""
   )
 
-  /** Shared PQ CTE chain (16-centroid md5 sample → 0-based-pos unnest →
-    * fixed-point subspace distances → argmin codes → per-vector code
-    * string + error), used by sim_pq_quantize and etl_ann_index. */
+  /** Shared PQ CTE chain (16-centroid md5 seed sample → one
+    * per-subspace Lloyd refinement round with FLOAT-rounded fixed-point
+    * means → fixed-point subspace distances vs the TRAINED codebook →
+    * argmin codes → per-vector code string + error), used by
+    * sim_pq_quantize, sim_pq_search, and etl_ann_index. Mirrors the
+    * Spark pqCents/pqSubCodes pipeline term for term. */
   private lazy val pqCtes =
     """cs AS (
            SELECT embedding,
@@ -926,7 +970,7 @@ object SimOps {
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
            FROM embeddings
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         cexp AS (SELECT code, CAST(cv AS DOUBLE) AS cv, pos FROM (
+         cexp0 AS (SELECT code, CAST(cv AS DOUBLE) AS cv, pos FROM (
              SELECT code, unnest(embedding) AS cv,
                     unnest(range(0, len(embedding))) AS pos
              FROM cs)),
@@ -934,6 +978,26 @@ object SimOps {
              SELECT vec_id, unnest(embedding) AS v,
                     unnest(range(0, len(embedding))) AS pos
              FROM embeddings)),
+         d2s AS (SELECT vec_id, pos // 8 AS sub, code,
+                  CAST(sum(CAST(floor((v - cv) * (v - cv) * 1099511627776.0)
+                    AS BIGINT)) AS BIGINT) AS d2l
+                FROM vexp JOIN cexp0 USING (pos)
+                GROUP BY 1, 2, 3),
+         best0 AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code, d2l,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2l, code) AS rn
+             FROM d2s) WHERE rn = 1),
+         cm AS (SELECT b.code, v.pos,
+                  CAST(CAST((CAST(sum(CAST(floor(v.v * 1099511627776.0)
+                      AS BIGINT)) AS DOUBLE) / 1099511627776.0) / count(*)
+                    AS FLOAT) AS DOUBLE) AS cv
+                FROM best0 b JOIN vexp v
+                  ON v.vec_id = b.vec_id AND v.pos // 8 = b.sub
+                GROUP BY 1, 2),
+         cexp AS (SELECT c0.code, c0.pos, coalesce(cm.cv, c0.cv) AS cv
+                  FROM cexp0 c0 LEFT JOIN cm
+                    ON cm.code = c0.code AND cm.pos = c0.pos),
          d2 AS (SELECT vec_id, pos // 8 AS sub, code,
                   CAST(sum(CAST(floor((v - cv) * (v - cv) * 1099511627776.0)
                     AS BIGINT)) AS BIGINT) AS d2l

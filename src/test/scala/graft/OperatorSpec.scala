@@ -345,7 +345,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(r >= 0.7, s"LSH recall@3 = $r")
   }
 
-  test("sim_pq_search recall@5 >= 0.8 vs brute-force L2 ground truth") {
+  test("sim_pq_search recall@5 >= 0.85 vs brute-force L2 ground truth") {
     // Exact L2 top-5 per probe (same fixed-point longs as the key).
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, Spec.sf001)
@@ -370,7 +370,9 @@ class OperatorSpec extends AnyFunSuite {
     }
     val r = recalls.sum / recalls.size
     info(f"PQ shortlist+rerank recall@5 = $r%.3f")
-    assert(r >= 0.8, s"PQ recall@5 = $r")
+    // 0.86 measured with the Lloyd-trained codebook (0.92 seed-only at
+    // this tiny SF; 0.80 → 0.88 at sf0.01 where training has data)
+    assert(r >= 0.85, s"PQ recall@5 = $r")
     // And the emitted l2 distances are the TRUE distances (the re-rank
     // is exact): every returned pair's l2l matches the ground table.
     val truthMap = l2.collect()
@@ -658,21 +660,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("sim_pq_quantize: centroid vectors quantize to themselves exactly") {
-    // The 16 md5-sampled vectors ARE the codebook, so each must land on
-    // its own code in every subspace with zero reconstruction error —
-    // and nothing else may reach error 0 (distinct vectors can't match
-    // a centroid in all 8 subspaces on this corpus).
-    import org.apache.spark.sql.types.StringType
-    val centIds = Tables.embeddings(spark, Spec.sf001)
-      .select(col("vec_id"))
-      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(16).collect().map(_.getLong(0)).toSet
+  test("sim_pq_quantize: Lloyd-trained codebook beats the seed; codes well-formed") {
+    // The codebook is the md5 seed sample refined by one per-subspace
+    // Lloyd round; with assignments fixed, means minimize within-cell
+    // squared error, so total reconstruction error must strictly drop
+    // vs encoding with the raw seed (FLOAT rounding perturbs ~1e-7
+    // relative — far below the improvement).
+    val seedErr = operators.SimOps.testPqTotalRecon(spark, Spec.sf001,
+      trained = false)
+    val trainedErr = operators.SimOps.testPqTotalRecon(spark, Spec.sf001,
+      trained = true)
+    info(s"total recon err (fixed-point): seed=$seedErr trained=$trainedErr")
+    assert(trainedErr < seedErr,
+      s"Lloyd round must improve reconstruction: $trainedErr !< $seedErr")
+    // every vector emits all 8 subspace codes in range, err non-negative
     val rows = q("sim_pq_quantize").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    val zero = rows.filter(_._3 == 0.0).map(_._1).toSet
-    assert(zero === centIds, "exactly the sampled centroids reconstruct losslessly")
-    // every vector emits all 8 subspace codes in range
     for ((_, code, err) <- rows) {
       val parts = code.split("-")
       assert(parts.length === 8 && parts.forall(p => p.toInt >= 0 && p.toInt < 16))

@@ -95,7 +95,27 @@ object Bench {
     // Compact final JSON line: 3-dp timings, slowest queries first, and a
     // hard length budget so the line (plus any build-tool epilogue) fits
     // inside the driver's stdout tail window without truncation.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${broken.size},"flaky":${flaky.size},"queries":{"""
+    // Audit stamp: wall-clock run time + a hash of the main source tree
+    // (path + bytes of every .scala file), so each round's bench line is
+    // provably fresh and attributable to an exact source state even if
+    // artifacts are copied around between rounds.
+    val srcHash = {
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+            .flatMap(files)
+        else if (f.getName.endsWith(".scala")) Seq(f)
+        else Nil
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files(new java.io.File("src/main/scala")).foreach { f =>
+        md.update(f.getPath.getBytes("UTF-8"))
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      }
+      md.digest().map(b => String.format(Locale.ROOT, "%02x", b))
+        .mkString.take(12)
+    }
+    val stamp = java.time.Instant.now().toString
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${broken.size},"flaky":${flaky.size},"ts":"$stamp","src":"$srcHash","queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     val budget = 1500 - head.length - tail.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -99,3 +99,97 @@ object DotProductF {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", build, "built-in")
 }
+
+/** Native Catalyst expression: FIXED-POINT dot product of two
+  * float-array columns — Σᵢ floor(aᵢ·bᵢ · 2⁴⁰) as LONG.
+  *
+  * The order-independent sibling of [[DotProductF]] and the array-form
+  * twin of `Det.sumFixed`: because every term is floored to an integer
+  * BEFORE summation, the result is bit-identical regardless of
+  * accumulation order — so a DuckDB oracle that sums the same floored
+  * terms over a position join reproduces it exactly, and a THRESHOLD
+  * comparison on the derived cosine can never flip engines at the
+  * boundary (the risk a raw double loop leaves open). Use this when a
+  * pairwise score feeds a filter or a cross-engine hash; use dot_f
+  * when only relative order matters. Same codegen rationale as
+  * L2FixedF: a fused primitive loop instead of interpreted HOFs.
+  * Bounds: |aᵢ·bᵢ| ≤ 1 for unit-ish floats → term ≤ 2⁴⁰, ×64 dims
+  * ≪ Long.Max.
+  */
+case class DotFixedF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dotfx"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dotfx: array length mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        * graft.Det.FixedPoint).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $l.numElements();
+         |if ($r.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dotfx: array length mismatch (" + $n + " vs " + $r.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) java.lang.Math.floor(
+         |    (double) $l.getFloat($i) * (double) $r.getFloat($i)
+         |      * ${graft.Det.FixedPoint}D);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFixedF =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotFixedF {
+  def build(exprs: Seq[Expression]): DotFixedF = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`dotfx`", "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    DotFixedF(exprs.head, exprs(1))
+  }
+
+  /** Register `dotfx(arr, arr)` for SQL / expr() use in a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotfx", build, "built-in")
+}

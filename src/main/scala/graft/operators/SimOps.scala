@@ -284,31 +284,27 @@ object SimOps {
       // near-duplicate; the keep-min-representative / transitive
       // closure over these pairs is exactly what dedup_components +
       // dedup_apply consume. Determinism: the exact order-independent
-      // fixed-point dot path (Det.sumFixed) for both norms and dots —
-      // a raw double sum would drift with shuffle order at the
-      // threshold boundary.
+      // fixed-point dot path for both norms and dots — here via the
+      // native dotfx kernel (per-TERM floored longs, the array form of
+      // Det.sumFixed), so the threshold compare can never flip engines
+      // at the boundary AND the pair join stays on COMPACT arrays: one
+      // cluster-keyed equi-join producing Σ|c|²/2 rows, each scored by
+      // a codegen'd 64-step loop — no 64× position explosion through
+      // the shuffle (an earlier exploded formulation moved ~100M rows
+      // at sf0.1 for the same answer; this moves ~1.5M).
+      graft.functions.DotFixedF.register(s)
       val asg = kmeansAssigned(s, Tables.embeddings(s, d))
-      val ev = asg
-        .select(col("vec_id"), col("cluster"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("cluster"), col("pos"),
-          col("v").cast(DoubleType).as("v"))
-      val norms = ev.groupBy("vec_id")
-        .agg(sqrt(graft.Det.sumFixed(col("v") * col("v"))).as("nrm"))
-      val ea = ev.select(col("cluster"), col("vec_id").as("a"),
-        col("pos"), col("v").as("va"))
-      val eb = ev.select(col("cluster").as("clb"), col("vec_id").as("b"),
-        col("pos").as("posb"), col("v").as("vb"))
-      val dots = ea.join(eb, col("cluster") === col("clb")
-          && col("pos") === col("posb") && col("a") < col("b"))
-        .groupBy(col("cluster"), col("a"), col("b"))
-        .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
-      dots
-        .join(norms.select(col("vec_id").as("a"), col("nrm").as("na")), "a")
-        .join(norms.select(col("vec_id").as("b"), col("nrm").as("nb")), "b")
-        .select(col("a"), col("b"), col("cluster"),
-          round(col("dotd") / (col("na") * col("nb")), 4).as("cos"))
+        .withColumn("nrm", sqrt(expr("dotfx(embedding, embedding)")
+          .cast(DoubleType) / graft.Det.FixedPoint))
+      val lhs = asg.select(col("cluster"), col("vec_id").as("a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val rhs = asg.select(col("cluster").as("clb"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      lhs.join(rhs, col("cluster") === col("clb") && col("a") < col("b"))
+        .withColumn("cos", round((expr("dotfx(ea, eb)").cast(DoubleType)
+          / graft.Det.FixedPoint) / (col("na") * col("nb")), 4))
         .filter(col("cos") >= SemDedupT)
+        .select(col("a"), col("b"), col("cluster"), col("cos"))
         .orderBy("a", "b")
     }),
 

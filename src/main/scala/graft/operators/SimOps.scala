@@ -394,7 +394,7 @@ object SimOps {
           posexplode(col("embedding")).as(Seq("pos", "v")))
       val lut = pqSubDists(probes, pqCentsStored(s, d))
         .select(col("id").as("a"), col("sub"), col("code"), col("d2l"))
-      val codes = pqSubCodesWith(emb, pqCentsStored(s, d))
+      val codes = pqSubCodesStored(s, d)
         .select(col("vec_id").as("b"), col("sub"), col("bcode"))
       val adc = codes.join(broadcast(lut),
           codes("sub") === lut("sub") && codes("bcode") === lut("code"))
@@ -521,7 +521,7 @@ object SimOps {
     * accumulate as exact fixed-point longs end-to-end, so subspace
     * argmins and the error sum are order-independent. */
   private def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val best = pqSubCodesWith(Tables.embeddings(s, d), pqCentsStored(s, d))
+    val best = pqSubCodesStored(s, d)
     best.groupBy(col("vec_id"))
       .agg(
         array_join(expr(
@@ -556,6 +556,20 @@ object SimOps {
       graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
     val p = graft.Stage.materializeOnce(s, path) {
       kmeansAssigned(s, Tables.embeddings(s, d))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(p)
+  }
+
+  /** Stored per-subspace code table (vec_id, sub, bcode, sub_err) —
+    * the compressed index payload itself, the third stored artifact:
+    * production encodes the corpus once per snapshot and every search
+    * scans ONLY these 8 small ints per vector. */
+  private def pqSubCodesStored(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_pqcodes_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
+    val p = graft.Stage.materializeOnce(s, path) {
+      pqSubCodesWith(Tables.embeddings(s, d), pqCentsStored(s, d))
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(p)

@@ -308,6 +308,22 @@ object SimOps {
         .orderBy("a", "b")
     }),
 
+    "dedup_semantic_apply" -> ((s, d) => {
+      // The APPLIED semantic dedup — the corpus a training run reads:
+      // drop every vector that is the higher-id side of a surviving
+      // near-dup pair (greedy keep-lowest-id; transitive closure =
+      // dedup_components + dedup_apply over these pairs). One
+      // broadcast-able left-anti join against the pair table's b side,
+      // which at 100 TB is the rare-duplicate slice, orders of
+      // magnitude smaller than the corpus — the dedup_apply shape.
+      val drop = queries("dedup_semantic")(s, d)
+        .select(col("b").as("vec_id")).distinct()
+      Tables.embeddings(s, d)
+        .join(drop, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // Banded multi-table LSH, the scale path: 32 deterministic
       // hyperplanes (SplitMix64 of (plane,dim), fixed literal seed)
@@ -688,6 +704,45 @@ object SimOps {
             AS cv
         FROM a$k a JOIN ev e ON e.vec_id = a.vec_id GROUP BY 1, 2)"""
 
+  /** Shared SemDeDup CTE chain: the sim_kmeans Lloyd replay (seed →
+    * two FLOAT-rounded mean rounds → assignment a2) feeding
+    * within-cluster fixed-point cosine pairs ⇒ `sempairs(a, b,
+    * cluster, cos)`. Used by dedup_semantic and dedup_semantic_apply. */
+  private lazy val semPairCtes: String =
+    s"""ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         cents0 AS (SELECT vec_id AS cent_id FROM embeddings
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         cev0 AS (SELECT c.cent_id, e.pos, e.v AS cv
+                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
+         ${kmAssign(0)}, ${kmMeans(0)},
+         ${kmAssign(1)}, ${kmMeans(1)},
+         ${kmAssign(2)},
+         nrm AS (SELECT vec_id,
+                   sqrt(CAST(sum(CAST(floor(v * v * 1099511627776.0)
+                     AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS nrm
+                 FROM ev GROUP BY 1),
+         cpairs AS (SELECT xa.vec_id AS a, xb.vec_id AS b,
+                          xa.cluster AS cluster
+                   FROM a2 xa JOIN a2 xb
+                     ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id),
+         cdots AS (SELECT p.a, p.b, p.cluster,
+                    CAST(sum(CAST(floor(ea.v * eb.v * 1099511627776.0)
+                      AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS dotd
+                  FROM cpairs p
+                  JOIN ev ea ON ea.vec_id = p.a
+                  JOIN ev eb ON eb.vec_id = p.b AND eb.pos = ea.pos
+                  GROUP BY 1, 2, 3),
+         sempairs AS (SELECT a, b, cluster, cos FROM (
+           SELECT d.a, d.b, d.cluster,
+                  round(d.dotd / (na.nrm * nb.nrm), 4) AS cos
+           FROM cdots d
+           JOIN nrm na ON na.vec_id = d.a
+           JOIN nrm nb ON nb.vec_id = d.b)
+         WHERE cos >= $SemDedupT)"""
+
   val oracles: Map[String, String] = Map(
     // Mirrors the full Lloyd pipeline: identical md5-ordered k=8 seed
     // sample, two mean-update rounds + final assignment, all distances
@@ -718,40 +773,18 @@ object SimOps {
     // the threshold compare runs on identically-rounded values, so no
     // pair can flip engines at the boundary.
     "dedup_semantic" ->
-      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
-             SELECT vec_id, unnest(embedding) AS v,
-                    unnest(range(1, len(embedding)+1)) AS pos
-             FROM embeddings)),
-         cents0 AS (SELECT vec_id AS cent_id FROM embeddings
-                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         cev0 AS (SELECT c.cent_id, e.pos, e.v AS cv
-                  FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
-         ${kmAssign(0)}, ${kmMeans(0)},
-         ${kmAssign(1)}, ${kmMeans(1)},
-         ${kmAssign(2)},
-         nrm AS (SELECT vec_id,
-                   sqrt(CAST(sum(CAST(floor(v * v * 1099511627776.0)
-                     AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS nrm
-                 FROM ev GROUP BY 1),
-         pairs AS (SELECT xa.vec_id AS a, xb.vec_id AS b,
-                          xa.cluster AS cluster
-                   FROM a2 xa JOIN a2 xb
-                     ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id),
-         dots AS (SELECT p.a, p.b, p.cluster,
-                    CAST(sum(CAST(floor(ea.v * eb.v * 1099511627776.0)
-                      AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS dotd
-                  FROM pairs p
-                  JOIN ev ea ON ea.vec_id = p.a
-                  JOIN ev eb ON eb.vec_id = p.b AND eb.pos = ea.pos
-                  GROUP BY 1, 2, 3)
-         SELECT a, b, cluster, cos FROM (
-           SELECT d.a, d.b, d.cluster,
-                  round(d.dotd / (na.nrm * nb.nrm), 4) AS cos
-           FROM dots d
-           JOIN nrm na ON na.vec_id = d.a
-           JOIN nrm nb ON nb.vec_id = d.b)
-         WHERE cos >= $SemDedupT
-         ORDER BY a, b""",
+      s"""WITH $semPairCtes
+         SELECT a, b, cluster, cos FROM sempairs ORDER BY a, b""",
+
+    // SemDeDup APPLY: the deduplicated corpus itself — drop every
+    // vector that is the higher-id side of a surviving pair, keep the
+    // rest (greedy keep-lowest-id policy; the transitive-closure
+    // variant is dedup_components + dedup_apply over these pairs).
+    "dedup_semantic_apply" ->
+      s"""WITH $semPairCtes
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT b FROM sempairs)
+         ORDER BY vec_id""",
 
     // Mirrors the full IVF pipeline: identical md5-ordered centroid
     // sample, one Lloyd refinement round (fixed-point cluster means

@@ -398,6 +398,44 @@ class PlanSpec extends AnyFunSuite {
       s"scan decoded $dec of $total rows — min/max stats pruned nothing")
   }
 
+  test("kmv_bottomk partial-aggregates map-side (≤k longs per partition cross the shuffle)") {
+    // The KMV sketch's whole scale argument is the partial/final split:
+    // the plan must show TWO ObjectHashAggregate passes around an
+    // Exchange (partial_kmv_bottomk map-side), like any sum — never a
+    // single post-shuffle aggregate of raw rows.
+    val p = plan("agg_approx_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(p.contains("partial_kmv_bottomk"), p.take(2000))
+    assert(p.contains("Exchange"))
+  }
+
+  test("dedup_semantic joins pairs on the cluster key — no cartesian, compact arrays") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairing must be a cluster-keyed equi-join")
+    // pair scoring runs on compact arrays via the dotfx kernel, not a
+    // position explosion through the join
+    assert(p.contains("dotfx"), p.take(2000))
+    assert(!p.toLowerCase.contains("posexplode"),
+      "pair scoring must not explode positions through the shuffle")
+  }
+
+  test("dotfx expression participates in codegen (no CodegenFallback wrapper)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.DotFixedF.register(spark)
+    val df = Tables.embeddings(spark, Spec.sf001)
+      .withColumn("d", expr("dotfx(embedding, embedding)"))
+      .filter(col("d") >= 0L)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(!exec.contains("CodegenFallback"), exec.take(1500))
+    // order-independence: same value under different partitionings
+    val a = df.agg(org.apache.spark.sql.functions.sum("d")).head().getLong(0)
+    val b = Tables.embeddings(spark, Spec.sf001).repartition(7)
+      .withColumn("d", expr("dotfx(embedding, embedding)"))
+      .agg(org.apache.spark.sql.functions.sum("d")).head().getLong(0)
+    assert(a === b, "dotfx must be partitioning-independent")
+  }
+
   test("z-order layout: secondary-dimension filter prunes; plain sort cannot") {
     import org.apache.spark.sql.functions.col
     val zp = graft.sources.Sources.ensureZorderLineitem(spark, Spec.sf001)

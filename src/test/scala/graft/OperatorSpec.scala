@@ -860,7 +860,8 @@ class OperatorSpec extends AnyFunSuite {
     def parquets(p: String) =
       Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .count(_.getName.endsWith(".parquet"))
-    val tag = Spec.sf001.replaceAll("[^A-Za-z0-9]", "_") // operator's scheme
+    val tag = Spec.sf001.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Stage.inputStamp(spark, s"${Spec.sf001}/orders.parquet") // operator's scheme
     val frag = parquets(s"/tmp/graft_frag_$tag")
     val comp = parquets(s"/tmp/graft_compacted_$tag")
     assert(frag > 100, s"fragmented table has $frag files")

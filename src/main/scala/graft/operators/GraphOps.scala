@@ -104,6 +104,51 @@ object GraphOps {
   private[graft] def testDegrees(s: SparkSession, d: String): DataFrame =
     degrees(s, d)
 
+  /** LPA round count (oracle-unrolled, like Iters/KCoreRounds). */
+  private val LpaRounds = 3
+
+  /** 3-round synchronous label-propagation labels (node, label) —
+    * shared by graph_lpa (raw labels) and graph_modularity (quality of
+    * the induced partition) so the two keys can never drift. Initial
+    * label = node id; each round every node adopts the neighbor-most-
+    * frequent label, ties to the smallest label (deterministic total
+    * order). */
+  /** Stored like edges/degrees/triangles: communities are a per-
+    * snapshot graph attribute consumed by ≥2 keys (labels, modularity —
+    * and any corpus-weighting join downstream), so the 3-round fixpoint
+    * runs once per snapshot and everything else reads parquet. */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    val p = Stage.materializeOnce(s, gpath(s, d, "lpa")) {
+      lpaOnUnd(und(s, d),
+        degrees(s, d).select(col("node"), col("node").as("label")))
+        .write.mode("overwrite").parquet(gpath(s, d, "lpa"))
+    }
+    s.read.parquet(p)
+  }
+
+  /** The LPA fixpoint core over an explicit symmetric edge list and
+    * initial (node, label) frame — package-visible so OperatorSpec can
+    * prove community recovery on a constructed barbell graph (the
+    * fixture's basket graph is near-complete, where one community is
+    * the truthful answer). */
+  private[graft] def lpaOnUnd(u: DataFrame, init: DataFrame,
+      rounds: Int = LpaRounds, checkpoint: Boolean = true): DataFrame = {
+    val wN = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
+    var lab = init
+    for (_ <- 1 to rounds) {
+      val next = u.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .select(col("dst").as("node"), col("label"), col("cnt"))
+        .withColumn("rn", row_number().over(wN))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+      // checkpoint=false only for plan inspection in PlanSpec (the
+      // composed multi-round plan; production always truncates lineage)
+      lab = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    lab
+  }
+
   /** One damped fixed-point PageRank update: contribution fan-out on
     * the symmetric edges, dst-keyed sum, exact integer damping. Shared
     * by the fixed-unroll (oracle-replayed) and run-to-convergence
@@ -476,6 +521,57 @@ object GraphOps {
         frontier = improved
       }
       dist.orderBy("node")
+    }),
+
+    "graph_lpa" -> ((s, d) => {
+      // Synchronous label propagation (3 rounds) — the linear-time
+      // community detector (Raghavan et al. 2007): every node adopts
+      // the most frequent label among its neighbors, ties broken by
+      // smallest label so the rounds are fully deterministic and the
+      // oracle can replay them. Per round: one src-keyed equi-join to
+      // fan labels across edges, one (dst, label) count aggregate
+      // (partial map-side), one node-partitioned row_number to pick the
+      // winner — O(m) shuffle bytes per round, no driver state, eager
+      // localCheckpoint truncating the per-round lineage exactly like
+      // kcore/sssp. Rounds are FIXED so both engines replay the same
+      // depth; production runs to convergence with the components
+      // change-count discipline (labels stabilize in a handful of
+      // rounds on real graphs).
+      lpaLabels(s, d).orderBy("node")
+    }),
+
+    "graph_modularity" -> ((s, d) => {
+      // Newman modularity of the LPA communities — the quality score
+      // that tells a pipeline whether detected communities are real
+      // structure or noise (Q ≈ 0). Per community c: e_c intra edges,
+      // d_c summed degree, contribution (e_c/m − (d_c/2m)²) computed as
+      // the exact integer numerator 4·m·e_c − d_c² over the common
+      // denominator 4m², with ONE IEEE division at the end (both
+      // factors < 2^53, so the doubles are exact and the division is
+      // deterministic). m rides along as a broadcast 1-row aggregate —
+      // no driver collect. Cost beyond LPA itself: one edge↔label join
+      // pair + two label-keyed aggregates.
+      val lab = lpaLabels(s, d)
+      val e = edges(s, d)
+      val ein = e
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      val dsum = degrees(s, d).join(lab, "node")
+        .groupBy("label").agg(count(lit(1)).as("n_nodes"),
+          sum(col("degree")).as("d_sum"))
+      val mdf = e.agg(count(lit(1)).as("m"))
+      dsum.join(ein, Seq("label"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(mdf))
+        .select(col("label"), col("n_nodes"),
+          col("e_in").cast(LongType).as("e_in"), col("d_sum"),
+          round((lit(4L) * col("m") * col("e_in")
+              - col("d_sum") * col("d_sum")).cast(DoubleType)
+            / (lit(4L) * col("m") * col("m")).cast(DoubleType), 6)
+            .as("contrib"))
+        .orderBy("label")
     }))
 
   /** Shared oracle prefix: replay the edge build from lineitem (the
@@ -504,6 +600,25 @@ object GraphOps {
                   CAST($R15 + (85 * coalesce(s$k.sc, 0)) // 100 AS BIGINT) AS fx
                 FROM deg d LEFT JOIN s$k ON d.node = s$k.node)"""
   }
+
+  /** One LPA oracle round: counts c$k from l$prev, winners l$k.
+    * MATERIALIZED for the same round-depth reason as prRound. */
+  private def lpaRound(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""c$k AS (SELECT u.dst AS node, l.label, count(*) AS cnt
+                FROM und u JOIN $prev l ON u.src = l.node
+                GROUP BY u.dst, l.label),
+        l$k AS MATERIALIZED (SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                         ORDER BY cnt DESC, label) AS rn
+                FROM c$k) WHERE rn = 1)"""
+  }
+
+  /** Unrolled LPA label CTEs ending in l$LpaRounds. */
+  private val lpaCtes =
+    s"""l0 AS (SELECT node, node AS label FROM deg),
+       ${(1 to LpaRounds).map(lpaRound).mkString(",\n")}"""
 
   /** Oriented-triangle CTEs shared by the three triangle consumers —
     * replays the `triangles` enumeration (orientation, wedge bound,
@@ -683,5 +798,37 @@ object GraphOps {
            UNION ALL
            SELECT u.dst, x.dist + u.w FROM s2 x
            JOIN wund u ON u.src = x.node) GROUP BY node)
-         SELECT node, dist FROM s3 ORDER BY node""")
+         SELECT node, dist FROM s3 ORDER BY node""",
+
+    "graph_lpa" ->
+      s"""WITH $edgeCtes,
+         $lpaCtes
+         SELECT node, label FROM l$LpaRounds ORDER BY node""",
+
+    // Exact integer numerator 4·m·e_c − d_c² over 4m²; every factor
+    // < 2^53 so the two DOUBLE casts are exact and the single division
+    // is the same IEEE op in both engines.
+    "graph_modularity" ->
+      s"""WITH $edgeCtes,
+         $lpaCtes,
+         lab AS (SELECT node, label FROM l$LpaRounds),
+         m AS (SELECT count(*) AS m FROM pairs),
+         ein AS (SELECT la.label, count(*) AS e_in
+                 FROM pairs p
+                 JOIN lab la ON la.node = p.a
+                 JOIN lab lb ON lb.node = p.b
+                 WHERE la.label = lb.label
+                 GROUP BY la.label),
+         ds AS (SELECT l.label, count(*) AS n_nodes,
+                       sum(d.degree) AS d_sum
+                FROM deg d JOIN lab l ON l.node = d.node
+                GROUP BY l.label)
+         SELECT ds.label, ds.n_nodes,
+                CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+                CAST(ds.d_sum AS BIGINT) AS d_sum,
+                round(CAST(4 * m.m * coalesce(ein.e_in, 0)
+                           - ds.d_sum * ds.d_sum AS DOUBLE)
+                      / CAST(4 * m.m * m.m AS DOUBLE), 6) AS contrib
+         FROM ds LEFT JOIN ein ON ein.label = ds.label CROSS JOIN m
+         ORDER BY ds.label""")
 }

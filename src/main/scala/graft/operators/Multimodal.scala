@@ -37,6 +37,33 @@ object Multimodal {
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
       .map(x => f"${x & 0xff}%02x").mkString
 
+  /** 60-bit segment-mean perceptual hash over a raw payload — the
+    * decode-seam kernel of multimodal_phash (package-visible so the
+    * spec can assert collision/locality properties on constructed
+    * payloads). Bit j is set iff segment j's byte mean exceeds the
+    * whole-payload mean, compared as exact integer cross-products. */
+  private[graft] def phash60(bytes: Array[Byte]): Long = {
+    val segs = 60
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](segs)
+    val cnts = new Array[Long](segs)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * segs / n).toInt
+      val v = (bytes(i) & 0xff).toLong
+      sums(j) += v; cnts(j) += 1; tot += v; i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < segs) {
+      if (sums(j) * n > tot * cnts(j)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_binaryfile" -> ((s, _) => {
       // The multimodal INGEST path: raw media files enter Spark through
@@ -137,6 +164,50 @@ object Multimodal {
         }
       }.toDF("doc_id", "n_bytes", "n_pixels", "feature")
         .orderBy("doc_id")
+    }),
+
+    "multimodal_phash" -> ((s, d) => {
+      // Perceptual-hash near-duplicate detection over the opaque media
+      // column — the image-dedup primitive (a resized/re-encoded image
+      // keeps a close pHash while its sha-256 changes completely).
+      // Stages: (1) decode seam — per-row "decode + pHash": 60 segment
+      // brightness sums over the payload bytes, bit j set iff segment
+      // j's mean exceeds the whole-payload mean (compared as exact
+      // integer cross-products, no division), packed into a 60-bit
+      // BIGINT. A real image pipeline replaces ONLY this map with
+      // decode → grayscale → 8×8 DCT; everything downstream is
+      // unchanged. (2) LSH banding, fully declarative: 6 bands × 10
+      // bits — any pair within Hamming radius 5 has ≤5 dirty bands, so
+      // at least one of the 6 matches exactly: recall 1.0 up to radius
+      // 5 by construction, best-effort (standard LSH odds) out to the
+      // reporting radius 14, never an all-pairs join. Both engines
+      // derive the IDENTICAL candidate set from the same bands, so the
+      // probabilistic recall never touches the hash gate. At 100 TB
+      // the band join shuffles (band, key) buckets of ~N/2¹⁰ docs;
+      // hot buckets (giant near-dup clusters) get the dedup_simhash
+      // star-capping discipline.
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+        .as[(Long, Array[Byte])]
+      val hashed = media.map { case (id, bytes) => (id, phash60(bytes)) }
+        .toDF("doc_id", "phash")
+      val bands = hashed.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(5))).as("bd"))
+        .withColumn("key",
+          expr("shiftright(phash, bd * 10)").bitwiseAND(lit(1023L)))
+      val l = bands.select(col("bd"), col("key"),
+        col("doc_id").as("a"), col("phash").as("ha"))
+      val r = bands.select(col("bd").as("bd2"), col("key").as("key2"),
+        col("doc_id").as("bid"), col("phash").as("hb"))
+      l.join(r, col("bd") === col("bd2") && col("key") === col("key2") &&
+          col("a") < col("bid"))
+        .select(col("a"), col("bid"), col("ha"), col("hb")).distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(IntegerType))
+        .filter(col("hamming") <= 14)
+        .select(col("a"), col("bid").as("b"), col("hamming"))
+        .orderBy("a", "b")
     })
   )
 
@@ -202,6 +273,44 @@ object Multimodal {
                   [unicode(substring(frame, CAST(i AS INTEGER), 1))
                    FOR i IN range(1, CAST(length(frame) AS INTEGER)+1)]),
                   (acc, x) -> (acc * 31 + x) % 1000003) AS feature
-         FROM frames ORDER BY doc_id, frame_idx"""
+         FROM frames ORDER BY doc_id, frame_idx""",
+
+    // Replays the 60-segment pHash per character (ASCII corpus: char
+    // windows == byte windows, unicode(char) == byte value), the bit
+    // rule as the same integer cross-product, and the 6×10-bit band
+    // join. DuckDB sum() widens to HUGEINT — cast back before hashing.
+    "multimodal_phash" ->
+      """WITH docs AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+                       FROM documents WHERE length(text) > 0),
+         ch AS (SELECT doc_id, n,
+                       unicode(substring(text, CAST(i AS INTEGER), 1)) AS v,
+                       ((i - 1) * 60) // n AS j
+                FROM (SELECT doc_id, text, n,
+                             unnest(range(1, n + 1)) AS i
+                      FROM docs)),
+         seg AS (SELECT doc_id, j, sum(v) AS sv, count(*) AS c
+                 FROM ch GROUP BY doc_id, j),
+         tot AS (SELECT doc_id, any_value(n) AS n, sum(v) AS tv
+                 FROM ch GROUP BY doc_id),
+         ph AS MATERIALIZED (
+           SELECT t.doc_id,
+                  CAST(sum(CASE WHEN s.sv * t.n > t.tv * s.c
+                                THEN 1::BIGINT << CAST(s.j AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS phash
+           FROM seg s JOIN tot t ON s.doc_id = t.doc_id
+           GROUP BY t.doc_id),
+         bands AS (SELECT doc_id, phash,
+                          (phash >> CAST(bd * 10 AS INTEGER)) & 1023 AS key,
+                          bd
+                   FROM (SELECT doc_id, phash,
+                                unnest(range(0, 6)) AS bd FROM ph)),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                         x.phash AS ha, y.phash AS hb
+                  FROM bands x JOIN bands y
+                    ON x.bd = y.bd AND x.key = y.key
+                   AND x.doc_id < y.doc_id)
+         SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 14
+         ORDER BY a, b"""
   )
 }

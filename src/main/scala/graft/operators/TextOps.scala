@@ -121,6 +121,32 @@ object TextOps {
         .orderBy("doc_id", "idx")
     }),
 
+    "text_classifier_score" -> ((s, d) => {
+      // Linear quality-classifier scoring — the fastText-shaped gate a
+      // curation pipeline runs over every document (keep/drop by a
+      // pretrained model's score). The "model" here is a hash-derived
+      // weight table (token → md5 slice % 2001 - 1000 ∈ [-1000, 1000]),
+      // so scoring is vocabulary-free exactly like text_feature_hash:
+      // no weight-vector broadcast, no dictionary join — the shape that
+      // scales to 100 TB. A real model swaps ONLY the weight expression
+      // for a broadcast-joined (token, weight) table; the plan (explode
+      // → per-doc tf → weighted sum) is unchanged. Integer tf·w sums
+      // are order-independent (hash-exact); the mean score is a single
+      // deterministic IEEE division at the end.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .withColumn("w",
+          expr(s"${Det.md5SliceExpr("tok", 1, 8)} % 2001 - 1000"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("w")).cast(LongType).as("score_fx"),
+          sum(col("tf")).cast(LongType).as("n_toks"))
+        .withColumn("score_avg",
+          round(col("score_fx").cast(DoubleType) / col("n_toks"), 6))
+        .withColumn("keep", col("score_fx") > 0)
+        .orderBy("doc_id")
+    }),
+
     "text_wordcount" -> ((s, d) => {
       Tables.documents(s, d)
         .select(explode(toks).as("word"))
@@ -483,6 +509,24 @@ object TextOps {
            GROUP BY 1, 2)
          WHERE weight <> 0
          ORDER BY doc_id, idx""",
+
+    // Same md5 weight table replayed per distinct token; exact integer
+    // tf·w sums, one IEEE division for the mean.
+    "text_classifier_score" ->
+      s"""SELECT doc_id, score_fx, n_toks,
+                round(CAST(score_fx AS DOUBLE) / n_toks, 6) AS score_avg,
+                score_fx > 0 AS keep
+         FROM (
+           SELECT doc_id,
+                  CAST(sum(tf * (${Det.md5SliceSql("tok", 1, 8)} % 2001
+                                 - 1000)) AS BIGINT) AS score_fx,
+                  CAST(sum(tf) AS BIGINT) AS n_toks
+           FROM (SELECT doc_id, tok, count(*) AS tf
+                 FROM (SELECT doc_id, unnest($toksSql) AS tok
+                       FROM documents)
+                 GROUP BY 1, 2)
+           GROUP BY doc_id)
+         ORDER BY doc_id""",
 
     "text_wordcount" ->
       s"""SELECT word, count(*) AS cnt

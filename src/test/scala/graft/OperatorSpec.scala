@@ -1131,4 +1131,72 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lpa recovers the two communities of a barbell graph") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3–4: the
+    // fixture's near-complete basket graph truthfully collapses to one
+    // community, so structure recovery is proven on a graph that HAS
+    // structure.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val u = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val init = u.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val labels = operators.GraphOps.lpaOnUnd(u, init).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === labels(2L) && labels(2L) === labels(3L))
+    assert(labels(4L) === labels(5L) && labels(5L) === labels(6L))
+    assert(labels(1L) !== labels(4L), s"bridge merged the cliques: $labels")
+  }
+
+  test("graph_modularity: exact-integer contributions are internally consistent") {
+    val rows = q("graph_modularity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val nNodes = rows.map(_._2).sum
+    assert(nNodes === operators.GraphOps.testDegrees(spark, Spec.sf001).count(),
+      "every node in exactly one community")
+    // Σ d_c = 2m and Σ e_c ≤ m; Q = Σ contrib ∈ [-0.5, 1]
+    val q_ = rows.map(_._5).sum
+    assert(q_ >= -0.5 - 1e-6 && q_ <= 1.0 + 1e-6, s"modularity $q_ out of range")
+    // single-community partitions must score exactly 0 (4m·m − (2m)² = 0)
+    if (rows.length == 1) assert(rows.head._5 === 0.0)
+  }
+
+  test("text_classifier_score: bounded weights, keep flag consistent") {
+    val rows = q("text_classifier_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length === Tables.documents(spark, Spec.sf001)
+      .filter(length(col("text")) > 0).count().toInt)
+    rows.foreach { case (id, fx, n, avg, keep) =>
+      assert(n > 0, s"doc $id has no tokens")
+      assert(math.abs(avg) <= 1000.0, s"doc $id mean score $avg outside weight range")
+      assert(keep === (fx > 0), s"doc $id keep flag inconsistent")
+    }
+  }
+
+  test("multimodal_phash: identical payloads collide at hamming 0; radius bound holds") {
+    import spark.implicits._
+    val rows = q("multimodal_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "fixture near-dups must surface pairs")
+    rows.foreach { case (a, b, h) =>
+      assert(a < b, "canonical pair order")
+      assert(h >= 0 && h <= 14, s"pair ($a,$b) outside reporting radius: $h")
+    }
+    // the operator's own kernel: identical bytes collide exactly; a
+    // local brightness edit flips few bits (locality), a full rewrite
+    // flips many
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val edited = base.clone(); (0 until 10).foreach(i => edited(i) = 'Z'.toByte)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val hBase = operators.Multimodal.phash60(base)
+    assert(hBase === operators.Multimodal.phash60(base.clone()),
+      "identical payloads must hash identically")
+    assert(ham(hBase, operators.Multimodal.phash60(edited)) <= 14,
+      "a 10-byte edit must stay within the reporting radius")
+    assert(operators.Multimodal.phash60(Array.emptyByteArray) === 0L)
+  }
 }

@@ -460,4 +460,34 @@ class PlanSpec extends AnyFunSuite {
     assert(zDec < sDec && zDec <= (zTot * 0.85).toLong,
       s"z-order decoded $zDec of $zTot — no secondary-dimension pruning")
   }
+
+  test("multimodal_phash pairs via the band equi-join, never a cartesian") {
+    val p = plan("multimodal_phash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "band candidates must come from a (band, key) equi-join")
+    // Hamming filter runs on candidates only — after the join, not as
+    // a join condition that would force a nested loop
+    assert(p.contains("bit_count"), p.take(2000))
+  }
+
+  test("graph_lpa rounds partial-aggregate the label counts map-side") {
+    // inspect the composed (checkpoint-free) plan — the declared key
+    // localCheckpoints per round, which truncates what explain shows
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val u = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val init = u.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val p = operators.GraphOps.lpaOnUnd(u, init, rounds = 1,
+        checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    // the (dst, label) count must split partial/final around the
+    // exchange — the O(m)-shuffle-bytes argument
+    assert(p.contains("partial_count") ||
+      "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
 }

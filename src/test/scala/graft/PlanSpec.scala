@@ -490,4 +490,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") ||
       "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
+
+  test("sim_pca_power: covariance is generator + partial agg, never a corpus self-join") {
+    val p = plan("sim_pca_power")
+    // the d(d+1)/2 pair expansion must come from chained generators on
+    // each row's own array — a vec_id self-join would shuffle raw
+    // vectors twice and re-materialize the corpus
+    assert(p.toLowerCase.contains("generate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the (i, j) cell sums split partial/final around an exchange, so
+    // at most d(d+1)/2 longs per partition cross the one data shuffle
+    assert(p.contains("partial_sum") ||
+      "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
 }

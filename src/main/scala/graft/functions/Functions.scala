@@ -219,6 +219,31 @@ object Functions {
         .select(col("event_id"),
           expr("try_variant_get(parse_json(props), '$.k', 'int')").as("k"))
         .orderBy("event_id")
+    }),
+
+    "fn_binary_codecs" -> ((s, d) => {
+      // Binary codec surface: base64 / hex over UTF-8 bytes plus the
+      // digest pair (md5 / sha-256) — the primitives behind content
+      // addressing (multimodal_digest), wire encodings, and checksum
+      // columns. Round-trip flags prove decode∘encode is the identity
+      // on multi-byte UTF-8 (the fixture is partly Thai); all map-only
+      // codegen'd expressions. Engine alignment notes: both engines
+      // emit padded un-chunked base64, UPPERCASE hex, lowercase digest
+      // hex; bytes are the UTF-8 encoding of the string on both sides.
+      val doc = Tables.documents(s, d)
+        .withColumn("pfx", substring(col("text"), 1, 24))
+      doc.select(col("doc_id"),
+          base64(col("pfx").cast(BinaryType)).as("b64"),
+          hex(col("pfx").cast(BinaryType)).as("hx"),
+          md5(col("pfx").cast(BinaryType)).as("md5"),
+          sha2(col("pfx").cast(BinaryType), 256).as("sha256"),
+          (decode(unbase64(base64(col("pfx").cast(BinaryType))), "UTF-8")
+            === col("pfx")).as("b64_rt"),
+          (decode(unhex(hex(col("pfx").cast(BinaryType))), "UTF-8")
+            === col("pfx")).as("hex_rt"),
+          length(col("pfx").cast(BinaryType)).as("n_bytes"),
+          length(col("pfx")).as("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -357,6 +382,19 @@ object Functions {
     "fn_json_variant" ->
       """SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    "fn_binary_codecs" ->
+      """SELECT doc_id,
+             base64(encode(pfx)) AS b64,
+             hex(encode(pfx)) AS hx,
+             md5(pfx) AS md5,
+             sha256(pfx) AS sha256,
+             decode(from_base64(base64(encode(pfx)))) = pfx AS b64_rt,
+             decode(from_hex(hex(encode(pfx)))) = pfx AS hex_rt,
+             CAST(octet_length(encode(pfx)) AS INTEGER) AS n_bytes,
+             CAST(length(pfx) AS INTEGER) AS n_chars
+         FROM (SELECT doc_id, substring(text, 1, 24) AS pfx FROM documents)
+         ORDER BY doc_id"""
   )
 }

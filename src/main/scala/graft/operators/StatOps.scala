@@ -379,6 +379,51 @@ object StatOps {
       val tall3 = dups.selectExpr("'dup_orderkeys' AS check",
         "dup_orderkeys AS value")
       tall.unionAll(tall2).unionAll(tall3).orderBy("check")
+    }),
+
+    "agg_chisq" -> ((s, d) => {
+      // Pearson χ² test of independence between two categorical
+      // dimensions (order status × priority) — the significance gate
+      // behind "did this cohort's mix actually shift" in an A/B or
+      // drift report. Shape at 100 TB: THREE aggregates over one scan
+      // lineage (cells, row totals, column totals — each map-side
+      // partial to ≤|domain| rows), then all arithmetic happens on the
+      // ≤ r·c cell frame with the totals broadcast. Determinism: obs,
+      // rt, ct, N are exact BIGINTs; the per-cell deviation o·N − rt·ct
+      // is an exact BIGINT; each cell's contribution
+      // (dd²)/(rt·ct·N) is ONE closed-form IEEE expression on exact
+      // ints, identical in both engines; and the χ² total crosses the
+      // engines as an exact DECIMAL(38,6) sum of those per-cell
+      // doubles — never a float accumulation order.
+      val o = Tables.orders(s, d).select(
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      val cells = o.groupBy("status", "priority")
+        .agg(count(lit(1)).as("obs"))
+      val rts = o.groupBy("status").agg(count(lit(1)).as("rt"))
+      val cts = o.groupBy("priority").agg(count(lit(1)).as("ct"))
+      val nD = o.agg(count(lit(1)).as("nn"))
+      val scored = cells
+        .join(broadcast(rts), "status")
+        .join(broadcast(cts), "priority")
+        .crossJoin(broadcast(nD))
+        .withColumn("dd",
+          (col("obs") * col("nn") - col("rt") * col("ct")).cast(DoubleType))
+        .withColumn("expected",
+          col("rt").cast(DoubleType) * col("ct") / col("nn"))
+        .withColumn("contrib", col("dd") * col("dd")
+          / (col("rt").cast(DoubleType) * col("ct") * col("nn")))
+      val tot = scored.agg(
+        round(sum(col("contrib").cast(DecimalType(38, 6))), 6)
+          .cast(DoubleType).as("chi2"),
+        ((countDistinct(col("status")) - 1)
+          * (countDistinct(col("priority")) - 1)).as("df"))
+      scored.crossJoin(broadcast(tot))
+        .select(col("status"), col("priority"), col("obs"),
+          round(col("expected"), 4).as("expected"),
+          round(col("contrib"), 6).as("contrib"),
+          col("chi2"), col("df"))
+        .orderBy("status", "priority")
     })
   )
 
@@ -587,6 +632,37 @@ object StatOps {
            UNION ALL SELECT 'dup_orderkeys',
              (SELECT count(*) FROM (SELECT o_orderkey FROM orders
                GROUP BY o_orderkey HAVING count(*) > 1))
-         ) ORDER BY "check""""
+         ) ORDER BY "check"""",
+
+    // χ² replay: exact BIGINT observed/marginal counts, the identical
+    // closed-form per-cell IEEE expression, exact DECIMAL(38,6) total.
+    "agg_chisq" ->
+      """WITH o AS (SELECT o_orderstatus AS status,
+                          o_orderpriority AS priority FROM orders),
+         cells AS (SELECT status, priority, count(*) AS obs
+                   FROM o GROUP BY 1, 2),
+         rts AS (SELECT status, count(*) AS rt FROM o GROUP BY 1),
+         cts AS (SELECT priority, count(*) AS ct FROM o GROUP BY 1),
+         nD AS (SELECT count(*) AS nn FROM o),
+         scored AS (SELECT c.status, c.priority, c.obs, r.rt, t.ct, n.nn,
+                      CAST(c.obs * n.nn - r.rt * t.ct AS DOUBLE) AS dd,
+                      CAST(r.rt AS DOUBLE) * t.ct / n.nn AS expected
+                    FROM cells c
+                    JOIN rts r ON c.status = r.status
+                    JOIN cts t ON c.priority = t.priority
+                    CROSS JOIN nD n),
+         contribs AS (SELECT status, priority, obs, expected,
+                        dd * dd / (CAST(rt AS DOUBLE) * ct * nn) AS contrib
+                      FROM scored),
+         tot AS (SELECT CAST(round(sum(CAST(contrib AS DECIMAL(38, 6))), 6)
+                   AS DOUBLE) AS chi2,
+                   (count(DISTINCT status) - 1)
+                     * (count(DISTINCT priority) - 1) AS df
+                 FROM contribs)
+         SELECT c.status, c.priority, c.obs,
+                round(c.expected, 4) AS expected,
+                round(c.contrib, 6) AS contrib, t.chi2, t.df
+         FROM contribs c CROSS JOIN tot t
+         ORDER BY c.status, c.priority"""
   )
 }

@@ -492,6 +492,60 @@ object TextOps {
         .groupBy("event_type", "masked", "had_email", "had_digits")
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "masked", "had_email", "had_digits")
+    }),
+
+    "text_html_strip" -> ((s, d) => {
+      // HTML boilerplate removal — stage one of every web-crawl
+      // curation pipeline (strip markup, drop script/style/nav/footer
+      // chrome, decode entities, collapse whitespace) and the step
+      // whose quality decides everything downstream. The fixture holds
+      // clean text, so the page is CONSTRUCTED deterministically
+      // per row (title/nav/script/style/footer chrome around the
+      // entity-escaped document body) — which makes the constructor
+      // double as ground truth: `extract_ok` proves the extractor
+      // returns exactly the text that went in, per row, in both
+      // engines. Cost shape: map-only codegen'd regex chain, zero
+      // shuffles; patterns stay in the Java∩RE2 subset (no
+      // backreferences — nav and footer are separate patterns), so
+      // the oracle replays them verbatim. Entity decode runs in
+      // reverse encode order (&lt;/&gt; before &amp;) — the standard
+      // trick that makes escape∘unescape the identity even for text
+      // that already contains entity-looking sequences.
+      val esc = "replace(replace(replace(text, '&', '&amp;'), " +
+        "'<', '&lt;'), '>', '&gt;')"
+      val page = "concat('<html><head><title>Doc ', doc_id, " +
+        "'</title><style>p{margin:0;padding:0}</style>" +
+        "<script type=\"text/javascript\">var n=1; if(n<2){n=2}</script>" +
+        "</head><body><nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About</a></li></ul></nav><h1>', " +
+        s"source, '</h1><p class=\"main\">', $esc, " +
+        "'</p><footer>&copy; 2026 corpus &amp; crawler</footer>" +
+        "</body></html>')"
+      val doc = Tables.documents(s, d)
+        .withColumn("page", expr(page))
+      val noBlocks = Seq("script", "style", "nav", "footer")
+        .foldLeft(col("page")) { (c, tag) =>
+          regexp_replace(c, s"(?s)<$tag[^>]*>.*?</$tag>", " ")
+        }
+      val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+      val decoded = expr(
+        "replace(replace(replace(__notags, '&lt;', '<'), " +
+          "'&gt;', '>'), '&amp;', '&')")
+      val cleaned = doc
+        .withColumn("__notags", noTags)
+        .withColumn("clean",
+          trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " ")))
+        .withColumn("expected", trim(regexp_replace(
+          expr("concat('Doc ', doc_id, ' ', source, ' ', text)"),
+          "[ \\t\\r\\n]+", " ")))
+      cleaned.select(col("doc_id"),
+          substring(col("clean"), 1, 60).as("prefix"),
+          length(col("page")).as("raw_len"),
+          length(col("clean")).as("clean_len"),
+          round(length(col("clean")).cast(DoubleType)
+            / length(col("page")), 4).as("retained"),
+          (col("clean") === col("expected")).as("extract_ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -834,6 +888,48 @@ object TextOps {
              count(*) AS n
          FROM events
          GROUP BY event_type, masked, had_email, had_digits
-         ORDER BY event_type, masked, had_email, had_digits"""
+         ORDER BY event_type, masked, had_email, had_digits""",
+
+    // Replays the page constructor and the strip chain verbatim (same
+    // Java∩RE2 patterns, DuckDB's regexp_replace needs the explicit 'g'
+    // flag for the global semantics Spark has by default).
+    "text_html_strip" ->
+      """WITH pages AS (SELECT doc_id, source, text,
+             concat('<html><head><title>Doc ', doc_id,
+               '</title><style>p{margin:0;padding:0}</style>',
+               '<script type="text/javascript">var n=1; if(n<2){n=2}</script>',
+               '</head><body><nav><ul><li><a href="/">Home</a></li>',
+               '<li><a href="/about">About</a></li></ul></nav><h1>',
+               source, '</h1><p class="main">',
+               replace(replace(replace(text, '&', '&amp;'),
+                 '<', '&lt;'), '>', '&gt;'),
+               '</p><footer>&copy; 2026 corpus &amp; crawler</footer>',
+               '</body></html>') AS page
+           FROM documents),
+         stripped AS (SELECT doc_id, source, text, page,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               page,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+               '(?s)<footer[^>]*>.*?</footer>', ' ', 'g') AS noblocks
+           FROM pages),
+         cleaned AS (SELECT doc_id, page,
+             trim(regexp_replace(
+               replace(replace(replace(
+                 regexp_replace(noblocks, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+               '[ \t\r\n]+', ' ', 'g')) AS clean,
+             trim(regexp_replace(
+               concat('Doc ', doc_id, ' ', source, ' ', text),
+               '[ \t\r\n]+', ' ', 'g')) AS expected
+           FROM stripped)
+         SELECT doc_id, substring(clean, 1, 60) AS prefix,
+                CAST(length(page) AS INTEGER) AS raw_len,
+                CAST(length(clean) AS INTEGER) AS clean_len,
+                round(CAST(length(clean) AS DOUBLE) / length(page), 4)
+                  AS retained,
+                clean = expected AS extract_ok
+         FROM cleaned ORDER BY doc_id"""
   )
 }

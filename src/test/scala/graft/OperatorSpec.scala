@@ -1278,4 +1278,61 @@ class OperatorSpec extends AnyFunSuite {
     val recall = got.keys.count(truth.toSet) .toDouble / truth.size
     assert(recall >= 0.3, f"range-search recall $recall%.2f below floor")
   }
+
+  test("sim_pca_power: unit loading, eigval near the true dominant eigenvalue") {
+    val rows = q("sim_pca_power").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length === 64, "one row per dimension")
+    val norm2 = rows.map(r => r._3 * r._3).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"loading not unit-norm: $norm2")
+    val eig = rows.head._4
+    assert(rows.forall(_._4 === eig), "eigval is a shared scalar")
+    // Ground truth: exact covariance from the collected corpus (test-only
+    // collect — 500×64 at sf0.001), dominant eigenvalue by 50 power
+    // rounds. Rayleigh quotients of power iterates increase monotonically
+    // to λ₁, so the 5-round estimate is a LOWER bound; the floor is 0.8
+    // because this fixture's spectrum is nearly flat (λ₂/λ₁ ≈ 0.93 at
+    // sf0.001 — measured 0.87 here, 0.96+ at sf0.1 where the spectrum
+    // separates). Convergence RATE is a property of the data, not the
+    // operator; the operator contract is monotone improvement + the
+    // upper bound.
+    val vecs = Tables.embeddings(spark, Spec.sf001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length; val d = 64
+    val mu = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val c = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / n)
+    var v = Array.fill(d)(1.0 / 8.0)
+    (1 to 50).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nr = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nr)
+    }
+    val lam1 = (0 until d).map(i =>
+      (0 until d).map(j => v(i) * c(i)(j) * v(j)).sum).sum
+    assert(eig <= lam1 + 1e-6, s"Rayleigh estimate $eig exceeds λ₁ $lam1")
+    assert(eig >= lam1 * 0.8, s"5-round estimate $eig below 80% of λ₁ $lam1")
+  }
+
+  test("agg_chisq: contributions reconcile, marginals exact, χ² matches a scalar replay") {
+    val rows = q("agg_chisq").collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getLong(6)))
+    val n = Tables.orders(spark, Spec.sf001).count()
+    assert(rows.map(_._3).sum === n, "observed counts partition the table")
+    val chi2 = rows.head._6
+    assert(rows.forall(_._6 === chi2) && chi2 >= 0.0)
+    // expected counts reproduce the marginal products; contributions are
+    // (o-e)²/e within rounding of the output's own columns
+    rows.foreach { case (st, pr, obs, exp, contrib, _, _) =>
+      val c = (obs - exp) * (obs - exp) / exp
+      assert(math.abs(c - contrib) < 1e-3, s"($st,$pr): $c vs $contrib")
+    }
+    assert(math.abs(rows.map(_._5).sum - chi2) < 1e-3,
+      "per-cell contributions sum to the reported χ²")
+    assert(rows.head._7 === (rows.map(_._1).distinct.length - 1).toLong *
+      (rows.map(_._2).distinct.length - 1), "degrees of freedom")
+  }
 }

@@ -546,6 +546,68 @@ object TextOps {
             / length(col("page")), 4).as("retained"),
           (col("clean") === col("expected")).as("extract_ok"))
         .orderBy("doc_id")
+    }),
+
+    "text_bpe_train" -> ((s, d) => {
+      // BPE vocabulary training — learn the first 6 merge rules over
+      // the corpus, the algorithm behind every production subword
+      // tokenizer. The 100 TB shape is the critical part: the corpus
+      // collapses to a WORD-FREQUENCY table in one groupBy (vocab-
+      // sized, not corpus-sized — exactly how fastBPE/HuggingFace
+      // train), and every merge round then runs on that small table:
+      // pair-count aggregate (map-side partial over ≤len-1 pairs per
+      // word) → argmax by the (count DESC, pair ASC) total order →
+      // broadcast the ONE winning rule into a map-only merge apply.
+      // Words are space-joined symbol strings with sentinel spaces;
+      // applying a merge is 4 chained replace() calls of ' a b '→' ab '
+      // — each pass merges every other occurrence of an overlapping
+      // run, and 4 passes cover the longest run a ≤20-char word can
+      // hold, reproducing greedy left-to-right BPE exactly. The word
+      // filter keeps ^[a-z]+$ tokens so ' ' is a safe separator
+      // (production reserves a separator byte instead). Fully
+      // deterministic: integer counts, lexicographic tie-break, same
+      // replace semantics in both engines.
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 20)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), col("cnt"),
+          concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')"))
+            .as("repr"))
+      def mergeRound(state: (DataFrame, Seq[DataFrame]),
+                     step: Int): (DataFrame, Seq[DataFrame]) = {
+        val (wr, acc) = state
+        val pairs = wr
+          .withColumn("sy", expr(
+            "filter(split(trim(repr), ' '), x -> x != '')"))
+          // single-symbol words hold no pairs — and Spark's sequence()
+          // would DESCEND for size 1 (sequence(0,-1) = [0,-1]), so the
+          // guard is correctness, not just economy
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(sy) - 2)," +
+              " i -> struct(sy[i] AS a, sy[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("pcnt"))
+        val best = pairs.orderBy(col("pcnt").desc, col("a"), col("b"))
+          .limit(1)
+          .select(col("a"), col("b"), col("pcnt"),
+            concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
+              .as("pat"),
+            concat(lit(" "), col("a"), col("b"), lit(" ")).as("rep"))
+        val applied = wr.crossJoin(broadcast(best))
+          .withColumn("repr",
+            expr("replace(replace(replace(replace(repr," +
+              " pat, rep), pat, rep), pat, rep), pat, rep)"))
+          .select(col("w"), col("cnt"), col("repr"))
+        val rule = best.select(lit(step).as("step"), col("a").as("lhs"),
+          col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
+          col("pcnt").as("pair_cnt"))
+        (applied, acc :+ rule)
+      }
+      val (_, rules) =
+        (1 to 6).foldLeft((words, Seq.empty[DataFrame]))(mergeRound)
+      rules.reduce(_.unionAll(_)).orderBy("step")
     })
   )
 
@@ -930,6 +992,46 @@ object TextOps {
                 round(CAST(length(clean) AS DOUBLE) / length(page), 4)
                   AS retained,
                 clean = expected AS extract_ok
-         FROM cleaned ORDER BY doc_id"""
+         FROM cleaned ORDER BY doc_id""",
+
+    // Replays the 6 merge rounds verbatim: same word filter, same
+    // sentinel symbol strings, same (count DESC, pair ASC) argmax, and
+    // the same 4-pass replace() apply per round.
+    "text_bpe_train" ->
+      s"""WITH words AS (SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= 20
+           GROUP BY 1),
+         repr1 AS (SELECT w, cnt,
+             ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr
+           FROM words),
+         ${(1 to 6).map(bpeRound).mkString(",\n         ")}
+         SELECT step, a AS lhs, b AS rhs, a || b AS merged,
+                CAST(pcnt AS BIGINT) AS pair_cnt
+         FROM (${(1 to 6).map(k =>
+             s"SELECT $k AS step, a, b, pcnt FROM best$k")
+           .mkString(" UNION ALL ")})
+         ORDER BY step"""
   )
+
+  /** One BPE oracle round: symbol lists, lateral pair positions,
+    * pair-count argmax with the lexicographic tie-break, 4-pass merge
+    * apply — mirrors the Spark `mergeRound` term for term. */
+  private def bpeRound(k: Int): String =
+    s"""sy$k AS (SELECT w, cnt,
+           list_filter(string_split(trim(repr), ' '), x -> x <> '') AS sy
+         FROM repr$k),
+       px$k AS (SELECT cnt, sy, unnest(range(1, len(sy))) AS i FROM sy$k),
+       pairs$k AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(cnt) AS pcnt
+         FROM px$k GROUP BY 1, 2),
+       best$k AS (SELECT a, b, pcnt,
+           ' ' || a || ' ' || b || ' ' AS pat,
+           ' ' || a || b || ' ' AS rep
+         FROM pairs$k ORDER BY pcnt DESC, a, b LIMIT 1),
+       repr${k + 1} AS (SELECT w, cnt,
+           replace(replace(replace(replace(repr,
+             b.pat, b.rep), b.pat, b.rep), b.pat, b.rep), b.pat, b.rep)
+             AS repr
+         FROM repr$k CROSS JOIN best$k b)"""
 }

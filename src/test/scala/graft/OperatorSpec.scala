@@ -1335,4 +1335,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.head._7 === (rows.map(_._1).distinct.length - 1).toLong *
       (rows.map(_._2).distinct.length - 1), "degrees of freedom")
   }
+
+  test("text_bpe_train: merges match a reference greedy BPE trainer") {
+    // Reference implementation: textbook BPE over the same word-freq
+    // table (collected — test-only), with the same (count DESC, pair
+    // ASC) tie-break and TRUE greedy left-to-right merge application.
+    // Matching it proves the 4-pass replace() apply is exact, not just
+    // plausible.
+    val words = scala.collection.mutable.Map[Vector[String], Long]()
+    Tables.documents(spark, Spec.sf001).select("text").collect().foreach {
+      r =>
+        r.getString(0).toLowerCase.split("\\s+")
+          .filter(w => w.matches("^[a-z]+$") && w.length <= 20)
+          .foreach { w =>
+            val k = w.map(_.toString).toVector
+            words(k) = words.getOrElse(k, 0L) + 1L
+          }
+    }
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    var vocab = words.toMap
+    val expected = (1 to 6).map { step =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, cnt) =>
+        syms.zip(syms.tail).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + cnt
+        }
+      }
+      val (a, b) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+      val cnt = pairs((a, b))
+      vocab = vocab.groupMapReduce { case (syms, _) =>
+        mergeWord(syms, a, b)
+      }(_._2)(_ + _)
+      (step, a, b, a + b, cnt)
+    }
+    val got = q("text_bpe_train").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got === expected)
+  }
 }

@@ -447,6 +447,43 @@ object GraphOps {
         .orderBy("u", "rnk")
     }),
 
+    "graph_adamic_adar" -> ((s, d) => {
+      // Adamic–Adar link prediction — the classic refinement of
+      // common-neighbor counting: each shared neighbor v contributes
+      // 1/ln(deg(v)), so rare mutual contacts weigh more than hubs
+      // everyone shares. Same probe-batch wedge shape (and cost bound)
+      // as graph_link_predict; the only addition is one node-keyed
+      // join to fetch the wedge MIDDLE's degree. Determinism: the
+      // per-wedge weight is one closed-form IEEE expression on an
+      // integer degree (the agg_entropy ln discipline) floored into
+      // fixed-point, so the (u, w) score sum is an order-free LONG —
+      // ranks can never flip on accumulation order; ties break by w.
+      val u = und(s, d)
+      val probes = degrees(s, d)
+        .orderBy(md5(col("node").cast(StringType)), col("node"))
+        .select(col("node").as("u")).limit(20)
+      val uv = u.join(broadcast(probes), col("src") === col("u"))
+        .select(col("u"), col("dst").as("v"))
+      val deg = degrees(s, d).select(col("node").as("v"), col("degree"))
+      val wedges = uv.join(u, col("v") === col("src"))
+        .filter(col("dst") =!= col("u"))
+        .select(col("u"), col("v"), col("dst").as("w"))
+        .join(deg, "v")
+      val aa = wedges.groupBy("u", "w")
+        .agg(count(lit(1)).as("cn"),
+          sum(floor(lit(1.0) / log(col("degree").cast(DoubleType))
+            * graft.Det.FixedPoint)).as("aal"))
+      val nonEdge = aa.join(broadcast(uv.select(col("u"), col("v").as("w"))),
+        Seq("u", "w"), "left_anti")
+      val wN = Window.partitionBy("u").orderBy(col("aal").desc, col("w"))
+      nonEdge.withColumn("rnk", row_number().over(wN).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select(col("u"), col("w"), col("cn"),
+          round(col("aal").cast(DoubleType) / graft.Det.FixedPoint, 6)
+            .as("aa"), col("rnk"))
+        .orderBy("u", "rnk")
+    }),
+
     "graph_khop" -> ((s, d) => {
       // Bounded-hop reachability (3 hops) from a seed set — the
       // contamination-spread / neighborhood-expansion primitive. Seeds:
@@ -673,6 +710,34 @@ object GraphOps {
                   CAST(row_number() OVER (PARTITION BY u
                     ORDER BY cn DESC, w) AS INTEGER) AS rnk
            FROM ne) WHERE rnk <= 3 ORDER BY u, rnk""",
+
+    // Same wedge/probe/anti-join chain as link_predict plus the middle-
+    // degree join; the 1/ln(degree) weight replays as the identical
+    // closed-form IEEE expression floored into the fixed-point long sum.
+    "graph_adamic_adar" ->
+      s"""WITH $edgeCtes,
+         probes AS (SELECT node AS u FROM deg
+                    ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 20),
+         uv AS (SELECT p.u, un.dst AS v FROM und un
+                JOIN probes p ON un.src = p.u),
+         wedges AS (SELECT uv.u, uv.v, un.dst AS w FROM uv
+                    JOIN und un ON un.src = uv.v
+                    WHERE un.dst <> uv.u),
+         wd AS (SELECT we.u, we.w, d.degree FROM wedges we
+                JOIN deg d ON d.node = we.v),
+         aa AS (SELECT u, w, count(*) AS cn,
+                  sum(CAST(floor(1.0 / ln(CAST(degree AS DOUBLE))
+                    * 1099511627776.0) AS BIGINT)) AS aal
+                FROM wd GROUP BY 1, 2),
+         ne AS (SELECT a.u, a.w, a.cn, a.aal FROM aa a
+                WHERE NOT EXISTS (SELECT 1 FROM uv e
+                                  WHERE e.u = a.u AND e.v = a.w))
+         SELECT u, w, cn,
+                round(CAST(aal AS DOUBLE) / 1099511627776.0, 6) AS aa, rnk
+         FROM (SELECT u, w, cn, aal,
+                      CAST(row_number() OVER (PARTITION BY u
+                        ORDER BY aal DESC, w) AS INTEGER) AS rnk
+               FROM ne) WHERE rnk <= 3 ORDER BY u, rnk""",
 
     "graph_kcore" ->
       s"""WITH $edgeCtes,

@@ -1382,4 +1382,24 @@ class OperatorSpec extends AnyFunSuite {
         r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(got === expected)
   }
+
+  test("graph_adamic_adar: scores bounded by degree extremes, ranks total-ordered") {
+    val rows = q("graph_adamic_adar").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // every common neighbor contributes 1/ln(deg) with deg ∈ [2, maxDeg]
+    // (a wedge middle has ≥2 edges), so cn/ln(maxDeg) ≤ aa ≤ cn/ln(2)
+    val maxDeg = q("graph_degree_stats")
+      .agg(max(col("degree"))).head().getLong(0)
+    rows.foreach { case (u, w, cn, aa, _) =>
+      assert(aa <= cn / math.log(2.0) + 1e-6, s"($u,$w) aa $aa above cn/ln2")
+      assert(aa >= cn / math.log(maxDeg.toDouble) - 1e-6,
+        s"($u,$w) aa $aa below cn/ln(maxDeg)")
+    }
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._5).sorted.toSeq === (1 to rs.length),
+        s"probe $u ranks not contiguous")
+    }
+  }
 }

@@ -568,9 +568,16 @@ object SimOps {
         .select(col("i"), col("j"),
           ((col("sl").cast(DoubleType) / fx) / col("nn"))
             .cast(FloatType).cast(DoubleType).as("cval"))
+      // Materialize the 4 096-row matrix ONCE: every one of the 5
+      // rounds (and the Rayleigh contraction) references covFull, and
+      // each round references its input twice (w and ‖w‖) — without
+      // truncation Spark would recompute the covariance scan 2⁵⁺ times
+      // (the iterative-lineage explosion the graph rounds checkpoint
+      // against; measured 60 s → ~2 s at sf0.1).
       val covFull = cov.union(
         cov.filter(col("i") < col("j"))
           .select(col("j"), col("i"), col("cval")))
+        .localCheckpoint()
       val v0 = s.range(1, 65).select(col("id").as("pos"),
         lit(0.125).as("vv")) // uniform unit start: 64·(1/8)² = 1 exactly
       def step(v: DataFrame): DataFrame = {
@@ -584,6 +591,7 @@ object SimOps {
         w.crossJoin(broadcast(nrm))
           .select(col("pos"),
             (col("w") / col("nr")).cast(FloatType).cast(DoubleType).as("vv"))
+          .localCheckpoint() // 64 rows; truncates the doubled lineage
       }
       val v5 = step(step(step(step(step(v0)))))
       val vj = v5.select(col("pos").as("jp"), col("vv").as("vvj"))

@@ -574,6 +574,16 @@ object TextOps {
         .select(col("w"), col("cnt"),
           concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')"))
             .as("repr"))
+        // vocab-sized; materialized once — every round reads its
+        // predecessor twice (pair count + merge apply), so untruncated
+        // lineage would rescan the corpus 2⁶ times (the graph-rounds
+        // checkpoint discipline). Coalesced hard: after the corpus
+        // collapses to word frequencies the table is vocab-sized, and
+        // 6 rounds × 3 jobs over 32 near-empty partitions is pure
+        // scheduling overhead (15 s → 2.6 s at sf0.1 for the two fixes
+        // together; production sizes partitions to vocab/64Ki).
+        .coalesce(1)
+        .localCheckpoint()
       def mergeRound(state: (DataFrame, Seq[DataFrame]),
                      step: Int): (DataFrame, Seq[DataFrame]) = {
         val (wr, acc) = state
@@ -600,6 +610,8 @@ object TextOps {
             expr("replace(replace(replace(replace(repr," +
               " pat, rep), pat, rep), pat, rep), pat, rep)"))
           .select(col("w"), col("cnt"), col("repr"))
+          .coalesce(1)
+          .localCheckpoint() // per-round truncation, same rationale
         val rule = best.select(lit(step).as("step"), col("a").as("lhs"),
           col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
           col("pcnt").as("pair_cnt"))

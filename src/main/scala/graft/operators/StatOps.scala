@@ -424,8 +424,80 @@ object StatOps {
           round(col("contrib"), 6).as("contrib"),
           col("chi2"), col("df"))
         .orderBy("status", "priority")
+    }),
+
+    "agg_multireg" -> ((s, d) => {
+      // Two-feature OLS (net revenue ~ gross price + discount; the
+      // true surface y = x1·(1−x2) is bilinear, so the linear fit
+      // recovers β₁ ≈ 1−E[x2] with R² ≈ 0.999 — OperatorSpec pins
+      // that floor and the residual structure) by the normal
+      // equations — multiple regression as ONE distributed pass: the
+      // nine moment sums (map-side partial, exact DECIMAL(38,8)
+      // accumulation) collapse the fact table to a single row, and the
+      // 3×3 solve is Cramer's rule on that row — closed-form double
+      // arithmetic built from THE SAME expression strings the oracle
+      // embeds (regSolveSql is shared verbatim), so both engines run
+      // identical IEEE ops on identical inputs. This is how OLS runs
+      // at 100 TB: moments are an aggregate, the solve is O(p³) on
+      // the driver-sized result — never an iterative pass over data.
+      Tables.lineitem(s, d)
+        .selectExpr(RegBase: _*)
+        .selectExpr(RegSums: _*)
+        .selectExpr(RegSolve: _*)
     })
   )
+
+  /** Feature projections for agg_multireg — shared verbatim with the
+    * oracle so per-row doubles are identical IEEE in both engines. */
+  private val RegBase: Seq[String] = Seq(
+    "CAST(l_extendedprice AS DOUBLE) AS x1",
+    "CAST(l_discount AS DOUBLE) AS x2",
+    "CAST(l_extendedprice AS DOUBLE)" +
+      " * (1.0 - CAST(l_discount AS DOUBLE)) AS y")
+
+  /** Exact moment-sum projections for agg_multireg — aggregate SQL
+    * shared verbatim with the DuckDB oracle (DECIMAL(38,8) sums, one
+    * cast to DOUBLE at the end). */
+  private val RegSums: Seq[String] = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(sum(CAST(x1 AS DECIMAL(38,8))) AS DOUBLE) AS sx1",
+    "CAST(sum(CAST(x2 AS DECIMAL(38,8))) AS DOUBLE) AS sx2",
+    "CAST(sum(CAST(x1 * x1 AS DECIMAL(38,8))) AS DOUBLE) AS sx11",
+    "CAST(sum(CAST(x2 * x2 AS DECIMAL(38,8))) AS DOUBLE) AS sx22",
+    "CAST(sum(CAST(x1 * x2 AS DECIMAL(38,8))) AS DOUBLE) AS sx12",
+    "CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy",
+    "CAST(sum(CAST(x1 * y AS DECIMAL(38,8))) AS DOUBLE) AS sx1y",
+    "CAST(sum(CAST(x2 * y AS DECIMAL(38,8))) AS DOUBLE) AS sx2y",
+    "CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy")
+
+  /** 3×3 determinant by cofactor expansion — one explicit association
+    * so both engines execute the identical IEEE op sequence. */
+  private def det3(a: String, b: String, c: String, d: String, e: String,
+                   f: String, g: String, h: String, i: String): String =
+    s"(($a)*(($e)*($i)-($f)*($h)) - ($b)*(($d)*($i)-($f)*($g))" +
+      s" + ($c)*(($d)*($h)-($e)*($g)))"
+
+  /** Cramer solve + R² projections over the moment row — shared
+    * verbatim with the oracle. */
+  private val RegSolve: Seq[String] = {
+    val detM = det3("n", "sx1", "sx2", "sx1", "sx11", "sx12",
+      "sx2", "sx12", "sx22")
+    val det0 = det3("sy", "sx1", "sx2", "sx1y", "sx11", "sx12",
+      "sx2y", "sx12", "sx22")
+    val det1 = det3("n", "sy", "sx2", "sx1", "sx1y", "sx12",
+      "sx2", "sx2y", "sx22")
+    val det2 = det3("n", "sx1", "sy", "sx1", "sx11", "sx1y",
+      "sx2", "sx12", "sx2y")
+    val (b0, b1, b2) = (s"($det0)/($detM)", s"($det1)/($detM)",
+      s"($det2)/($detM)")
+    Seq(
+      "CAST(n AS BIGINT) AS n",
+      s"round($b0, 6) AS beta0",
+      s"round($b1, 6) AS beta1",
+      s"round($b2, 6) AS beta2",
+      s"round(1.0 - (syy - ($b0)*sy - ($b1)*sx1y - ($b2)*sx2y)" +
+        " / (syy - sy*sy/n), 6) AS r2")
+  }
 
   val oracles: Map[String, String] = Map(
     // Replays the sketch cell-for-cell: same md5 hash family (seeded by
@@ -663,6 +735,17 @@ object StatOps {
                 round(c.expected, 4) AS expected,
                 round(c.contrib, 6) AS contrib, t.chi2, t.df
          FROM contribs c CROSS JOIN tot t
-         ORDER BY c.status, c.priority"""
+         ORDER BY c.status, c.priority""",
+
+    // The moment sums and the Cramer solve are THE SAME expression
+    // strings the Spark plan compiles (RegSums / RegSolve) — engine
+    // agreement by construction.
+    "agg_multireg" ->
+      s"""WITH base AS (SELECT ${RegBase.mkString(",\n           ")}
+                FROM lineitem),
+         sums AS (SELECT ${RegSums.mkString(",\n           ")}
+                  FROM base)
+         SELECT ${RegSolve.mkString(",\n           ")}
+         FROM sums"""
   )
 }

@@ -1402,4 +1402,41 @@ class OperatorSpec extends AnyFunSuite {
         s"probe $u ranks not contiguous")
     }
   }
+
+  test("agg_multireg: recovers the bilinear revenue surface, matches a dense solve") {
+    val r = q("agg_multireg").head()
+    val (n, b0, b1, b2, r2) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n === Tables.lineitem(spark, Spec.sf001).count())
+    // y = x1·(1−x2) is almost linear in (x1, x2) over the narrow
+    // discount range, so the fit must be near-perfect and β₁ near
+    // 1−E[discount]; β₂ is negative (more discount, less revenue)
+    assert(r2 >= 0.99, s"r2 $r2")
+    assert(b1 > 0.9 && b1 < 1.0, s"beta1 $b1")
+    assert(b2 < 0.0, s"beta2 $b2")
+    // dense reference solve on the collected rows (test-only)
+    val xs = Tables.lineitem(spark, Spec.sf001)
+      .selectExpr("CAST(l_extendedprice AS DOUBLE)",
+        "CAST(l_discount AS DOUBLE)").collect()
+      .map(row => (row.getDouble(0), row.getDouble(1)))
+    val ys = xs.map { case (x1, x2) => x1 * (1.0 - x2) }
+    val nn = xs.length.toDouble
+    val (sx1, sx2) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val (sx11, sx22) = (xs.map(v => v._1 * v._1).sum,
+      xs.map(v => v._2 * v._2).sum)
+    val sx12 = xs.map(v => v._1 * v._2).sum
+    val sy = ys.sum
+    val sx1y = xs.zip(ys).map { case ((x1, _), y) => x1 * y }.sum
+    val sx2y = xs.zip(ys).map { case ((_, x2), y) => x2 * y }.sum
+    def det(a: Double, b: Double, c: Double, d: Double, e: Double,
+            f: Double, g: Double, h: Double, i: Double) =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val dm = det(nn, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    val rb1 = det(nn, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22) / dm
+    val rb2 = det(nn, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y) / dm
+    assert(math.abs(b1 - rb1) < 1e-4, s"beta1 $b1 vs reference $rb1")
+    assert(math.abs(b2 - rb2) < math.abs(rb2) * 1e-3 + 1e-4,
+      s"beta2 $b2 vs reference $rb2")
+    assert(math.abs(b0) < 5000.0, s"intercept $b0 implausibly large")
+  }
 }

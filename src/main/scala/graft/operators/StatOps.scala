@@ -444,6 +444,35 @@ object StatOps {
         .selectExpr(RegBase: _*)
         .selectExpr(RegSums: _*)
         .selectExpr(RegSolve: _*)
+    }),
+
+    "etl_anomaly_flags" -> ((s, d) => {
+      // APPLIED robust outlier detection — agg_mad turned into the
+      // row-level product a monitoring pipeline actually ships: every
+      // event whose value sits more than 3 MADs from its event-type
+      // cohort median, with the deviation ratio for triage. Median/MAD
+      // (not mean/stddev) because the threshold itself must not move
+      // when the outliers it hunts arrive. Shape: two cohort-keyed
+      // aggregate passes produce a COHORT-COUNT-sized (med, mad) table
+      // that broadcasts back onto the stream — the fact table shuffles
+      // never, and the same plan incrementalizes per partition/day.
+      // Determinism: med/mad interpolate identically in both engines
+      // (the agg_percentile proof), and the flag compare + ratio are
+      // per-row IEEE on identical inputs.
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+          round((col("value") - col("med")) / col("mad"), 4)
+            .as("dev_ratio"))
+        .orderBy("event_id")
     })
   )
 
@@ -746,6 +775,23 @@ object StatOps {
          sums AS (SELECT ${RegSums.mkString(",\n           ")}
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
-         FROM sums"""
+         FROM sums""",
+
+    // Same two-pass median/MAD replay as agg_mad, then the identical
+    // per-row IEEE flag compare and deviation ratio.
+    "etl_anomaly_flags" ->
+      """WITH med AS (SELECT event_type,
+                quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1),
+         stats AS (SELECT e.event_type, min(m.med) AS med,
+                quantile_cont(abs(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN med m ON e.event_type = m.event_type
+              GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+                round(s.med, 4) AS med, round(s.mad, 4) AS mad,
+                round((e.value - s.med) / s.mad, 4) AS dev_ratio
+         FROM events e JOIN stats s ON e.event_type = s.event_type
+         WHERE abs(e.value - s.med) > 3.0 * s.mad
+         ORDER BY e.event_id"""
   )
 }

@@ -211,6 +211,38 @@ object TextOps {
         .limit(20)
     }),
 
+    "text_pmi_collocations" -> ((s, d) => {
+      // Pointwise-mutual-information collocations — the "New York" /
+      // "machine learning" detector: rank bigrams by how much more
+      // often they co-occur than independence predicts,
+      // pmi = ln(c12·N / (c1·c2)), with a min-support floor so rare
+      // flukes can't dominate. Everything derives from the ONE pair
+      // table: both marginals and N fold from c12 at vocab² cost (the
+      // text_bigram_prob discipline — the corpus is scanned once).
+      // Exact long counts; pmi is one closed-form ln on exact ints
+      // (the agg_entropy discipline); ranking ties break on the pair.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("tok").as("w1"), col("nxt").as("w2"))
+      val c12 = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val n = c12.agg(sum(col("c12")).as("nn"))
+      c12.filter(col("c12") >= 5)
+        .join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+        .withColumn("pmi", log(
+          (col("c12").cast(DoubleType) * col("nn").cast(DoubleType))
+            / (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "text_vocab" -> ((s, d) => {
       // Vocabulary richness per source: token volume, type count, and
       // type-token ratio — the Heaps-law profile that flags a source
@@ -675,6 +707,32 @@ object TextOps {
              round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS p
          FROM c12 JOIN c1 ON c12.w1 = c1.w1
          ORDER BY c12 DESC, c12.w1, w2 LIMIT 20""",
+
+    // Same pair-table derivation; pmi replays as the identical
+    // closed-form ln over exact BIGINT counts, ranked on the raw
+    // double with the full (w1, w2) tiebreak.
+    "text_pmi_collocations" ->
+      s"""WITH grams AS (
+           SELECT tok AS w1, nxt AS w2 FROM (
+             SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id, $toksSql AS tokens FROM documents)))
+           WHERE nxt IS NOT NULL),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+         n AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM c12),
+         scored AS (SELECT c12.w1, c12.w2, c12.c12,
+             ln((CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+               / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi
+           FROM c12
+           JOIN c1 ON c12.w1 = c1.w1
+           JOIN c2 ON c12.w2 = c2.w2
+           CROSS JOIN n
+           WHERE c12 >= 5)
+         SELECT w1, w2, c12, round(pmi, 6) AS pmi
+         FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20""",
 
     "text_vocab" ->
       s"""SELECT source, count(*) AS n_tokens,

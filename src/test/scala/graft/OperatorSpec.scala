@@ -1439,4 +1439,31 @@ class OperatorSpec extends AnyFunSuite {
       s"beta2 $b2 vs reference $rb2")
     assert(math.abs(b0) < 5000.0, s"intercept $b0 implausibly large")
   }
+
+  test("etl_anomaly_flags: every flagged row exceeds 3 MADs, none missed") {
+    val rows = q("etl_anomaly_flags").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, t, v, med, mad, ratio) =>
+      assert(math.abs(v - med) > 3.0 * mad - 1e-6, s"$id under-threshold")
+      assert(math.abs(ratio - (v - med) / mad) < 1e-3, s"$id ratio")
+    }
+    // completeness: recompute flags from the raw cohort stats
+    val expected = {
+      val ev = Tables.events(spark, Spec.sf001)
+        .select("event_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      def medOf(xs: Seq[Double]): Double = {
+        val s = xs.sorted; val n = s.length
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      ev.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        val m = medOf(rs.map(_._3).toSeq)
+        val md = medOf(rs.map(x => math.abs(x._3 - m)).toSeq)
+        rs.filter(x => math.abs(x._3 - m) > 3.0 * md).map(_._1).toSeq
+      }.toSet
+    }
+    assert(rows.map(_._1).toSet === expected, "flag set differs from replay")
+  }
 }

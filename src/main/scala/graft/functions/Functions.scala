@@ -244,6 +244,31 @@ object Functions {
           length(col("pfx").cast(BinaryType)).as("n_bytes"),
           length(col("pfx")).as("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    "fn_datetime_tz" -> ((s, d) => {
+      // Timezone conversion surface: from_utc_timestamp /
+      // to_utc_timestamp against FIXED-OFFSET IANA zones (Bangkok +7,
+      // Kolkata +5:30 — no DST in either zone's modern history), so
+      // the oracle can verify Spark's tz database with INDEPENDENT
+      // pure-interval arithmetic instead of trusting a second tz
+      // library (DuckDB's timestamptz rendering is session-TZ
+      // dependent, which a driver-run oracle must not be). The
+      // round_trip flag proves to_utc ∘ from_utc is the identity;
+      // epoch seconds pin the absolute instant. Event times truncate
+      // to whole seconds first (the Det.secs ns/µs rule).
+      Tables.events(s, d)
+        .select(col("event_id"), graft.Det.secs(col("ts")).as("t"))
+        .select(col("event_id"),
+          col("t").as("ts_utc"),
+          from_utc_timestamp(col("t"), "Asia/Bangkok").as("bkk"),
+          from_utc_timestamp(col("t"), "Asia/Kolkata").as("ist"),
+          (to_utc_timestamp(
+            from_utc_timestamp(col("t"), "Asia/Bangkok"), "Asia/Bangkok")
+            === col("t")).as("round_trip"),
+          unix_timestamp(col("t")).as("epoch_s"),
+          hour(from_utc_timestamp(col("t"), "Asia/Kolkata")).as("ist_hour"))
+        .orderBy("event_id")
     })
   )
 
@@ -395,6 +420,20 @@ object Functions {
              CAST(octet_length(encode(pfx)) AS INTEGER) AS n_bytes,
              CAST(length(pfx) AS INTEGER) AS n_chars
          FROM (SELECT doc_id, substring(text, 1, 24) AS pfx FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // Independent arithmetic replay: the fixed zone offsets as plain
+    // INTERVAL adds, epoch via epoch(), round_trip true by identity.
+    "fn_datetime_tz" ->
+      """SELECT event_id,
+             t AS ts_utc,
+             t + INTERVAL 7 HOUR AS bkk,
+             t + INTERVAL 330 MINUTE AS ist,
+             TRUE AS round_trip,
+             CAST(epoch(t) AS BIGINT) AS epoch_s,
+             CAST(hour(t + INTERVAL 330 MINUTE) AS INTEGER)
+               AS ist_hour
+         FROM (SELECT event_id, date_trunc('second', ts) AS t FROM events)
+         ORDER BY event_id"""
   )
 }

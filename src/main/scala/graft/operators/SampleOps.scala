@@ -237,6 +237,47 @@ object SampleOps {
       picked.withColumn("rank", row_number().over(w).cast(IntegerType))
         .select(col("rank"), col("doc_id"), col("n_chars"))
         .orderBy("rank")
+    }),
+
+    "etl_shard_manifest" -> ((s, d) => {
+      // Training-shard manifest — the WebDataset/tar-shard build step:
+      // stream the corpus in a deterministic pseudo-random order
+      // (md5(doc_id), so shards are source/time-decorrelated without
+      // an RNG), cut it into ~16 KiB shards by running byte offset,
+      // and emit per-shard membership stats + an order-free XOR
+      // checksum (what a loader validates before training). A doc
+      // belongs to the shard its START offset falls in — the append-
+      // until-over policy every tar-shard writer uses. Scale shape:
+      // the global offset is the pack_sequences two-level prefix — an
+      // md5-PREFIX block id (contiguous under the md5 order by
+      // construction) gets per-block window cumsums, and only the
+      // 256-row block-total table crosses an unpartitioned window.
+      val shardBytes = 16384L
+      val overhead = 64L // tar header + padding per member
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") + overhead).as("bytes"),
+          md5(col("doc_id").cast(StringType)).as("h"),
+          expr(Det.md5SliceExpr("doc_id", 1, 2)).as("pid"))
+      val pidTotals = docs.groupBy("pid").agg(sum(col("bytes")).as("pt"))
+      val wPid = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pidOff = pidTotals
+        .withColumn("off", coalesce(sum(col("pt")).over(wPid), lit(0L)))
+        .select(col("pid"), col("off"))
+      val wLocal = Window.partitionBy("pid").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(pidOff), "pid")
+        .withColumn("s0",
+          col("off") + coalesce(sum(col("bytes")).over(wLocal), lit(0L)))
+        .withColumn("shard", expr(s"s0 div $shardBytes"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes")).as("n_bytes"),
+          expr("min_by(doc_id, struct(h, doc_id))").as("first_doc"),
+          expr("max_by(doc_id, struct(h, doc_id))").as("last_doc"),
+          expr(s"bit_xor(${Det.md5SliceExpr("doc_id", 1, 15)})")
+            .as("checksum"))
+        .orderBy("shard")
     })
   )
 
@@ -362,6 +403,27 @@ object SampleOps {
                         (acc, x) -> acc * 16 + x) AS DOUBLE), 1.0)
                         / 281474976710656.0 AS u
                FROM documents WHERE n_chars > 0)))
-         WHERE rn <= 30 ORDER BY rn"""
+         WHERE rn <= 30 ORDER BY rn""",
+
+    // DuckDB replays the offsets with ONE global running-sum window
+    // (single-node — fine for the oracle; the Spark side carries the
+    // two-level block construction), same md5 stream order, same
+    // start-offset shard policy, arg_min/arg_max on the distinct md5.
+    "etl_shard_manifest" ->
+      s"""WITH placed AS (
+           SELECT doc_id, n_chars + 64 AS bytes,
+                  md5(CAST(doc_id AS VARCHAR)) AS h,
+                  coalesce(sum(n_chars + 64) OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS s0
+           FROM documents)
+         SELECT CAST(s0 // 16384 AS BIGINT) AS shard,
+                count(*) AS n_docs,
+                CAST(sum(bytes) AS BIGINT) AS n_bytes,
+                arg_min(doc_id, h) AS first_doc,
+                arg_max(doc_id, h) AS last_doc,
+                bit_xor(${Det.md5SliceSql("doc_id", 1, 15)}) AS checksum
+         FROM placed GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -606,6 +606,53 @@ object SimOps {
           round(col("vv"), 6).as("loading"),
           round(col("eig"), 6).as("eigval"))
         .orderBy("pos")
+    }),
+
+    "sample_kcenter" -> ((s, d) => {
+      // Greedy k-center (farthest-point) selection — DIVERSITY
+      // sampling for training data: pick the corpus point farthest
+      // from everything chosen so far, 2-approximation to the optimal
+      // cover. The streaming form keeps one LONG per vector: each
+      // round only measures distance to the ONE new center (broadcast,
+      // 1 row) and folds it with least() — O(k·N·d) total, one
+      // map-only pass per round, no pairwise anything. Per-round
+      // localCheckpoint (the PCA/BPE lesson — each round reads its
+      // predecessor once here, but the argmax reads it too).
+      // Determinism: exact per-term fixed-point l2fx distances, argmax
+      // by the (mindl DESC, vec_id) total order, seed by smallest
+      // md5(vec_id). Output: selection order with each center's
+      // distance-to-set (nonincreasing — the spec pins it) and the
+      // final coverage radius of the whole corpus.
+      graft.functions.L2FixedF.register(s)
+      val fx = graft.Det.FixedPoint
+      val emb = Tables.embeddings(s, d)
+      val c0 = emb
+        .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+        .limit(1)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      var state = emb.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("embedding"),
+          expr("l2fx(embedding, cemb)").as("mindl"))
+        .localCheckpoint()
+      val radius = round(sqrt(col("mindl").cast(DoubleType) / fx), 6)
+      var rules = c0.select(lit(0).as("rnd"), col("cid").as("center_id"),
+        lit(null).cast(DoubleType).as("radius"))
+      for (r <- 1 to 5) {
+        val center = state
+          .orderBy(col("mindl").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+            col("mindl"))
+          .localCheckpoint()
+        rules = rules.unionAll(center.select(lit(r).as("rnd"),
+          col("cid").as("center_id"), radius.as("radius")))
+        state = state.crossJoin(broadcast(center.select("cid", "cemb")))
+          .select(col("vec_id"), col("embedding"),
+            least(col("mindl"), expr("l2fx(embedding, cemb)")).as("mindl"))
+          .localCheckpoint()
+      }
+      val cov = state.agg(max(col("mindl")).as("mindl"))
+        .select(radius.as("coverage"))
+      rules.crossJoin(broadcast(cov)).orderBy("rnd")
     })
   )
 
@@ -1260,8 +1307,52 @@ object SimOps {
                              JOIN v5 vi ON c.i = vi.pos)
          SELECT v5.pos, round(mu.mu, 6) AS mu, round(v5.vv, 6) AS loading,
                 round((SELECT eig FROM lam), 6) AS eigval
-         FROM v5 JOIN mu ON v5.pos = mu.pos ORDER BY v5.pos"""
+         FROM v5 JOIN mu ON v5.pos = mu.pos ORDER BY v5.pos""",
+
+    // k-center replay: same md5 seed, same per-term fixed-point
+    // distances, same (mind DESC, vec_id) argmax and least() fold.
+    "sample_kcenter" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         c0 AS (SELECT vec_id AS cid FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+         m0 AS MATERIALIZED (SELECT e.vec_id,
+             sum(CAST(floor((e.v - c.v) * (e.v - c.v)
+               * 1099511627776.0) AS BIGINT)) AS mind
+           FROM ev e JOIN ev c
+             ON c.vec_id = (SELECT cid FROM c0) AND c.pos = e.pos
+           GROUP BY 1),
+         ${(1 to 5).map(kcRound).mkString(",\n         ")},
+         cov AS (SELECT round(sqrt(CAST(max(mind) AS DOUBLE)
+                   / 1099511627776.0), 6) AS coverage FROM m5),
+         rules AS (
+           SELECT 0 AS rnd, (SELECT cid FROM c0) AS center_id,
+                  CAST(NULL AS DOUBLE) AS radius
+           ${(1 to 5).map(k =>
+             s"UNION ALL SELECT $k, cid, round(sqrt(CAST(mind AS DOUBLE)" +
+               s" / 1099511627776.0), 6) FROM c$k").mkString("\n           ")})
+         SELECT r.rnd, r.center_id, r.radius, c.coverage
+         FROM rules r CROSS JOIN cov c ORDER BY r.rnd"""
   )
+
+  /** One greedy k-center oracle round: argmax of the running min-dist
+    * by the (mind DESC, vec_id) total order, then the streaming
+    * least() fold against the one new center — mirrors the Spark
+    * round term for term. */
+  private def kcRound(k: Int): String =
+    s"""c$k AS MATERIALIZED (SELECT vec_id AS cid, mind FROM m${k - 1}
+         ORDER BY mind DESC, vec_id LIMIT 1),
+       m$k AS MATERIALIZED (SELECT m.vec_id,
+           least(m.mind, dd.d) AS mind
+         FROM m${k - 1} m JOIN (
+           SELECT e.vec_id,
+                  sum(CAST(floor((e.v - c.v) * (e.v - c.v)
+                    * 1099511627776.0) AS BIGINT)) AS d
+           FROM ev e JOIN ev c
+             ON c.vec_id = (SELECT cid FROM c$k) AND c.pos = e.pos
+           GROUP BY 1) dd ON dd.vec_id = m.vec_id)"""
 
   /** One power-iteration oracle round: fixed-point C·v$k contraction,
     * fixed-point norm, one IEEE division, FLOAT-rounded v${k + 1} —

@@ -1466,4 +1466,62 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(rows.map(_._1).toSet === expected, "flag set differs from replay")
   }
+
+  test("etl_shard_manifest: shards partition the corpus in md5 order") {
+    val rows = q("etl_shard_manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, Spec.sf001)
+      .selectExpr("doc_id", "n_chars + 64 AS bytes",
+        "md5(CAST(doc_id AS STRING)) AS h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._2).sum === docs.length, "every doc in one shard")
+    assert(rows.map(_._3).sum === docs.map(_._2).sum, "bytes conserved")
+    // shard ids contiguous from 0; every shard except possibly the last
+    // is filled past the 16 KiB boundary minus its last member
+    assert(rows.map(_._1).sorted.toSeq === rows.indices.map(_.toLong))
+    // first/last docs are consistent with the global md5 stream order:
+    // shard k's last doc hashes before shard k+1's first doc
+    val byShard = rows.sortBy(_._1)
+    val h = docs.map(t => t._1 -> t._3).toMap
+    byShard.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(h(a._4) <= h(b._5) || a._4 == b._5,
+          s"shard ${a._1} last doc out of order vs shard ${b._1}")
+      case _ =>
+    }
+  }
+
+  test("sample_kcenter: greedy farthest-point — radii nonincreasing, coverage bounded") {
+    val rows = q("sample_kcenter").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length === 6)
+    assert(rows.map(_._2).distinct.length === 6, "centers distinct")
+    val radii = rows.tail.map(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"selection radius increased: $a -> $b")
+    case _ =>
+    }
+    val coverage = rows.head._4
+    assert(coverage <= radii.last + 1e-9,
+      "coverage radius exceeds the last selection radius")
+    // greedy property replay: center r really is the farthest point
+    // from centers 0..r-1 (dense check on the collected corpus)
+    val vecs = Tables.embeddings(spark, Spec.sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val chosen = scala.collection.mutable.ArrayBuffer(rows.head._2)
+    rows.tail.foreach { case (_, cid, _, _) =>
+      val far = vecs.keys.maxBy { v =>
+        (chosen.map(c => d2(vecs(v), vecs(c))).min, -v)
+      }
+      assert(far === cid, s"greedy pick mismatch: $far vs $cid")
+      chosen += cid
+    }
+  }
 }

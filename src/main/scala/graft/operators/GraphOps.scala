@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{Stage, Tables}
+import graft.{Det, Stage, Tables}
 
 /** Graph-analytics operator family (round 4i).
   *
@@ -98,6 +98,11 @@ object GraphOps {
     e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
   }
+
+  /** Test hook: the undirected edge list (OperatorSpec validates that
+    * random-walk hops follow real edges). */
+  private[graft] def testUnd(s: SparkSession, d: String): DataFrame =
+    und(s, d)
 
   /** Test hook: the stored per-node degree table (helpers stay
     * private; OperatorSpec recomputes the k-core threshold from it). */
@@ -484,6 +489,46 @@ object GraphOps {
         .orderBy("u", "rnk")
     }),
 
+    "graph_random_walk" -> ((s, d) => {
+      // Deterministic random walks — the node2vec/DeepWalk INPUT
+      // generator: from each seed, a 3-step walk whose "random"
+      // neighbor choice is md5(walk, step, node) mod degree over the
+      // dst-sorted adjacency — reproducible across runs, retries and
+      // partitionings (the sample-family rule: hash, never RNG). Shape
+      // at 10⁹ walks: the walk frontier is walks-sized (one row per
+      // active walk); each step is ONE equi-join against the indexed
+      // adjacency on (node, picked-index) — no per-node neighbor
+      // arrays, no skew beyond the adjacency's own (the indexed-edge
+      // row is one tuple regardless of degree). The adjacency index
+      // (row_number per src) is built once and checkpointed; seeds are
+      // the 20 md5-smallest nodes (probe convention).
+      val adj = und(s, d)
+        .withColumn("idx", row_number().over(
+          Window.partitionBy("src").orderBy("dst")) - 1)
+        .localCheckpoint()
+      val dg = degrees(s, d)
+      val seeds = dg
+        .orderBy(md5(col("node").cast(StringType)), col("node"))
+        .select(col("node")).limit(20)
+      var state = seeds.select(col("node").as("walk"),
+        col("node").as("cur"), col("node").cast(StringType).as("path"))
+      for (t <- 1 to 3) {
+        val pick = expr(
+          s"${Det.md5SliceExpr(s"concat(walk, ':', $t, ':', cur)", 1, 8)}" +
+            " % degree").as("pick")
+        state = broadcast(state)
+          .join(dg, col("cur") === col("node"))
+          .select(col("walk"), col("cur"), col("path"), pick)
+          .join(adj, col("cur") === col("src")
+            && col("pick") === col("idx"))
+          .select(col("walk"), col("dst").as("cur"),
+            concat(col("path"), lit("->"),
+              col("dst").cast(StringType)).as("path"))
+      }
+      state.select(col("walk"), col("cur").as("final_node"), col("path"))
+        .orderBy("walk")
+    }),
+
     "graph_khop" -> ((s, d) => {
       // Bounded-hop reachability (3 hops) from a seed set — the
       // contamination-spread / neighborhood-expansion primitive. Seeds:
@@ -628,6 +673,18 @@ object GraphOps {
        deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree
                  FROM und GROUP BY src)"""
 
+  /** One random-walk oracle round: md5(walk:step:node) mod degree
+    * against the dst-sorted adjacency index — mirrors the Spark step
+    * term for term. */
+  private def rwRound(k: Int): String =
+    s"""w$k AS (SELECT w.walk, a.dst AS cur,
+         w.path || '->' || CAST(a.dst AS VARCHAR) AS path
+       FROM w${k - 1} w
+       JOIN deg dg ON dg.node = w.cur
+       JOIN adj a ON a.src = w.cur
+         AND a.idx = ${Det.md5SliceSql(
+           s"w.walk || ':' || $k || ':' || w.cur", 1, 8)} % dg.degree)"""
+
   /** One PageRank oracle round: sums s$k from r$prev, ranks r$k. */
   private def prRound(k: Int): String = {
     val prev = s"r${k - 1}"
@@ -738,6 +795,20 @@ object GraphOps {
                       CAST(row_number() OVER (PARTITION BY u
                         ORDER BY aal DESC, w) AS INTEGER) AS rnk
                FROM ne) WHERE rnk <= 3 ORDER BY u, rnk""",
+
+    // Walk replay: identical dst-sorted adjacency index, identical
+    // md5(walk:step:node) mod degree pick per step.
+    "graph_random_walk" ->
+      s"""WITH $edgeCtes,
+         adj AS MATERIALIZED (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+           FROM und),
+         probes AS (SELECT node FROM deg
+                    ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 20),
+         w0 AS (SELECT node AS walk, node AS cur,
+                  CAST(node AS VARCHAR) AS path FROM probes),
+         ${(1 to 3).map(rwRound).mkString(",\n         ")}
+         SELECT walk, cur AS final_node, path FROM w3 ORDER BY walk""",
 
     "graph_kcore" ->
       s"""WITH $edgeCtes,

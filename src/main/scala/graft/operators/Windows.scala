@@ -26,6 +26,27 @@ object Windows {
   private[operators] val EwmaWeights: IndexedSeq[Double] =
     (0 to 9).map(i => math.pow(0.7, i))
 
+  /** Holt(α=β=0.5) lag weights: A^k·c (input contributions) and
+    * A^k·(1,0)ᵀ (init contribution) for k < 128, where A is the state
+    * transition [[.5,.5],[−.25,.75]]. Computed once here and baked
+    * into BOTH plans as identical shortest-round-trip literals (the
+    * LSH plane-matrix discipline). */
+  private val HoltLags = 128
+  private def holtChain(v0: (Double, Double)): IndexedSeq[(Double, Double)] =
+    Iterator.iterate(v0) { case (l, b) =>
+      (0.5 * l + 0.5 * b, -0.25 * l + 0.75 * b)
+    }.take(HoltLags).toIndexedSeq
+  private lazy val HoltC = holtChain((0.5, 0.25))
+  private lazy val HoltI = holtChain((1.0, 0.0))
+  private def holtArr(xs: Seq[Double], duck: Boolean): String = {
+    val elems = xs.map(x => s"CAST('$x' AS DOUBLE)").mkString(",")
+    if (duck) s"[$elems]" else s"array($elems)"
+  }
+  private lazy val HoltWL = holtArr(HoltC.map(_._1), duck = false)
+  private lazy val HoltWB = holtArr(HoltC.map(_._2), duck = false)
+  private lazy val HoltInitL = holtArr(HoltI.map(_._1), duck = false)
+  private lazy val HoltInitB = holtArr(HoltI.map(_._2), duck = false)
+
   /** Events with 8h-gap session numbers attached (gaps-and-islands):
     * shared core of win_sessionize and etl_user_features. lag and the
     * running sum share ONE (user_id → sec_l, event_id) window spec, so
@@ -407,6 +428,61 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "win_holt" -> ((s, d) => {
+      // Holt double-exponential smoothing (level + trend, α=β=0.5) in
+      // the LINEAR-RECURRENCE → WEIGHTED-SUM form. The textbook
+      // recursion is l←αy+(1−α)(l+b), b←β(l−l_prev)+(1−β)b — a fold,
+      // and a fold is the wrong 100 TB shape (and DuckDB's list_reduce
+      // struct-lambda field-evaluation order proved version-unstable,
+      // so a fold can't cross the oracle gate either). But the
+      // recursion is LINEAR: state_n = Aⁿ·(y₀,0)ᵀ + Σ A^{n−t}·c·y_t
+      // with A=[[.5,.5],[−.25,.75]], c=(.5,.25)ᵀ — so the final state
+      // is a lag-indexed weighted sum of the inputs. The matrix-power
+      // weights are Scala-computed plan literals (the LSH plane-matrix
+      // discipline), each term floors into fixed-point, and the
+      // per-series sum is one order-free aggregate: map-side partial,
+      // no sort, no sequential anything. |eig(A)| = √½ → weights decay
+      // below 1e-19 by lag 128, where the shared table truncates —
+      // both engines drop the identical tail (exact anyway for every
+      // fixture series; a production pipeline extends the array).
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+            " div 86400 AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(graft.Det.sumMoney(col("value")).as("y"))
+      val wSer = Window.partitionBy("event_type").orderBy("day")
+      val fx = graft.Det.FixedPoint
+      val posd = daily
+        .withColumn("pos", row_number().over(wSer) - 1)
+        .withColumn("maxp", count(lit(1)).over(
+          Window.partitionBy("event_type")) - 1)
+      val terms = posd.select(col("event_type"), col("maxp"),
+        when(col("pos") === 0,
+          element_at(expr(HoltInitL), col("maxp").cast(IntegerType) + 1))
+          .otherwise(element_at(expr(HoltWL),
+            (col("maxp") - col("pos")).cast(IntegerType) + 1))
+          .as("wl"),
+        when(col("pos") === 0,
+          element_at(expr(HoltInitB), col("maxp").cast(IntegerType) + 1))
+          .otherwise(element_at(expr(HoltWB),
+            (col("maxp") - col("pos")).cast(IntegerType) + 1))
+          .as("wb"),
+        col("y"))
+      terms.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          (sum(floor(col("wl") * col("y") * fx)).cast(DoubleType) / fx)
+            .as("lvl"),
+          (sum(floor(col("wb") * col("y") * fx)).cast(DoubleType) / fx)
+            .as("trd"))
+        .select(col("event_type"), col("n_days"),
+          round(col("lvl"), 4).as("level"),
+          round(col("trd"), 4).as("trend"),
+          round(col("lvl") + lit(3.0) * col("trd"), 4).as("forecast_3"))
+        .orderBy("event_type")
+    }),
+
     "win_streaks" -> ((s, d) => {
       // Longest consecutive-active-day streak per user — the
       // gaps-and-islands variant every engagement metric needs: dedup
@@ -741,6 +817,50 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey"""
     },
+
+    // Same exact daily aggregate, same lag-weight literals, same
+    // fixed-point weighted sums — the weighted-sum form replays as a
+    // plain aggregate, no fold anywhere (DuckDB's list_reduce
+    // struct-lambda field order proved version-unstable, which is
+    // exactly why the operator avoids folds).
+    "win_holt" ->
+      s"""WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                    AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         warr AS (SELECT ${holtArr(HoltC.map(_._1), duck = true)} AS wl,
+                         ${holtArr(HoltC.map(_._2), duck = true)} AS wb,
+                         ${holtArr(HoltI.map(_._1), duck = true)} AS il,
+                         ${holtArr(HoltI.map(_._2), duck = true)} AS ib),
+         posd AS (SELECT event_type, y,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY day) - 1 AS pos,
+                    count(*) OVER (PARTITION BY event_type) - 1 AS maxp
+                  FROM daily),
+         terms AS (SELECT p.event_type, p.y,
+                     CASE WHEN p.pos = 0
+                          THEN w.il[CAST(p.maxp AS INTEGER) + 1]
+                          ELSE w.wl[CAST(p.maxp - p.pos AS INTEGER) + 1]
+                     END AS wl,
+                     CASE WHEN p.pos = 0
+                          THEN w.ib[CAST(p.maxp AS INTEGER) + 1]
+                          ELSE w.wb[CAST(p.maxp - p.pos AS INTEGER) + 1]
+                     END AS wb
+                   FROM posd p CROSS JOIN warr w),
+         agg AS (SELECT event_type, count(*) AS n_days,
+                   CAST(sum(CAST(floor(wl * y * 1099511627776.0)
+                     AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS lvl,
+                   CAST(sum(CAST(floor(wb * y * 1099511627776.0)
+                     AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS trd
+                 FROM terms GROUP BY 1)
+         SELECT event_type, n_days,
+                round(lvl, 4) AS level,
+                round(trd, 4) AS trend,
+                round(lvl + 3.0 * trd, 4) AS forecast_3
+         FROM agg ORDER BY event_type""",
 
     "win_streaks" ->
       """WITH days AS (

@@ -1524,4 +1524,51 @@ class OperatorSpec extends AnyFunSuite {
       chosen += cid
     }
   }
+
+  test("win_holt: weighted-sum form equals the textbook sequential recursion") {
+    // The operator computes Holt via lag weights; this replays the
+    // recursion AS A FOLD over the same daily series and demands
+    // agreement to output precision — proving the linear-algebra
+    // transform, not just determinism.
+    val daily = Tables.events(spark, Spec.sf001)
+      .selectExpr("event_type",
+        "CAST(unix_timestamp(date_trunc('second', ts)) div 86400 AS BIGINT) AS day",
+        "value")
+      .groupBy("event_type", "day")
+      .agg(graft.Det.sumMoney(col("value")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = q("win_holt").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    daily.groupBy(_._1).foreach { case (t, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      var l = ys.head; var b = 0.0
+      ys.tail.foreach { y =>
+        val nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+      }
+      val (n, lvl, trd, fc) = got(t)
+      assert(n === ys.length.toLong)
+      assert(math.abs(lvl - l) < 1e-3, s"$t level $lvl vs fold $l")
+      assert(math.abs(trd - b) < 1e-3, s"$t trend $trd vs fold $b")
+      assert(math.abs(fc - (l + 3 * b)) < 2e-3, s"$t forecast")
+    }
+  }
+
+  test("graph_random_walk: every step follows a real edge, picks replay") {
+    val rows = q("graph_random_walk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 20)
+    val edges = operators.GraphOps.testUnd(spark, Spec.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (walk, fin, path) =>
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.head === walk && hops.last === fin && hops.length === 4)
+      hops.sliding(2).foreach { case Array(a, b) =>
+        assert(edges((a, b)), s"walk $walk uses non-edge $a->$b")
+      case _ =>
+      }
+    }
+  }
 }

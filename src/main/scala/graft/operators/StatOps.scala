@@ -446,6 +446,30 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_ttest" -> ((s, d) => {
+      // Welch two-sample t-test (click vs view event values) — the
+      // A/B significance primitive. Same moments+closed-form pattern
+      // as agg_multireg: per-cohort n/Σx/Σx² fold map-side in exact
+      // DECIMAL(38,8), the two 1-row cohort frames cross-join, and
+      // the t statistic + Welch–Satterthwaite df are closed-form
+      // doubles built from expression strings shared verbatim with
+      // the oracle. A 100 TB A/B readout is two aggregates and a
+      // scalar — never a second pass.
+      val sums = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .selectExpr("event_type", "CAST(value AS DOUBLE) AS x")
+        .groupBy("event_type")
+        .agg(expr(TMoments(0)).as("n"), expr(TMoments(1)).as("sx"),
+          expr(TMoments(2)).as("sxx"))
+      val a = sums.filter(col("event_type") === "click")
+        .select(col("n").as("n1"), col("sx").as("sx1"),
+          col("sxx").as("sxx1"))
+      val b = sums.filter(col("event_type") === "view")
+        .select(col("n").as("n2"), col("sx").as("sx2"),
+          col("sxx").as("sxx2"))
+      a.crossJoin(broadcast(b)).selectExpr(TSolve: _*)
+    }),
+
     "etl_anomaly_flags" -> ((s, d) => {
       // APPLIED robust outlier detection — agg_mad turned into the
       // row-level product a monitoring pipeline actually ships: every
@@ -475,6 +499,30 @@ object StatOps {
         .orderBy("event_id")
     })
   )
+
+  /** Per-cohort moment aggregates for agg_ttest — shared verbatim
+    * with the oracle. */
+  private val TMoments: Seq[String] = Seq(
+    "CAST(count(*) AS DOUBLE)",
+    "CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE)",
+    "CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE)")
+
+  /** Welch t + Satterthwaite df from the joined cohort moments —
+    * shared verbatim with the oracle (one association per step). */
+  private val TSolve: Seq[String] = {
+    val (m1, m2) = ("(sx1 / n1)", "(sx2 / n2)")
+    val v1 = s"((sxx1 - sx1 * $m1) / (n1 - 1.0))"
+    val v2 = s"((sxx2 - sx2 * $m2) / (n2 - 1.0))"
+    val (se1, se2) = (s"($v1 / n1)", s"($v2 / n2)")
+    val t = s"(($m1 - $m2) / sqrt($se1 + $se2))"
+    val df = s"((($se1 + $se2) * ($se1 + $se2))" +
+      s" / ($se1 * $se1 / (n1 - 1.0) + $se2 * $se2 / (n2 - 1.0)))"
+    Seq(
+      "CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+      s"round($m1, 4) AS mean1", s"round($m2, 4) AS mean2",
+      s"round($v1, 4) AS var1", s"round($v2, 4) AS var2",
+      s"round($t, 4) AS t_stat", s"round($df, 2) AS df")
+  }
 
   /** Feature projections for agg_multireg — shared verbatim with the
     * oracle so per-row doubles are identical IEEE in both engines. */
@@ -776,6 +824,23 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Cohort moments and the Welch solve are the same expression
+    // strings the Spark plan compiles (TMoments / TSolve).
+    "agg_ttest" ->
+      s"""WITH sums AS (
+           SELECT event_type,
+                  ${TMoments(0)} AS n, ${TMoments(1)} AS sx,
+                  ${TMoments(2)} AS sxx
+           FROM (SELECT event_type, CAST(value AS DOUBLE) AS x
+                 FROM events WHERE event_type IN ('click', 'view'))
+           GROUP BY 1),
+         a AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM sums
+               WHERE event_type = 'click'),
+         b AS (SELECT n AS n2, sx AS sx2, sxx AS sxx2 FROM sums
+               WHERE event_type = 'view')
+         SELECT ${TSolve.mkString(",\n           ")}
+         FROM a CROSS JOIN b""",
 
     // Same two-pass median/MAD replay as agg_mad, then the identical
     // per-row IEEE flag compare and deviation ratio.

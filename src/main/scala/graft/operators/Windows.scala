@@ -483,6 +483,49 @@ object Windows {
         .orderBy("event_type")
     }),
 
+    "win_cusum" -> ((s, d) => {
+      // CUSUM drift detection over the daily revenue series — the
+      // changepoint monitor behind "did this metric's level shift".
+      // The textbook recursion S⁺ ← max(0, S⁺ + (x−k)) doesn't frame-
+      // decompose, but it has a closed prefix identity:
+      //   S⁺_t = P_t − min_{j≤t} P_j,   S⁻_t = max_{j≤t} P_j − P_t
+      // with P the running sum of deviations from the reference k —
+      // so the whole detector is window algebra over the pre-
+      // aggregated daily table (three passes sharing ONE window spec:
+      // a single sort, no fold, no state). Everything stays
+      // DECIMAL-exact from the daily sums through the alarm compare;
+      // k is the series mean (one IEEE division, 4-dp rounded, then
+      // back to exact decimal), alarm threshold h = k (one mean day
+      // of accumulated drift).
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+            " div 86400 AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(sum(dec(col("value"))).as("y"))
+      val kRef = daily.groupBy("event_type")
+        .agg(round(sum(col("y")).cast(DoubleType) / count(lit(1)), 4)
+          .cast(graft.Det.Money).as("k"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(kRef), "event_type")
+        .withColumn("p", sum(col("y") - col("k")).over(wOrd))
+        // the prefix min/max must include the EMPTY prefix (P₀ = 0):
+        // S⁺₁ = max(0, d₁) needs the 0 floor when every P is positive
+        .withColumn("minp",
+          least(min(col("p")).over(wOrd), lit(0).cast(graft.Det.Money)))
+        .withColumn("maxp",
+          greatest(max(col("p")).over(wOrd), lit(0).cast(graft.Det.Money)))
+        .select(col("event_type"), col("day"),
+          money(col("y")).as("daily"),
+          money(col("p") - col("minp")).as("cusum_up"),
+          money(col("maxp") - col("p")).as("cusum_dn"),
+          (col("p") - col("minp") > col("k")).as("alarm_up"),
+          (col("maxp") - col("p") > col("k")).as("alarm_dn"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_streaks" -> ((s, d) => {
       // Longest consecutive-active-day streak per user — the
       // gaps-and-islands variant every engagement metric needs: dedup
@@ -861,6 +904,39 @@ object Windows {
                 round(trd, 4) AS trend,
                 round(lvl + 3.0 * trd, 4) AS forecast_3
          FROM agg ORDER BY event_type""",
+
+    // Same decimal-exact prefix identity: P − running-min(P) and
+    // running-max(P) − P over the shared ordered window, identical
+    // IEEE k derivation, exact decimal alarm compare.
+    "win_cusum" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  sum(CAST(value AS DECIMAL(38,4))) AS y
+           FROM events GROUP BY 1, 2),
+         kref AS (SELECT event_type,
+                    CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 4)
+                      AS DECIMAL(38,4)) AS k
+                  FROM daily GROUP BY 1),
+         psum AS (SELECT d.event_type, d.day, d.y, r.k,
+                   sum(d.y - r.k) OVER (PARTITION BY d.event_type
+                     ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS p
+                 FROM daily d JOIN kref r ON d.event_type = r.event_type),
+         pre AS (SELECT event_type, day, y, k, p,
+                   least(min(p) OVER w, CAST(0 AS DECIMAL(38,4))) AS minp,
+                   greatest(max(p) OVER w, CAST(0 AS DECIMAL(38,4))) AS maxp
+                 FROM psum
+                 WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day,
+                CAST(round(y, 4) AS DOUBLE) AS daily,
+                CAST(round(p - minp, 4) AS DOUBLE) AS cusum_up,
+                CAST(round(maxp - p, 4) AS DOUBLE) AS cusum_dn,
+                p - minp > k AS alarm_up,
+                maxp - p > k AS alarm_dn
+         FROM pre ORDER BY event_type, day""",
 
     "win_streaks" ->
       """WITH days AS (

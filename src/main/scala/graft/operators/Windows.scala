@@ -526,6 +526,47 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    "win_seasonal_decompose" -> ((s, d) => {
+      // Additive seasonal decomposition (STL-lite): daily metric =
+      // trend (centered 7-day moving average) + day-of-week seasonal
+      // (mean detrended value per weekday phase) + residual — the
+      // "is Monday always low or is something broken" separation a
+      // metrics pipeline runs before alerting on raw deltas. Three
+      // window/aggregate passes over the DAILY table (never the fact
+      // table): trend shares the series sort, the seasonal means are
+      // a 7-row-per-series aggregate broadcast back, and the residual
+      // is arithmetic. Determinism: daily sums exact decimal; trend is
+      // window-sum/count (one IEEE division); detrended values sum
+      // fixed-point into the seasonal means; residual is the same
+      // IEEE chain in both engines. Edge days use their partial
+      // centered window — standard, and identical cross-engine.
+      val fx = graft.Det.FixedPoint
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+            " div 86400 AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(money(sum(dec(col("value")))).as("y"))
+      val wTr = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("trend", round(
+          sum(col("y").cast(graft.Det.Money)).over(wTr).cast(DoubleType)
+            / count(lit(1)).over(wTr), 4))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+        .withColumn("detr", col("y") - col("trend"))
+      val seas = detr.groupBy("event_type", "dow")
+        .agg(round((sum(floor(col("detr") * fx)).cast(DoubleType) / fx)
+          / count(lit(1)), 4).as("seasonal"))
+      detr.join(broadcast(seas), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("y"), col("trend"),
+          col("seasonal"),
+          round(col("y") - col("trend") - col("seasonal"), 4)
+            .as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_streaks" -> ((s, d) => {
       // Longest consecutive-active-day streak per user — the
       // gaps-and-islands variant every engagement metric needs: dedup
@@ -937,6 +978,37 @@ object Windows {
                 p - minp > k AS alarm_up,
                 maxp - p > k AS alarm_dn
          FROM pre ORDER BY event_type, day""",
+
+    // Same decimal daily series, same centered window trend with the
+    // one IEEE division, same fixed-point seasonal means and residual
+    // chain.
+    "win_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                    AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         detr AS (SELECT event_type, day, y,
+                    round(CAST(sum(CAST(y AS DECIMAL(38,4))) OVER w
+                        AS DOUBLE) / count(*) OVER w, 4) AS trend,
+                    ((day % 7) + 7) % 7 AS dow,
+                    y - round(CAST(sum(CAST(y AS DECIMAL(38,4))) OVER w
+                        AS DOUBLE) / count(*) OVER w, 4) AS detr
+                  FROM daily
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         seas AS (SELECT event_type, dow,
+                    round((CAST(sum(CAST(floor(detr * 1099511627776.0)
+                        AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+                      / count(*), 4) AS seasonal
+                  FROM detr GROUP BY 1, 2)
+         SELECT d.event_type, d.day, d.y, d.trend, s.seasonal,
+                round(d.y - d.trend - s.seasonal, 4) AS residual
+         FROM detr d JOIN seas s
+           ON d.event_type = s.event_type AND d.dow = s.dow
+         ORDER BY d.event_type, d.day""",
 
     "win_streaks" ->
       """WITH days AS (

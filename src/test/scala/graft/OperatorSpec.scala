@@ -1598,6 +1598,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("win_seasonal_decompose: components reconstruct the series, seasonals center") {
+    val rows = q("win_seasonal_decompose").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    rows.foreach { case (t, day, y, tr, se, res) =>
+      assert(math.abs(y - (tr + se + res)) < 1e-3,
+        s"$t day $day components don't reconstruct")
+    }
+    // seasonal effects per series sum to ~0 over the 7 phases (means
+    // of detrended values whose grand mean is near 0)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val phases = rs.map(r => (r._2 % 7, r._5)).distinct
+      assert(phases.length <= 7)
+      val residMean = rs.map(_._6).sum / rs.length
+      assert(math.abs(residMean) < rs.map(_._3).max * 0.1,
+        s"$t residual mean $residMean not centered")
+    }
+  }
+
+  test("etl_quarantine: reasons are correct and complete per rule") {
+    val rows = q("etl_quarantine").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs, n) =>
+      assert(rs.split(",").length === n)
+      assert(rs.split(",").forall(Set("value_extreme", "k_out_of_range",
+        "dup_user_second")))
+    }
+    // completeness of the map-only rules (burst rule needs the window;
+    // checked implicitly by the oracle hash)
+    val flagged = rows.map(_._1).toSet
+    val expect = Tables.events(spark, Spec.sf001)
+      .selectExpr("event_id", "value",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .collect().filter(r => r.getDouble(1) > 200.0 || r.getLong(2) >= 90L)
+      .map(_.getLong(0)).toSet
+    assert(expect.subsetOf(flagged), "map-only violations all flagged")
+  }
+
   test("agg_gini: near 1/3 for the uniform fixture, exact on a known vector") {
     val rows = q("agg_gini").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))

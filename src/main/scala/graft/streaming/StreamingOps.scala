@@ -209,6 +209,36 @@ object StreamingOps {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
         .orderBy("c_mktsegment")
+    }),
+
+    "stream_anomaly" -> ((s, d) => {
+      // Streaming DQ monitor — etl_anomaly_flags turned into the live
+      // alerting shape: the robust (median, MAD) profile is a FROZEN
+      // static table (trained on history, exactly how production
+      // deploys a detector — the threshold must not drift with the
+      // stream it judges), stream-static-joined onto the flow, with
+      // hourly anomaly-rate windows. Batch twin here (the declared
+      // contract); StreamingSpec runs the same plan from a
+      // MemoryStream and proves window-for-window agreement.
+      // Supported-operation note: stream-static join + windowed agg +
+      // append mode is the sanctioned combination (no watermark needed
+      // for the join, one for the window).
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("anom",
+          abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"))
+        .withColumn("anom_rate",
+          round(col("n_anom").cast(DoubleType) / col("n"), 4))
+        .orderBy("ws", "event_type")
     })
   )
 
@@ -314,7 +344,27 @@ object StreamingOps {
       """SELECT c_mktsegment, count(*) AS n,
              CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // Same frozen median/MAD replay as etl_anomaly_flags, same hourly
+    // windows and the one per-window IEEE ratio division.
+    "stream_anomaly" ->
+      """WITH med AS (SELECT event_type,
+                quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1),
+         stats AS (SELECT e.event_type, min(m.med) AS med,
+                quantile_cont(abs(e.value - m.med), 0.5) AS mad
+              FROM events e JOIN med m ON e.event_type = m.event_type
+              GROUP BY 1)
+         SELECT date_trunc('hour', e.ts) AS ws, e.event_type,
+                count(*) AS n,
+                CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * s.mad
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+                round(CAST(sum(CASE WHEN abs(e.value - s.med)
+                        > 3.0 * s.mad THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 4) AS anom_rate
+         FROM events e JOIN stats s ON e.event_type = s.event_type
+         GROUP BY 1, 2 ORDER BY ws, e.event_type"""
   )
 }
 

@@ -45,6 +45,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static anomaly monitor matches its batch twin window-for-window") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen profile (the production deployment shape: trained on
+    // history, static during scoring)
+    val stats = Seq(("a", 10.0, 2.0), ("b", 50.0, 5.0))
+      .toDF("k", "med", "mad")
+    val rows = Seq(
+      (ts(0), "a", 11.0), (ts(1), "a", 30.0), (ts(2), "b", 48.0),
+      (ts(16), "a", 9.5), (ts(17), "b", 100.0), (ts(18), "b", 51.0))
+    def score(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(stats), "k")
+      .withColumn("anom", abs(col("v") - col("med")) > lit(3.0) * col("mad"))
+      .groupBy(window(col("ts"), "15 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anom"))
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = score(in.toDF().toDF("ts", "k", "v"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("anom_out").start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.drop(3)); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT window.start, k, n, n_anom FROM anom_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1.getTime, t._2))
+      val batch = score(rows.toDF("ts", "k", "v"))
+        .select(col("window.start"), col("k"), col("n"), col("n_anom"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1.getTime, t._2))
+      assert(streamed.toSeq === batch.toSeq)
+      // and the anomalies are the right ones: a@30 (|20|>6), b@100 (|50|>15)
+      assert(streamed.map(_._4).sum === 2L)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]

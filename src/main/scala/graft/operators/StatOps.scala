@@ -471,6 +471,55 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_survival_km" -> ((s, d) => {
+      // Kaplan–Meier survival over user activity lifespans — "how
+      // long does a user stay active", with RIGHT-CENSORING done
+      // honestly: users still active on the final observed day are
+      // censored, not counted as churned (the mistake naive retention
+      // queries make). Shape: one fact pass to per-user lifespans,
+      // then everything runs on the DURATION table (≤ observed-days
+      // rows — the documented tiny-frame window exception). The
+      // survival product Π(1 − dᵢ/nᵢ) becomes exp(Σ ln(·)) with the
+      // per-duration ln terms floored into fixed-point and the
+      // running sum exact — order-defined and engine-identical; the
+      // everyone-dies terminal row (d = n) short-circuits to 0 via a
+      // running flag instead of ln(0).
+      val fx = graft.Det.FixedPoint
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+          " div 86400 AS BIGINT)").as("day"))
+      val horizon = ev.agg(max(col("day")).as("hz"))
+      val lif = ev.groupBy("user_id")
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+        .crossJoin(broadcast(horizon))
+        .select((col("ld") - col("fd")).as("t"),
+          (col("ld") >= col("hz")).as("cens"))
+      val tb = lif.groupBy("t").agg(
+        sum(when(col("cens"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+      val totDf = tb.agg(sum(col("d") + col("c")).as("tot"))
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wInc = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tb.crossJoin(broadcast(totDf))
+        .withColumn("n",
+          col("tot") - coalesce(sum(col("d") + col("c")).over(wPrev),
+            lit(0L)))
+        .withColumn("f", when(col("d") > 0 && col("d") < col("n"),
+          floor(log(lit(1.0) - col("d").cast(DoubleType) / col("n"))
+            * fx)).otherwise(lit(0L)))
+        .withColumn("dead",
+          max((col("d") === col("n")).cast(IntegerType)).over(wInc))
+        .withColumn("runf", sum(col("f")).over(wInc))
+        .select(col("t"), col("n").as("n_at_risk"), col("d").as("events"),
+          col("c").as("censored"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(exp(col("runf").cast(DoubleType) / fx), 4))
+            .as("km"))
+        .orderBy("t")
+    }),
+
     "etl_quarantine" -> ((s, d) => {
       // Row-level data-contract enforcement — the quarantine table an
       // ingest publishes next to the clean snapshot: every violating
@@ -920,6 +969,46 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Same lifespan/censoring derivation, same fixed-point ln terms
+    // and running sums, same terminal-row short-circuit.
+    "agg_survival_km" ->
+      """WITH ev AS (SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+               AS day
+           FROM events),
+         hz AS (SELECT max(day) AS hz FROM ev),
+         lif AS (SELECT ld - fd AS t, ld >= (SELECT hz FROM hz) AS cens
+                 FROM (SELECT user_id, min(day) AS fd, max(day) AS ld
+                       FROM ev GROUP BY 1)),
+         tb AS (SELECT t,
+                  CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT)
+                    AS d,
+                  CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+                    AS c
+                FROM lif GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS tot FROM tb),
+         staged AS (SELECT t, d, c,
+                      CAST((SELECT tot FROM tot)
+                        - coalesce(sum(d + c) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS n
+                    FROM tb),
+         scored AS (SELECT t, d, c, n,
+                      CASE WHEN d > 0 AND d < n
+                           THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n)
+                             * 1099511627776.0) AS BIGINT)
+                           ELSE 0 END AS f,
+                      CASE WHEN d = n THEN 1 ELSE 0 END AS deadrow
+                    FROM staged)
+         SELECT t, n AS n_at_risk, d AS events, c AS censored,
+                CASE WHEN max(deadrow) OVER wi = 1 THEN 0.0
+                     ELSE round(exp(CAST(sum(f) OVER wi AS DOUBLE)
+                       / 1099511627776.0), 4) END AS km
+         FROM scored
+         WINDOW wi AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW)
+         ORDER BY t""",
 
     // Same checks in the same construction order; the reason list
     // builds as a filtered literal array in both engines.

@@ -166,6 +166,41 @@ object Sources {
         .orderBy(asc_nulls_last("id"), asc_nulls_last("raw_bad"))
     }),
 
+    "scan_csv_malformed" -> ((s, d) => {
+      // PERMISSIVE CSV — the sibling of scan_json_corrupt for the
+      // other dominant interchange format: a deterministic CSV is
+      // CONSTRUCTED from supplier with every 7th key's acctbal
+      // replaced by a non-numeric token, then read back with an
+      // explicit schema + corrupt-record column. The oracle replays
+      // the CONSTRUCTION (not the file), proving the permissive read
+      // recovers exactly the planted corruption: bad rows preserve
+      // the raw line, good rows parse to the exact decimal. Per-row
+      // malformedness quarantines; the scan never dies — the 100 TB
+      // ingest posture.
+      val path = "/tmp/graft_csv_malformed_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        graft.Stage.inputStamp(s, s"$d/supplier.parquet")
+      graft.Stage.materializeOnce(s, path) {
+        Tables.supplier(s, d)
+          .select(concat_ws(",", col("s_suppkey"), col("s_name"),
+            when(pmod(col("s_suppkey"), lit(7)) === 0, lit("notanumber"))
+              .otherwise(col("s_acctbal").cast(StringType))).as("value"))
+          .write.mode("overwrite").text(path)
+      }
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("name", StringType),
+        StructField("bal", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .select(col("k"), col("name"), col("bal"),
+          col("_corrupt_record").isNotNull.as("quarantined"))
+        .orderBy("k")
+    }),
+
     "scan_csv" -> ((s, _) => {
       // Explicit schema + header + nullValue: the deterministic CSV
       // ingest contract (inferSchema is banned — SURVEY §1.3).
@@ -486,6 +521,17 @@ object Sources {
            columns={'id': 'INTEGER', 'name': 'VARCHAR',
                     'val': 'DOUBLE', 'note': 'VARCHAR'})
          ORDER BY id""",
+
+    // Replays the CONSTRUCTION, not the file: the permissive read must
+    // recover exactly the planted corruption (every 7th key
+    // quarantined with bal nulled, all others parsed back to the
+    // identical double via the shortest-round-trip text form).
+    "scan_csv_malformed" ->
+      """SELECT s_suppkey AS k, s_name AS name,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                  ELSE s_acctbal END AS bal,
+             s_suppkey % 7 = 0 AS quarantined
+         FROM supplier ORDER BY k""",
 
     // The XML round trip is exact (shortest round-tripping decimals +
     // explicit read schema), so the oracle is the direct relational

@@ -1598,6 +1598,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("agg_survival_km: matches a direct Kaplan-Meier replay with censoring") {
+    val got = q("agg_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    // replay from raw events
+    val ev = Tables.events(spark, Spec.sf001)
+      .selectExpr("user_id",
+        "CAST(unix_timestamp(date_trunc('second', ts)) div 86400 AS BIGINT) AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hz = ev.map(_._2).max
+    val lifes = ev.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val days = rs.map(_._2)
+      (days.max - days.min, days.max >= hz)
+    }
+    val total = lifes.size
+    var atRisk = total.toLong
+    var s = 1.0
+    val exp = lifes.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val d = rs.count(!_._2).toLong; val c = rs.count(_._2).toLong
+      val n = atRisk
+      if (d > 0) s = s * (1.0 - d.toDouble / n)
+      atRisk -= (d + c)
+      (t, n, d, c, s)
+    }
+    assert(got.length === exp.length,
+      s"got ${got.mkString(";")} vs replay ${exp.mkString(";")}")
+    got.zip(exp).foreach { case ((t, n, d, c, km), (et, en, ed, ec, es)) =>
+      assert(t === et && n === en && d === ed && c === ec,
+        s"row ($t,$n,$d,$c) vs replay ($et,$en,$ed,$ec)")
+      assert(math.abs(km - es) < 1e-3, s"t=$t km $km vs replay $es")
+    }
+    // survival is nonincreasing and within (0, 1]
+    got.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9)
+      case _ =>
+    }
+  }
+
   test("win_seasonal_decompose: components reconstruct the series, seasonals center") {
     val rows = q("win_seasonal_decompose").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),

@@ -653,6 +653,67 @@ object SimOps {
       val cov = state.agg(max(col("mindl")).as("mindl"))
         .select(radius.as("coverage"))
       rules.crossJoin(broadcast(cov)).orderBy("rnd")
+    }),
+
+    "sim_mmr_rerank" -> ((s, d) => {
+      // Maximal-Marginal-Relevance re-ranking — the search-result
+      // diversifier: greedily pick 5 of the top-20 candidates
+      // maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+      // picked (λ = 0.7), so near-duplicate hits stop crowding the
+      // page. Same streaming-state shape as sample_kcenter: the
+      // candidate frame keeps ONE redundancy scalar per row, each
+      // round folds in similarity to the single new pick (broadcast,
+      // 1 row) with greatest(), and the argmax runs on the
+      // (score DESC, vec_id) total order. Candidate generation is the
+      // brute top-20 here; at scale it is any ANN key's output — MMR
+      // only ever touches the candidate page, so its cost is
+      // O(k·page), independent of corpus size. Determinism: cosines
+      // via the fixed-point dotfx chain rounded to 4 dp before any
+      // compare; scores are one IEEE expression on rounded inputs.
+      // Semantics note: redundancy FLOORS AT 0 (the greatest() fold
+      // starts from 0.0) — an anti-correlated candidate earns no
+      // diversity bonus. Textbook MMR allows negative redundancy;
+      // the floored variant is the common production choice because
+      // it never rewards adversarially-inverted embeddings. The spec
+      // replays exactly this variant.
+      graft.functions.DotFixedF.register(s)
+      val fx = graft.Det.FixedPoint
+      val emb = Tables.embeddings(s, d)
+        .withColumn("nrm", sqrt(expr("dotfx(embedding, embedding)")
+          .cast(DoubleType) / fx))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      var state = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("rel", round((expr("dotfx(embedding, qe)")
+          .cast(DoubleType) / fx) / (col("nrm") * col("qn")), 4))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
+          lit(0.0).as("red"))
+        .localCheckpoint()
+      var rules: DataFrame = null
+      for (r <- 1 to 5) {
+        val pick = state
+          .withColumn("score",
+            lit(0.7) * col("rel") - lit(0.3) * col("red"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .localCheckpoint()
+        val rule = pick.select(lit(r).as("rank"),
+          col("vec_id"), col("rel"), round(col("red"), 4).as("red"),
+          round(col("score"), 6).as("score"))
+        rules = if (rules == null) rule else rules.unionAll(rule)
+        val pb = pick.select(col("vec_id").as("pid"),
+          col("embedding").as("pe"), col("nrm").as("pn"))
+        state = state.crossJoin(broadcast(pb))
+          .filter(col("vec_id") =!= col("pid"))
+          .withColumn("red", greatest(col("red"),
+            round((expr("dotfx(embedding, pe)").cast(DoubleType) / fx)
+              / (col("nrm") * col("pn")), 4)))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("rel"), col("red"))
+          .localCheckpoint()
+      }
+      rules.orderBy("rank")
     })
   )
 
@@ -1334,7 +1395,40 @@ object SimOps {
              s"UNION ALL SELECT $k, cid, round(sqrt(CAST(mind AS DOUBLE)" +
                s" / 1099511627776.0), 6) FROM c$k").mkString("\n           ")})
          SELECT r.rnd, r.center_id, r.radius, c.coverage
-         FROM rules r CROSS JOIN cov c ORDER BY r.rnd"""
+         FROM rules r CROSS JOIN cov c ORDER BY r.rnd""",
+
+    // MMR replay: same fixed-point cosine chain (4-dp rounded before
+    // any compare), same top-20 candidate page, same 5 greedy rounds.
+    "sim_mmr_rerank" ->
+      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         nrm AS MATERIALIZED (SELECT vec_id,
+             sqrt(CAST(sum(CAST(floor(v * v * 1099511627776.0)
+               AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS nrm
+           FROM ev GROUP BY 1),
+         qd AS (SELECT e.vec_id,
+                  sum(CAST(floor(e.v * q.v * 1099511627776.0) AS BIGINT))
+                    AS dl
+                FROM ev e JOIN ev q ON q.vec_id = 0 AND q.pos = e.pos
+                WHERE e.vec_id <> 0 GROUP BY 1),
+         rels AS (SELECT q.vec_id,
+                    round((CAST(q.dl AS DOUBLE) / 1099511627776.0)
+                      / (n.nrm * (SELECT nrm FROM nrm WHERE vec_id = 0)),
+                      4) AS rel
+                  FROM qd q JOIN nrm n ON n.vec_id = q.vec_id),
+         st0 AS MATERIALIZED (SELECT vec_id, rel,
+             CAST(0.0 AS DOUBLE) AS red
+           FROM (SELECT vec_id, rel, row_number()
+                   OVER (ORDER BY rel DESC, vec_id) AS rn FROM rels)
+           WHERE rn <= 20),
+         ${(1 to 5).map(mmrRound).mkString(",\n         ")}
+         SELECT * FROM (${(1 to 5).map(k =>
+           s"SELECT $k AS rank, vec_id, rel, round(red, 4) AS red," +
+             s" round(score, 6) AS score FROM pick$k")
+           .mkString(" UNION ALL ")})
+         ORDER BY rank"""
   )
 
   /** One greedy k-center oracle round: argmax of the running min-dist
@@ -1353,6 +1447,29 @@ object SimOps {
            FROM ev e JOIN ev c
              ON c.vec_id = (SELECT cid FROM c$k) AND c.pos = e.pos
            GROUP BY 1) dd ON dd.vec_id = m.vec_id)"""
+
+  /** One MMR oracle round: argmax on the (score DESC, vec_id) total
+    * order, fixed-point cosine to the one new pick, greatest() fold —
+    * mirrors the Spark round term for term. */
+  private def mmrRound(k: Int): String =
+    s"""pick$k AS MATERIALIZED (SELECT vec_id, rel, red,
+           0.7 * rel - 0.3 * red AS score
+         FROM st${k - 1} ORDER BY score DESC, vec_id LIMIT 1),
+       pc$k AS (SELECT e.vec_id,
+           round((CAST(sum(CAST(floor(e.v * p.v * 1099511627776.0)
+               AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+             / (n.nrm * pn.pnrm), 4) AS c
+         FROM ev e
+         JOIN ev p ON p.vec_id = (SELECT vec_id FROM pick$k)
+           AND p.pos = e.pos
+         JOIN nrm n ON n.vec_id = e.vec_id
+         CROSS JOIN (SELECT nrm AS pnrm FROM nrm
+                     WHERE vec_id = (SELECT vec_id FROM pick$k)) pn
+         GROUP BY e.vec_id, n.nrm, pn.pnrm),
+       st$k AS MATERIALIZED (SELECT s.vec_id, s.rel,
+           greatest(s.red, c.c) AS red
+         FROM st${k - 1} s JOIN pc$k c ON c.vec_id = s.vec_id
+         WHERE s.vec_id <> (SELECT vec_id FROM pick$k))"""
 
   /** One power-iteration oracle round: fixed-point C·v$k contraction,
     * fixed-point norm, one IEEE division, FLOAT-rounded v${k + 1} —

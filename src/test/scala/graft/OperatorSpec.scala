@@ -1598,6 +1598,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("sim_mmr_rerank: greedy MMR replay matches; diversity beats pure relevance") {
+    val got = q("sim_mmr_rerank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.length === 5 && got.map(_._2).distinct.length === 5)
+    // dense replay on the collected corpus
+    val vecs = Tables.embeddings(spark, Spec.sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // mirror the operator's arithmetic exactly: per-term floored
+    // fixed-point dot (the dotfx kernel), 4-dp half-up round
+    val fx = graft.Det.FixedPoint
+    def fdot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => math.floor(x * y * fx).toLong }
+        .sum.toDouble / fx
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x) // decimal-string form, as Spark rounds
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]) =
+      r4(fdot(a, b) / (math.sqrt(fdot(a, a)) * math.sqrt(fdot(b, b))))
+    val qv = vecs(0L)
+    val cands = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(20)
+    var chosen = List.empty[Long]
+    (1 to 5).foreach { r =>
+      val avail = cands.filterNot(c => chosen.contains(c._1))
+      val (pid, _) = avail.maxBy { case (id, rel) =>
+        // redundancy floors at 0 — the key's documented variant
+        val red = if (chosen.isEmpty) 0.0
+          else math.max(0.0, chosen.map(c => cos(vecs(id), vecs(c))).max)
+        (0.7 * rel - 0.3 * red, -id)
+      }
+      assert(got(r - 1)._2 === pid, s"round $r pick ${got(r - 1)._2} vs $pid")
+      chosen = chosen :+ pid
+    }
+    // the picked set must be more diverse than the pure top-5: its max
+    // pairwise cosine is no higher
+    def maxPair(ids: Seq[Long]) = ids.combinations(2)
+      .map { case Seq(a, b) => cos(vecs(a), vecs(b)) }.max
+    val top5 = cands.take(5).map(_._1)
+    assert(maxPair(got.map(_._2).toSeq) <= maxPair(top5) + 1e-9)
+  }
+
   test("agg_survival_km: matches a direct Kaplan-Meier replay with censoring") {
     val got = q("agg_survival_km").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

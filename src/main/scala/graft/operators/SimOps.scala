@@ -655,6 +655,43 @@ object SimOps {
       rules.crossJoin(broadcast(cov)).orderBy("rnd")
     }),
 
+    "sim_nearest_centroid" -> ((s, d) => {
+      // Nearest-centroid classification + confusion matrix — the
+      // label-quality report every embedding pipeline runs ("do the
+      // labels live in separable regions"). Train: per-label
+      // FLOAT-rounded fixed-point mean vectors (the clusterMeans
+      // discipline, one (label, pos) aggregate). Classify: broadcast
+      // the k centroids, exact l2fx argmin with the (d2l, label)
+      // total order — the coarseAssign shape, O(N·k) map-side.
+      // Output: the confusion matrix (true × predicted counts) with
+      // overall resubstitution accuracy as a shared column. At 100 TB
+      // this is one scan + one output-sized aggregate; a held-out
+      // variant swaps in the split_train_test buckets.
+      graft.functions.L2FixedF.register(s)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label").as("clab"), col("pos"))
+        .agg((graft.Det.sumFixed(col("v").cast(DoubleType))
+          / count(lit(1))).as("m"))
+        .groupBy(col("clab"))
+        .agg(expr("array_sort(collect_list(struct(pos, m)))").as("pm"))
+        .select(col("clab"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("cemb"))
+      val pred = emb.join(broadcast(cents))
+        .withColumn("d2l", expr("l2fx(embedding, cemb)"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("label")).as("label"),
+          expr("min_by(clab, struct(d2l, clab))").as("pred"))
+      val conf = pred.groupBy("label", "pred")
+        .agg(count(lit(1)).as("n"))
+      val acc = pred.agg(
+        round(sum(when(col("label") === col("pred"), 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 4).as("accuracy"))
+      conf.crossJoin(broadcast(acc))
+        .orderBy("label", "pred")
+    }),
+
     "sim_mmr_rerank" -> ((s, d) => {
       // Maximal-Marginal-Relevance re-ranking — the search-result
       // diversifier: greedily pick 5 of the top-20 candidates
@@ -1396,6 +1433,40 @@ object SimOps {
                s" / 1099511627776.0), 6) FROM c$k").mkString("\n           ")})
          SELECT r.rnd, r.center_id, r.radius, c.coverage
          FROM rules r CROSS JOIN cov c ORDER BY r.rnd""",
+
+    // Per-label FLOAT-rounded centroid means (the kmMeans discipline),
+    // fixed-point argmin with the (d2l, label) total order, identical
+    // accuracy ratio.
+    "sim_nearest_centroid" ->
+      """WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+             SELECT vec_id, unnest(embedding) AS v,
+                    unnest(range(1, len(embedding)+1)) AS pos
+             FROM embeddings)),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         cents AS (SELECT l.label AS clab, e.pos,
+             CAST(CAST((CAST(sum(CAST(floor(e.v * 1099511627776.0)
+                 AS BIGINT)) AS DOUBLE) / 1099511627776.0) / count(*)
+               AS FLOAT) AS DOUBLE) AS cv
+           FROM ev e JOIN lab l ON l.vec_id = e.vec_id
+           GROUP BY 1, 2),
+         dist AS (SELECT e.vec_id, c.clab,
+             sum(CAST(floor((e.v - c.cv) * (e.v - c.cv)
+               * 1099511627776.0) AS BIGINT)) AS d2l
+           FROM ev e JOIN cents c ON c.pos = e.pos
+           GROUP BY 1, 2),
+         pred AS (SELECT d.vec_id, l.label, d.clab AS pred
+           FROM (SELECT vec_id, clab, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2l, clab) AS rn
+                 FROM dist) d
+           JOIN lab l ON l.vec_id = d.vec_id
+           WHERE d.rn = 1),
+         acc AS (SELECT round(CAST(sum(CASE WHEN label = pred THEN 1
+                   ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy
+                 FROM pred)
+         SELECT p.label, p.pred, count(*) AS n, a.accuracy
+         FROM pred p CROSS JOIN acc a
+         GROUP BY 1, 2, a.accuracy
+         ORDER BY p.label, p.pred""",
 
     // MMR replay: same fixed-point cosine chain (4-dp rounded before
     // any compare), same top-20 candidate page, same 5 greedy rounds.

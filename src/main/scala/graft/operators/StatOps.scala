@@ -471,6 +471,45 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_assoc_rules" -> ((s, d) => {
+      // Association rules (market-basket) — support / confidence /
+      // lift for item pairs co-purchased in an order: the classic
+      // retail miner, and relationally the same blocked shape as the
+      // co-occurrence graph build: distinct (order, item), one
+      // order-keyed self-join bounded by items-per-order (never
+      // all-pairs over the catalog), marginals folded from the pair
+      // table. Counts exact; the three ratios are single IEEE
+      // expressions; rules rank by (lift, pair) with a min-support
+      // floor. Rules emit in the a<b direction once — confidence is
+      // reported for a→b (the b→a twin is c12/c2, derivable). The
+      // floor is absolute (≥2 co-purchases) because THIS catalog
+      // grows with order count, keeping co-purchase counts sparse at
+      // every SF; production states support as a fraction of baskets
+      // and prunes with the same HAVING.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrd = li.select("ok").distinct().agg(count(lit(1)).as("nn"))
+      val c1 = li.groupBy("pk").agg(count(lit(1)).as("c1"))
+      val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 2)
+      pairs
+        .join(c1.select(col("pk").as("a"), col("c1").as("ca")), "a")
+        .join(c1.select(col("pk").as("b"), col("c1").as("cb")), "b")
+        .crossJoin(broadcast(nOrd))
+        .select(col("a"), col("b"), col("c12"),
+          round(col("c12").cast(DoubleType) / col("nn"), 6).as("support"),
+          round(col("c12").cast(DoubleType) / col("ca"), 4)
+            .as("confidence"),
+          round(col("nn").cast(DoubleType) * col("c12")
+            / (col("ca").cast(DoubleType) * col("cb")), 4).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     "agg_survival_km" -> ((s, d) => {
       // Kaplan–Meier survival over user activity lifespans — "how
       // long does a user stay active", with RIGHT-CENSORING done
@@ -969,6 +1008,28 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Same distinct baskets, same bounded self-join, same single-IEEE
+    // ratio expressions and (lift, pair) ranking.
+    "agg_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         nord AS (SELECT count(DISTINCT ok) AS nn FROM li),
+         c1 AS (SELECT pk, count(*) AS c1 FROM li GROUP BY 1),
+         pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS c12
+                   FROM li x JOIN li y
+                     ON x.ok = y.ok AND x.pk < y.pk
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.a, p.b, p.c12,
+                round(CAST(p.c12 AS DOUBLE) / n.nn, 6) AS support,
+                round(CAST(p.c12 AS DOUBLE) / ca.c1, 4) AS confidence,
+                round(CAST(n.nn AS DOUBLE) * p.c12
+                  / (CAST(ca.c1 AS DOUBLE) * cb.c1), 4) AS lift
+         FROM pairs p
+         JOIN c1 ca ON ca.pk = p.a
+         JOIN c1 cb ON cb.pk = p.b
+         CROSS JOIN nord n
+         ORDER BY lift DESC, p.a, p.b LIMIT 20""",
 
     // Same lifespan/censoring derivation, same fixed-point ln terms
     // and running sums, same terminal-row short-circuit.

@@ -526,6 +526,37 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    "win_ohlc" -> ((s, d) => {
+      // OHLC resampling — the downsample every telemetry/market store
+      // runs: per (series, hour) the first/highest/lowest/last value
+      // plus count and exact volume. Open/close need an ORDER within
+      // the bucket: one shared (series, hour → time, event_id) window
+      // ranks both ends (first = rn 1, last = reverse rn 1) — ties on
+      // the second break by event_id, a total order both engines
+      // replay. High/low/volume fold in the same aggregate; volume is
+      // the exact decimal sum. One shuffle, window and aggregate
+      // sharing the (series, hour) partitioning.
+      val ev = Tables.events(s, d).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"),
+        graft.Det.epochS(col("ts")).as("sec"), col("event_id"),
+        col("value"))
+      val wAsc = Window.partitionBy("event_type", "hr")
+        .orderBy(col("sec"), col("event_id"))
+      val wDesc = Window.partitionBy("event_type", "hr")
+        .orderBy(col("sec").desc, col("event_id").desc)
+      ev.withColumn("rna", row_number().over(wAsc))
+        .withColumn("rnd", row_number().over(wDesc))
+        .groupBy("event_type", "hr")
+        .agg(
+          max(when(col("rna") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rnd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"),
+          sumMoney(col("value")).as("volume"))
+        .orderBy("event_type", "hr")
+    }),
+
     "win_seasonal_decompose" -> ((s, d) => {
       // Additive seasonal decomposition (STL-lite): daily metric =
       // trend (centered 7-day moving average) + day-of-week seasonal
@@ -978,6 +1009,30 @@ object Windows {
                 p - minp > k AS alarm_up,
                 maxp - p > k AS alarm_dn
          FROM pre ORDER BY event_type, day""",
+
+    // Same shared bucket window for the ordered ends, same exact
+    // decimal volume.
+    "win_ohlc" ->
+      """WITH ev AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                  event_id, value,
+                  row_number() OVER (PARTITION BY event_type,
+                    date_trunc('hour', ts)
+                    ORDER BY date_trunc('second', ts), event_id) AS rna,
+                  row_number() OVER (PARTITION BY event_type,
+                    date_trunc('hour', ts)
+                    ORDER BY date_trunc('second', ts) DESC,
+                             event_id DESC) AS rnd
+           FROM events)
+         SELECT event_type, hr,
+                max(CASE WHEN rna = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rnd = 1 THEN value END) AS close,
+                count(*) AS n,
+                CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                  AS DOUBLE) AS volume
+         FROM ev GROUP BY 1, 2 ORDER BY event_type, hr""",
 
     // Same decimal daily series, same centered window trend with the
     // one IEEE division, same fixed-point seasonal means and residual

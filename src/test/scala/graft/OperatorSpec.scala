@@ -1598,6 +1598,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("win_ohlc: bar invariants hold and ends match the time order") {
+    val rows = q("win_ohlc").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, hr, o, h, l, c, n) =>
+      assert(l <= o && o <= h, s"$t $hr open outside [low, high]")
+      assert(l <= c && c <= h, s"$t $hr close outside [low, high]")
+      assert(n > 0)
+    }
+    // replay one bucket's open/close from the raw events
+    val (t0, h0, o0, _, _, c0, _) = rows.head
+    val ev = Tables.events(spark, Spec.sf001)
+      .filter(col("event_type") === t0 &&
+        date_trunc("hour", col("ts")) === h0)
+      .selectExpr("CAST(date_trunc('second', ts) AS LONG) AS sec",
+        "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(ev.head._3 === o0 && ev.last._3 === c0)
+  }
+
+  test("agg_assoc_rules: ratios reconcile with raw basket counts") {
+    val rules = q("agg_assoc_rules").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rules.nonEmpty && rules.length <= 20)
+    val baskets = Tables.lineitem(spark, Spec.sf001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val nOrders = byOrder.size
+    val itemCnt = baskets.groupBy(_._2).view.mapValues(_.length)
+    rules.foreach { case (a, b, c12, sup, conf, lift) =>
+      val realC12 = byOrder.values.count(s => s(a) && s(b))
+      assert(realC12.toLong === c12, s"($a,$b) c12")
+      assert(math.abs(sup - c12.toDouble / nOrders) < 1e-5)
+      assert(math.abs(conf - c12.toDouble / itemCnt(a)) < 1e-3)
+      assert(math.abs(lift - nOrders.toDouble * c12 /
+        (itemCnt(a).toDouble * itemCnt(b))) < lift * 1e-2 + 1e-3)
+      assert(lift >= 1.0, "top lifts on sparse baskets exceed independence")
+    }
+  }
+
+  test("sim_nearest_centroid: confusion matrix accounts for every vector") {
+    val rows = q("sim_nearest_centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val total = Tables.embeddings(spark, Spec.sf001).count()
+    assert(rows.map(_._3).sum === total)
+    val acc = rows.head._4
+    assert(rows.forall(_._4 === acc))
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(math.abs(acc - diag.toDouble / total) < 1e-3,
+      "accuracy equals the confusion diagonal mass")
+    // centroids must beat random guessing on their own training data
+    val k = rows.map(_._1).distinct.length
+    assert(acc > 1.0 / k, s"accuracy $acc no better than chance 1/$k")
+  }
+
   test("sim_mmr_rerank: greedy MMR replay matches; diversity beats pure relevance") {
     val got = q("sim_mmr_rerank").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),

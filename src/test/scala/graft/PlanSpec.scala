@@ -491,6 +491,31 @@ class PlanSpec extends AnyFunSuite {
       "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("agg_assoc_rules: basket pairing is an order-keyed equi-join, counts split partial") {
+    val p = plan("agg_assoc_rules")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must join on the order key, never cross")
+    assert(p.contains("partial_count") ||
+      "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("agg_multireg: one shuffle, moments partial-aggregate map-side") {
+    val p = plan("agg_multireg")
+    // all nine moment sums ride one partial/final aggregate pair
+    // around a single exchange — one pass over the fact table
+    assert("\\+- Exchange".r.findAllIn(p).length === 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
+  test("sim_nearest_centroid: centroids broadcast to the classify pass") {
+    val p = plan("sim_nearest_centroid")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the k centroids must broadcast, not shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join in the classify pass")
+  }
+
   test("sim_pca_power: covariance is generator + partial agg, never a corpus self-join") {
     val p = plan("sim_pca_power")
     // the d(d+1)/2 pair expansion must come from chained generators on

@@ -471,6 +471,37 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_benford" -> ((s, d) => {
+      // Benford's-law first-digit audit — the fraud/synthetic-data
+      // smell test: natural multi-scale amounts follow
+      // P(d) = log10(1 + 1/d); a column that deviates hard was
+      // generated, capped, or tampered. One map-only digit extract
+      // (leading digit via the INTEGER part's decimal string — no
+      // float log10 near a power-of-ten boundary), one 9-row
+      // aggregate, χ²-style distance against the Benford expectation
+      // baked as shared literals. On THIS fixture the test truthfully
+      // REJECTS Benford (o_totalprice is ~uniform on a bounded range,
+      // so digit mass piles low) — the diagnostic working as designed;
+      // OperatorSpec pins that reading.
+      val digits = Tables.orders(s, d)
+        .select(substring(floor(col("o_totalprice")).cast(LongType)
+          .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+        .filter(col("digit") >= 1)
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("tot"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("observed",
+          round(col("n").cast(DoubleType) / col("tot"), 6))
+        .withColumn("expected", element_at(expr(BenfordArr),
+          col("digit")))
+        .withColumn("chi_term",
+          round((col("observed") - col("expected"))
+            * (col("observed") - col("expected")) / col("expected"), 6))
+        .select(col("digit"), col("n"), col("observed"),
+          round(col("expected"), 6).as("expected"), col("chi_term"))
+        .orderBy("digit")
+    }),
+
     "agg_assoc_rules" -> ((s, d) => {
       // Association rules (market-basket) — support / confidence /
       // lift for item pairs co-purchased in an order: the classic
@@ -667,6 +698,17 @@ object StatOps {
         .orderBy("event_id")
     })
   )
+
+  /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+    * shortest-round-trip literals shared by both engines (Spark array
+    * syntax; the oracle re-lists them via [[benfordArr]]). */
+  private def benfordVals: Seq[Double] =
+    (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+  private[graft] def benfordArr(duck: Boolean): String = {
+    val elems = benfordVals.map(v => s"CAST('$v' AS DOUBLE)").mkString(",")
+    if (duck) s"[$elems]" else s"array($elems)"
+  }
+  private val BenfordArr: String = benfordArr(duck = false)
 
   /** Per-cohort moment aggregates for agg_ttest — shared verbatim
     * with the oracle. */
@@ -1008,6 +1050,27 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Same integer-string digit extraction, same shared Benford
+    // literals, same single-IEEE chi term per digit.
+    "agg_benford" ->
+      s"""WITH digits AS (
+           SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         cnt AS (SELECT digit, count(*) AS n FROM digits
+                 WHERE digit >= 1 GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt)
+         SELECT c.digit, c.n,
+                round(CAST(c.n AS DOUBLE) / t.tot, 6) AS observed,
+                round(${benfordArr(duck = true)}[c.digit], 6) AS expected,
+                round((round(CAST(c.n AS DOUBLE) / t.tot, 6)
+                    - ${benfordArr(duck = true)}[c.digit])
+                  * (round(CAST(c.n AS DOUBLE) / t.tot, 6)
+                    - ${benfordArr(duck = true)}[c.digit])
+                  / ${benfordArr(duck = true)}[c.digit], 6) AS chi_term
+         FROM cnt c CROSS JOIN tot t
+         ORDER BY c.digit""",
 
     // Same distinct baskets, same bounded self-join, same single-IEEE
     // ratio expressions and (lift, pair) ranking.

@@ -1598,6 +1598,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("agg_benford: probabilities partition, expectations are log10(1+1/d)") {
+    val rows = q("agg_benford").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1) === (1 to 9).toArray)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3,
+      "observed shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3,
+      "Benford expectations sum to 1")
+    rows.foreach { case (dd, _, _, e, _) =>
+      assert(math.abs(e - math.log10(1.0 + 1.0 / dd)) < 1e-6)
+    }
+    // the bounded-uniform fixture must FAIL the Benford test — the
+    // total chi-square distance is far above a conforming column's
+    assert(rows.map(_._5).sum > 0.05,
+      "uniform amounts should visibly reject Benford")
+  }
+
   test("win_ohlc: bar invariants hold and ends match the time order") {
     val rows = q("win_ohlc").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),

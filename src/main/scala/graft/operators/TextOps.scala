@@ -211,6 +211,40 @@ object TextOps {
         .limit(20)
     }),
 
+    "text_lm_generate" -> ((s, d) => {
+      // Greedy decoding from the count-based bigram LM — the
+      // smallest complete instance of the generate loop every LLM
+      // serving stack runs: seed with the most frequent token, then
+      // 8 steps of argmax-next-token over the conditional counts
+      // (ties break lexicographically; greedy decoding may loop —
+      // truthful behavior, and exactly why production samples with
+      // temperature instead). Engine shape: the bigram table is the
+      // vocab-bounded aggregate of ONE corpus pass (checkpointed —
+      // every step reads it); each step is a 1-row broadcast probe
+      // into it, the TakeOrdered argmax never sorts the table.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val bi = grams.groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+      val seed = grams.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(1)
+        .select(col("tok").as("word"))
+      var cur = seed
+      var out = seed.select(lit(0).as("step"), col("word"))
+      for (t <- 1 to 8) {
+        cur = bi.join(broadcast(cur), col("w1") === col("word"))
+          .orderBy(col("c12").desc, col("w2")).limit(1)
+          .select(col("w2").as("word"))
+          .localCheckpoint()
+        out = out.unionAll(cur.select(lit(t).as("step"), col("word")))
+      }
+      out.orderBy("step")
+    }),
+
     "text_zipf_fit" -> ((s, d) => {
       // Zipf-law fit — the corpus-health diagnostic: regress
       // ln(frequency) on ln(rank) over the top-100 terms; a natural
@@ -757,6 +791,29 @@ object TextOps {
              round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 4) AS p
          FROM c12 JOIN c1 ON c12.w1 = c1.w1
          ORDER BY c12 DESC, c12.w1, w2 LIMIT 20""",
+
+    // Same bigram table, same (count DESC, token ASC) argmax per
+    // step, 8 unrolled scalar-subquery rounds.
+    "text_lm_generate" ->
+      s"""WITH grams AS (
+           SELECT tok AS w1, nxt AS w2 FROM (
+             SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             FROM (SELECT doc_id, unnest(tokens) AS tok,
+                          unnest(range(1, len(tokens)+1)) AS pos
+                   FROM (SELECT doc_id, $toksSql AS tokens FROM documents)))
+           WHERE nxt IS NOT NULL),
+         bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12
+                             FROM grams GROUP BY 1, 2),
+         g0 AS (SELECT w1 AS word FROM (
+                  SELECT w1, count(*) AS c FROM grams GROUP BY 1)
+                ORDER BY c DESC, w1 LIMIT 1),
+         ${(1 to 8).map(k =>
+           s"""g$k AS (SELECT w2 AS word FROM bi
+               WHERE w1 = (SELECT word FROM g${k - 1})
+               ORDER BY c12 DESC, w2 LIMIT 1)""").mkString(",\n         ")}
+         SELECT * FROM (${(0 to 8).map(k =>
+             s"SELECT $k AS step, word FROM g$k").mkString(" UNION ALL ")})
+         ORDER BY step""",
 
     // Same top-100 ranked vocab, same fixed-point log-log moments and
     // shared OLS solve strings.

@@ -1598,6 +1598,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("text_lm_generate: every step is the argmax continuation") {
+    val gen = q("text_lm_generate").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2)
+    assert(gen.length === 9)
+    // pairs come from the same Spark tokenization the key uses (the
+    // oracle independently checks tokenization); the REPLAY here is of
+    // the greedy chain itself
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+    Tables.documents(spark, Spec.sf001)
+      .selectExpr("doc_id",
+        "filter(split(text, ' '), t -> t != '') AS toks")
+      .filter(size(col("toks")) >= 2) // sequence() DESCENDS for size 1
+      .selectExpr("transform(sequence(0, size(toks) - 2)," +
+        " i -> struct(toks[i] AS a, toks[i + 1] AS b)) AS ps")
+      .selectExpr("explode(ps) AS p").collect()
+      .foreach { r =>
+        val p = r.getStruct(0)
+        val k = (p.getString(0), p.getString(1))
+        bi(k) = bi.getOrElse(k, 0L) + 1L
+      }
+    gen.zip(gen.tail).foreach { case (a, b) =>
+      val best = bi.keys.filter(_._1 == a)
+        .minBy { case (_, w2) => (-bi((a, w2)), w2) }._2
+      assert(b === best, s"after '$a': got '$b', argmax '$best'")
+    }
+    // seed is the most frequent continuation-bearing token
+    // (toSeq before the fold — a Set view would dedup equal counts)
+    val uni = bi.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val seedBest = uni.toSeq.minBy { case (w, c) => (-c, w) }._1
+    assert(gen.head === seedBest)
+  }
+
   test("agg_benford: probabilities partition, expectations are log10(1+1/d)") {
     val rows = q("agg_benford").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),

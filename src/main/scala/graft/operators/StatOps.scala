@@ -471,6 +471,46 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_ks_test" -> ((s, d) => {
+      // Two-sample Kolmogorov–Smirnov — the distribution-shift test
+      // (click vs view event values): D = max |F₁(x) − F₂(x)|. The
+      // entire statistic is EXACT INTEGER arithmetic: sort the pooled
+      // sample once (one window over the two cohorts' union), carry
+      // running per-cohort counts i and j, and maximize
+      // |i·n₂ − j·n₁| — the ECDF gap as a cross-product, no division
+      // until the single closed-form D at the end. Ties between
+      // cohorts at equal values are handled the standard way: the gap
+      // is evaluated AFTER all rows of a tied value (max over the
+      // last row per value group), identically in both engines.
+      val base = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), col("value").as("x"))
+      val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
+      val n1d = ns.filter(col("g") === "click").select(col("n").as("n1"))
+      val n2d = ns.filter(col("g") === "view").select(col("n").as("n2"))
+      val wOrd = Window.orderBy(col("x"), col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = base
+        .withColumn("i", sum(when(col("g") === "click", 1L).otherwise(0L))
+          .over(wOrd))
+        .withColumn("j", sum(when(col("g") === "view", 1L).otherwise(0L))
+          .over(wOrd))
+        // evaluate the gap only at each value group's last row (the
+        // ECDF is right-continuous; mid-tie gaps are not attained)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("x")
+            .orderBy(col("g").desc, col("i").desc, col("j").desc)))
+        .filter(col("rn") === 1)
+      staged.crossJoin(broadcast(n1d)).crossJoin(broadcast(n2d))
+        .select(abs(col("i") * col("n2") - col("j") * col("n1"))
+          .as("gap"), col("n1"), col("n2"))
+        .groupBy("n1", "n2")
+        .agg(max(col("gap")).as("maxgap"))
+        .select(col("n1"), col("n2"),
+          round(col("maxgap").cast(DoubleType)
+            / (col("n1").cast(DoubleType) * col("n2")), 6).as("ks_d"))
+    }),
+
     "agg_benford" -> ((s, d) => {
       // Benford's-law first-digit audit — the fraud/synthetic-data
       // smell test: natural multi-scale amounts follow
@@ -1050,6 +1090,29 @@ object StatOps {
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
          FROM sums""",
+
+    // Same pooled sort, same exact integer cross-product gaps, same
+    // last-row-per-value tie handling, one final IEEE division.
+    "agg_ks_test" ->
+      """WITH base AS (SELECT event_type AS g, value AS x FROM events
+                       WHERE event_type IN ('click', 'view')),
+         n1 AS (SELECT count(*) AS n1 FROM base WHERE g = 'click'),
+         n2 AS (SELECT count(*) AS n2 FROM base WHERE g = 'view'),
+         staged AS (SELECT x, g,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) OVER w AS i,
+             sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) OVER w AS j
+           FROM base
+           WINDOW w AS (ORDER BY x, g ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)),
+         lastrow AS (SELECT i, j FROM (
+             SELECT i, j, row_number() OVER (PARTITION BY x
+               ORDER BY g DESC, i DESC, j DESC) AS rn
+             FROM staged) WHERE rn = 1)
+         SELECT n1.n1, n2.n2,
+                round(CAST(max(abs(i * n2.n2 - j * n1.n1)) AS DOUBLE)
+                  / (CAST(n1.n1 AS DOUBLE) * n2.n2), 6) AS ks_d
+         FROM lastrow CROSS JOIN n1 CROSS JOIN n2
+         GROUP BY n1.n1, n2.n2""",
 
     // Same integer-string digit extraction, same shared Benford
     // literals, same single-IEEE chi term per digit.

@@ -526,6 +526,47 @@ object Windows {
         .orderBy("event_type", "day")
     }),
 
+    "win_theil_sen" -> ((s, d) => {
+      // Theil–Sen robust trend — the slope estimator outliers can't
+      // drag (median of all pairwise slopes; breakdown point 29%),
+      // the robust twin of agg_regression exactly as agg_mad is
+      // stddev's. Runs on the DAILY series table: the pairwise
+      // expansion is days²/2 per series — bounded by the OBSERVATION
+      // WINDOW, never the corpus (a year is ~66k pairs) — via one
+      // series-keyed self-join; the median slope broadcasts back for
+      // the intercept pass (median of y − m·day, the classic TS
+      // intercept). Slopes are per-row IEEE on exact decimal-derived
+      // doubles; medians interpolate identically (agg_percentile).
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+            " div 86400 AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(money(sum(dec(col("value")))).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("y").as("y1"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("d2"), col("y").as("y2"))
+      val slopes = a.join(b, col("event_type") === col("et2")
+          && col("d1") < col("d2"))
+        .select(col("event_type"),
+          ((col("y2") - col("y1"))
+            / (col("d2") - col("d1")).cast(DoubleType)).as("m"))
+      val ts = slopes.groupBy("event_type")
+        .agg(expr("percentile(m, 0.5)").as("m"),
+          count(lit(1)).as("n_pairs"))
+      daily.join(broadcast(ts), "event_type")
+        .groupBy("event_type")
+        .agg(min(col("m")).as("mm"), first(col("n_pairs")).as("n_pairs"),
+          expr("percentile(y - m * day, 0.5)").as("b0"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          round(col("mm"), 6).as("slope"), round(col("b0"), 4)
+            .as("intercept"))
+        .orderBy("event_type")
+    }),
+
     "win_ohlc" -> ((s, d) => {
       // OHLC resampling — the downsample every telemetry/market store
       // runs: per (series, hour) the first/highest/lowest/last value
@@ -1009,6 +1050,32 @@ object Windows {
                 p - minp > k AS alarm_up,
                 maxp - p > k AS alarm_dn
          FROM pre ORDER BY event_type, day""",
+
+    // Same daily series, same bounded pairwise self-join, same
+    // quantile_cont medians for slope and intercept.
+    "win_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                    AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         slopes AS (SELECT a.event_type,
+                      (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS m
+                    FROM daily a JOIN daily b
+                      ON a.event_type = b.event_type AND a.day < b.day),
+         ts AS (SELECT event_type, quantile_cont(m, 0.5) AS m,
+                       count(*) AS n_pairs
+                FROM slopes GROUP BY 1)
+         SELECT d.event_type,
+                count(*) AS n_days,
+                CAST(min(t.n_pairs) AS BIGINT) AS n_pairs,
+                round(min(t.m), 6) AS slope,
+                round(quantile_cont(d.y - t.m * d.day, 0.5), 4)
+                  AS intercept
+         FROM daily d JOIN ts t ON d.event_type = t.event_type
+         GROUP BY d.event_type ORDER BY d.event_type""",
 
     // Same shared bucket window for the ordered ends, same exact
     // decimal volume.

@@ -1598,6 +1598,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(df - rdf) < 0.1, s"df $df vs $rdf")
   }
 
+  test("agg_ks_test: D matches a direct two-sample ECDF computation") {
+    val r = q("agg_ks_test").head()
+    val (n1, n2, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val vals = Tables.events(spark, Spec.sf001)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(row => (row.getString(0), row.getDouble(1)))
+    val xs1 = vals.filter(_._1 == "click").map(_._2).sorted
+    val xs2 = vals.filter(_._1 == "view").map(_._2).sorted
+    assert(n1 === xs1.length.toLong && n2 === xs2.length.toLong)
+    val pool = (xs1 ++ xs2).distinct.sorted
+    val dd = pool.map { x =>
+      math.abs(xs1.count(_ <= x).toDouble / xs1.length
+        - xs2.count(_ <= x).toDouble / xs2.length)
+    }.max
+    assert(math.abs(d - dd) < 1e-4, s"ks_d $d vs replay $dd")
+    assert(d >= 0.0 && d <= 1.0)
+  }
+
+  test("win_theil_sen: slope matches the median of all pairwise slopes") {
+    val rows = q("win_theil_sen").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val daily = Tables.events(spark, Spec.sf001)
+      .selectExpr("event_type",
+        "CAST(unix_timestamp(date_trunc('second', ts)) div 86400 AS BIGINT) AS day",
+        "value")
+      .groupBy("event_type", "day")
+      .agg(graft.Det.money(sum(graft.Det.dec(col("value")))).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (t, nDays, nPairs, slope, icept) =>
+      val series = daily.filter(_._1 == t).map(r => (r._2, r._3)).sortBy(_._1)
+      assert(nDays === series.length.toLong)
+      val slopes = (for {
+        i <- series.indices; j <- series.indices if i < j
+      } yield (series(j)._2 - series(i)._2) /
+        (series(j)._1 - series(i)._1).toDouble).sorted
+      assert(nPairs === slopes.length.toLong)
+      val med =
+        if (slopes.length % 2 == 1) slopes(slopes.length / 2)
+        else (slopes(slopes.length / 2 - 1) + slopes(slopes.length / 2)) / 2
+      assert(math.abs(slope - med) < 1e-4, s"$t slope $slope vs $med")
+      // the fit is central: about half the residuals on each side
+      val above = series.count { case (dd, y) => y > slope * dd + icept }
+      assert(math.abs(above - series.length / 2.0) <= series.length * 0.2,
+        s"$t intercept not central ($above above)")
+    }
+  }
+
   test("text_lm_generate: every step is the argmax continuation") {
     val gen = q("text_lm_generate").collect()
       .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).map(_._2)

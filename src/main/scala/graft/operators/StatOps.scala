@@ -474,27 +474,45 @@ object StatOps {
     "agg_ks_test" -> ((s, d) => {
       // Two-sample Kolmogorov–Smirnov — the distribution-shift test
       // (click vs view event values): D = max |F₁(x) − F₂(x)|. The
-      // entire statistic is EXACT INTEGER arithmetic: sort the pooled
-      // sample once (one window over the two cohorts' union), carry
-      // running per-cohort counts i and j, and maximize
-      // |i·n₂ − j·n₁| — the ECDF gap as a cross-product, no division
-      // until the single closed-form D at the end. Ties between
-      // cohorts at equal values are handled the standard way: the gap
-      // is evaluated AFTER all rows of a tied value (max over the
-      // last row per value group), identically in both engines.
+      // entire statistic is EXACT INTEGER arithmetic: running
+      // per-cohort counts i and j over the pooled value order
+      // maximize |i·n₂ − j·n₁| — the ECDF gap as a cross-product, no
+      // division until the single closed-form D at the end. Ties
+      // between cohorts at equal values are handled the standard way:
+      // the gap is evaluated AFTER all rows of a tied value (max over
+      // the last row per value group), identically in both engines.
+      // The oracle replays the same counts with one plain window
+      // (single-node DuckDB); the Spark side uses the two-level
+      // construction below so no fact-sized frame ever sorts in one
+      // partition.
+      // Two-level prefix (the pack_sequences construction): a global
+      // sorted window would drag the pooled fact rows into ONE
+      // partition — instead coarse VALUE BUCKETS get per-bucket
+      // windows, and only the bucket-total table (bounded by the
+      // value range; production derives buckets from a quantile
+      // sketch) crosses an unpartitioned window.
       val base = Tables.events(s, d)
         .filter(col("event_type").isin("click", "view"))
-        .select(col("event_type").as("g"), col("value").as("x"))
+        .select(col("event_type").as("g"), col("value").as("x"),
+          floor(col("value")).cast(LongType).as("bk"))
       val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
       val n1d = ns.filter(col("g") === "click").select(col("n").as("n1"))
       val n2d = ns.filter(col("g") === "view").select(col("n").as("n2"))
-      val wOrd = Window.orderBy(col("x"), col("g"))
+      val bkTotals = base.groupBy("bk").agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("bi"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("bj"))
+      val wBk = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bkOff = bkTotals.select(col("bk"),
+        coalesce(sum(col("bi")).over(wBk), lit(0L)).as("oi"),
+        coalesce(sum(col("bj")).over(wBk), lit(0L)).as("oj"))
+      val wLoc = Window.partitionBy("bk").orderBy(col("x"), col("g"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val staged = base
-        .withColumn("i", sum(when(col("g") === "click", 1L).otherwise(0L))
-          .over(wOrd))
-        .withColumn("j", sum(when(col("g") === "view", 1L).otherwise(0L))
-          .over(wOrd))
+      val staged = base.join(broadcast(bkOff), "bk")
+        .withColumn("i", col("oi")
+          + sum(when(col("g") === "click", 1L).otherwise(0L)).over(wLoc))
+        .withColumn("j", col("oj")
+          + sum(when(col("g") === "view", 1L).otherwise(0L)).over(wLoc))
         // evaluate the gap only at each value group's last row (the
         // ECDF is right-continuous; mid-tie gaps are not attained)
         .withColumn("rn",

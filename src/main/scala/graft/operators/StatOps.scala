@@ -687,11 +687,24 @@ object StatOps {
       // exact DECIMAL (x is money, i·xᵢ ≤ 38−4 digits at any
       // realistic n) — the division is the single IEEE step, shared
       // verbatim with the oracle.
+      // Ranks via the two-level prefix (the agg_ks_test construction):
+      // a per-priority global sort would put ~N/5 rows in one window
+      // partition; amount buckets get local partitioned ranks and only
+      // the (prio, bucket) total table crosses an unpartitioned window.
       val o = Tables.orders(s, d).select(
         col("o_orderpriority").as("prio"),
-        dec(col("o_totalprice")).as("x"), col("o_orderkey"))
-      val w = Window.partitionBy("prio").orderBy(col("x"), col("o_orderkey"))
-      o.withColumn("i", row_number().over(w).cast(LongType))
+        dec(col("o_totalprice")).as("x"), col("o_orderkey"),
+        floor(col("o_totalprice") / 10000.0).cast(LongType).as("bk"))
+      val bkOff = o.groupBy("prio", "bk").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.partitionBy("prio").orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("prio"), col("bk"), col("off"))
+      val wLoc = Window.partitionBy("prio", "bk")
+        .orderBy(col("x"), col("o_orderkey"))
+      o.join(broadcast(bkOff), Seq("prio", "bk"))
+        .withColumn("i",
+          col("off") + row_number().over(wLoc).cast(LongType))
         .groupBy("prio")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("i")).as("six"))

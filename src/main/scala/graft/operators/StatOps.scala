@@ -471,6 +471,49 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_mannwhitney" -> ((s, d) => {
+      // Mann–Whitney U (Wilcoxon rank-sum) — KS's companion: does one
+      // cohort STOCHASTICALLY DOMINATE the other. Exact arithmetic
+      // throughout: ties take average ranks, carried as DOUBLED
+      // integers (a value group occupying ranks s+1..s+c has average
+      // 2·rank = 2s+c+1 — always an integer), so the rank sum and
+      // U₁ = R₁ − n₁(n₁+1)/2 never touch floats until the one
+      // closed-form z at the end. Rank prefixes use the two-level
+      // construction over the VALUE-GROUP table (distinct-values-
+      // sized, itself bucketed — no unpartitioned window over
+      // anything data-sized).
+      val base = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), col("value").as("x"),
+          floor(col("value")).cast(LongType).as("bk"))
+      val groups = base.groupBy("bk", "x").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("cclick"))
+      val bkTot = groups.groupBy("bk").agg(sum(col("cnt")).as("bn"))
+      val bkOff = bkTot
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bk"), col("off"))
+      val wLoc = Window.partitionBy("bk").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val staged = groups.join(broadcast(bkOff), "bk")
+        .withColumn("sbefore",
+          col("off") + coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+        // doubled average rank of this value group
+        .withColumn("avg2",
+          lit(2L) * col("sbefore") + col("cnt") + 1L)
+      val sums = staged.agg(
+        sum(col("cclick") * col("avg2")).as("r1x2"),
+        sum(col("cclick")).as("n1"),
+        sum(col("cnt") - col("cclick")).as("n2"))
+      sums.selectExpr("n1", "n2",
+        "(CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0 AS u1",
+        "round(((CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0" +
+          " - n1 * n2 / 2.0)" +
+          " / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z")
+    }),
+
     "agg_ks_test" -> ((s, d) => {
       // Two-sample Kolmogorov–Smirnov — the distribution-shift test
       // (click vs view event values): D = max |F₁(x) − F₂(x)|. The
@@ -1120,6 +1163,34 @@ object StatOps {
          sums AS (SELECT ${RegSums.mkString(",\n           ")}
                   FROM base)
          SELECT ${RegSolve.mkString(",\n           ")}
+         FROM sums""",
+
+    // Same doubled-integer average ranks over the value groups, same
+    // closed-form U and z (DuckDB keeps one plain window — the
+    // two-level split is the Spark-side scale concern only).
+    "agg_mannwhitney" ->
+      """WITH base AS (SELECT event_type AS g, value AS x FROM events
+                       WHERE event_type IN ('click', 'view')),
+         groups AS (SELECT x, count(*) AS cnt,
+                      CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cclick
+                    FROM base GROUP BY 1),
+         staged AS (SELECT x, cnt, cclick,
+                      coalesce(sum(cnt) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS sbefore
+                    FROM groups),
+         sums AS (SELECT
+                    CAST(sum(cclick * (2 * sbefore + cnt + 1))
+                      AS BIGINT) AS r1x2,
+                    CAST(sum(cclick) AS BIGINT) AS n1,
+                    CAST(sum(cnt - cclick) AS BIGINT) AS n2
+                  FROM staged)
+         SELECT n1, n2,
+                (CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0 AS u1,
+                round(((CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0
+                    - n1 * n2 / 2.0)
+                  / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z
          FROM sums""",
 
     // Same pooled sort, same exact integer cross-product gaps, same

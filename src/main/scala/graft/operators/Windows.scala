@@ -47,6 +47,34 @@ object Windows {
   private lazy val HoltInitL = holtArr(HoltI.map(_._1), duck = false)
   private lazy val HoltInitB = holtArr(HoltI.map(_._2), duck = false)
 
+  /** The 5 ACF lags as a broadcast-able 5-row frame. */
+  private def spark_lagframe(s: SparkSession): DataFrame =
+    s.range(1, 6).select(col("id").as("lag"))
+
+  /** Fixed-point paired-moment sums for win_autocorr — shared verbatim
+    * with the oracle. Scale 2²⁰ (not the usual 2⁴⁰): daily sums reach
+    * ~10⁶ at larger SFs, so squared terms at 2⁴⁰ would overflow the
+    * LONG accumulator (10¹²·2⁴⁰ ≫ 2⁶³); 2²⁰ keeps y²·2²⁰·days ≤ 2⁶¹
+    * with micro-precision — invisible at the 4-dp output. */
+  private val AcfSums: Seq[String] = Seq(
+    "CAST(count(*) AS DOUBLE)",
+    "CAST(sum(CAST(floor(y1 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1048576.0",
+    "CAST(sum(CAST(floor(y2 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1048576.0",
+    "CAST(sum(CAST(floor(y1 * y1 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1048576.0",
+    "CAST(sum(CAST(floor(y2 * y2 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1048576.0",
+    "CAST(sum(CAST(floor(y1 * y2 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+      " / 1048576.0")
+
+  /** Paired-Pearson closed form over the moment columns — shared
+    * verbatim with the oracle. */
+  private val AcfR: String =
+    "round((n * s12 - s1 * s2)" +
+      " / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)), 4) AS r"
+
   /** Events with 8h-gap session numbers attached (gaps-and-islands):
     * shared core of win_sessionize and etl_user_features. lag and the
     * running sum share ONE (user_id → sec_l, event_id) window spec, so
@@ -524,6 +552,41 @@ object Windows {
           (col("p") - col("minp") > col("k")).as("alarm_up"),
           (col("maxp") - col("p") > col("k")).as("alarm_dn"))
         .orderBy("event_type", "day")
+    }),
+
+    "win_autocorr" -> ((s, d) => {
+      // Autocorrelation function (lags 1–5) of the daily series — the
+      // seasonality/memory detector behind "is this metric mean-
+      // reverting or trending" (a weekly cycle shows as a lag-7
+      // peak). Per lag: pair the series with its k-shifted self via
+      // one (series, day−k) equi-join on the DAILY table, then
+      // Pearson r from the moments+closed-form pattern — fixed-point
+      // sums over each lag's paired subset (the standard ACF-as-
+      // paired-Pearson estimator), one closed-form expression shared
+      // verbatim with the oracle. The ×5 lag expansion is over the
+      // daily table, never the fact table.
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+            " div 86400 AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(money(sum(dec(col("value")))).as("y"))
+      val lags = daily.crossJoin(
+        broadcast(spark_lagframe(s))).withColumnRenamed("y", "y1")
+      val paired = lags.join(
+        daily.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("y").as("y2")),
+        col("event_type") === col("et2")
+          && col("day") - col("lag") === col("d2"))
+      paired.selectExpr("event_type", "lag", "y1", "y2")
+        .groupBy("event_type", "lag")
+        .agg(expr(AcfSums(0)).as("n"), expr(AcfSums(1)).as("s1"),
+          expr(AcfSums(2)).as("s2"), expr(AcfSums(3)).as("s11"),
+          expr(AcfSums(4)).as("s22"), expr(AcfSums(5)).as("s12"))
+        .selectExpr("event_type", "lag", "CAST(n AS BIGINT) AS n_pairs",
+          AcfR)
+        .orderBy("event_type", "lag")
     }),
 
     "win_theil_sen" -> ((s, d) => {
@@ -1050,6 +1113,30 @@ object Windows {
                 p - minp > k AS alarm_up,
                 maxp - p > k AS alarm_dn
          FROM pre ORDER BY event_type, day""",
+
+    // Same daily series, same lag equi-join, same fixed-point paired
+    // moments and shared Pearson closed form.
+    "win_autocorr" ->
+      s"""WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                    AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         lagged AS (SELECT a.event_type, l.lag, a.y AS y1, b.y AS y2
+                    FROM daily a
+                    CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5]) AS BIGINT)
+                                  AS lag) l
+                    JOIN daily b ON b.event_type = a.event_type
+                      AND b.day = a.day - l.lag),
+         sums AS (SELECT event_type, lag,
+                    ${AcfSums(0)} AS n, ${AcfSums(1)} AS s1,
+                    ${AcfSums(2)} AS s2, ${AcfSums(3)} AS s11,
+                    ${AcfSums(4)} AS s22, ${AcfSums(5)} AS s12
+                  FROM lagged GROUP BY 1, 2)
+         SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs, $AcfR
+         FROM sums ORDER BY event_type, lag""",
 
     // Same daily series, same bounded pairwise self-join, same
     // quantile_cont medians for slope and intercept.

@@ -1617,6 +1617,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(d >= 0.0 && d <= 1.0)
   }
 
+  test("agg_mannwhitney: U matches a direct rank-sum with average tie ranks") {
+    val r = q("agg_mannwhitney").head()
+    val (n1, n2, u1, z) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))
+    val vals = Tables.events(spark, Spec.sf001)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(row => (row.getString(0), row.getDouble(1)))
+    assert(n1 === vals.count(_._1 == "click").toLong)
+    assert(n2 === vals.count(_._1 == "view").toLong)
+    // average ranks over the pooled sorted sample
+    val sorted = vals.sortBy(_._2)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var idx = 0
+    while (idx < sorted.length) {
+      var jdx = idx
+      while (jdx < sorted.length && sorted(jdx)._2 == sorted(idx)._2) jdx += 1
+      ranks(sorted(idx)._2) = (idx + 1 + jdx) / 2.0
+      idx = jdx
+    }
+    val r1 = vals.filter(_._1 == "click").map(v => ranks(v._2)).sum
+    val refU = r1 - n1 * (n1 + 1) / 2.0
+    assert(math.abs(u1 - refU) < 1e-6, s"u1 $u1 vs $refU")
+    assert(u1 >= 0.0 && u1 <= n1.toDouble * n2)
+    assert(math.abs(z) < 10.0, s"z $z implausible for same-distribution cohorts")
+  }
+
+  test("win_autocorr: r matches a direct paired Pearson per lag") {
+    val rows = q("win_autocorr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._4 >= -1.0 && r._4 <= 1.0))
+    val daily = Tables.events(spark, Spec.sf001)
+      .selectExpr("event_type",
+        "CAST(unix_timestamp(date_trunc('second', ts)) div 86400 AS BIGINT) AS day",
+        "value")
+      .groupBy("event_type", "day")
+      .agg(graft.Det.money(sum(graft.Det.dec(col("value")))).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (t, lag, nPairs, rv) =>
+      val series = daily.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      val pairs = series.toSeq.flatMap { case (dd, y1) =>
+        series.get(dd - lag).map(y2 => (y1, y2))
+      }
+      assert(nPairs === pairs.length.toLong, s"$t lag $lag n")
+      val n = pairs.length.toDouble
+      val (s1, s2) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val s11 = pairs.map(p => p._1 * p._1).sum
+      val s22 = pairs.map(p => p._2 * p._2).sum
+      val s12 = pairs.map(p => p._1 * p._2).sum
+      val ref = (n * s12 - s1 * s2) /
+        math.sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2))
+      assert(math.abs(rv - ref) < 1e-3, s"$t lag $lag r $rv vs $ref")
+    }
+  }
+
   test("win_theil_sen: slope matches the median of all pairwise slopes") {
     val rows = q("win_theil_sen").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -516,7 +516,13 @@ object GraphOps {
         val pick = expr(
           s"${Det.md5SliceExpr(s"concat(walk, ':', $t, ':', cur)", 1, 8)}" +
             " % degree").as("pick")
-        state = broadcast(state)
+        // No broadcast() hint on the frontier: at the declared 20-seed
+        // probe scale AQE broadcasts it anyway (it's tiny), and at 10⁹
+        // walks a FORCED frontier broadcast would be exactly the
+        // scale-killer this shape is designed to avoid — the step must
+        // stay a plain equi-join so the planner can pick shuffle-hash
+        // when the frontier is walks-sized.
+        state = state
           .join(dg, col("cur") === col("node"))
           .select(col("walk"), col("cur"), col("path"), pick)
           .join(adj, col("cur") === col("src")

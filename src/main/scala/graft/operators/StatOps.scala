@@ -415,7 +415,10 @@ object StatOps {
       // partial to ≤|domain| rows), then all arithmetic happens on the
       // ≤ r·c cell frame with the totals broadcast. Determinism: obs,
       // rt, ct, N are exact BIGINTs; the per-cell deviation o·N − rt·ct
-      // is an exact BIGINT; each cell's contribution
+      // is computed in DECIMAL(38,0) — the products reach N², which
+      // overflows BIGINT past N ≈ 3·10⁹ rows (an ANSI runtime error),
+      // while DECIMAL(38,0) holds N² exactly to N ≈ 10¹⁹ — then cast
+      // to double once; each cell's contribution
       // (dd²)/(rt·ct·N) is ONE closed-form IEEE expression on exact
       // ints, identical in both engines; and the χ² total crosses the
       // engines as an exact DECIMAL(38,6) sum of those per-cell
@@ -433,7 +436,9 @@ object StatOps {
         .join(broadcast(cts), "priority")
         .crossJoin(broadcast(nD))
         .withColumn("dd",
-          (col("obs") * col("nn") - col("rt") * col("ct")).cast(DoubleType))
+          (col("obs").cast(DecimalType(38, 0)) * col("nn")
+            - col("rt").cast(DecimalType(38, 0)) * col("ct"))
+            .cast(DoubleType))
         .withColumn("expected",
           col("rt").cast(DoubleType) * col("ct") / col("nn"))
         .withColumn("contrib", col("dd") * col("dd")
@@ -503,15 +508,27 @@ object StatOps {
         // doubled average rank of this value group
         .withColumn("avg2",
           lit(2L) * col("sbefore") + col("cnt") + 1L)
+      // Tie-corrected normal variance: ranks are tie-averaged, so the
+      // no-tie n₁n₂(n+1)/12 overstates |z| on heavily tied data. The
+      // standard correction needs Σ(t³−t) over tie groups — and the
+      // value-group table already IS the tie-group table, so the term
+      // is one more aggregate over it. t³ is accumulated in
+      // DECIMAL(38,0) (exact, order-free; t³ overflows BIGINT past
+      // t ≈ 2·10⁶ tied rows), cast to double once inside the closed
+      // form shared verbatim with the oracle.
       val sums = staged.agg(
         sum(col("cclick") * col("avg2")).as("r1x2"),
         sum(col("cclick")).as("n1"),
-        sum(col("cnt") - col("cclick")).as("n2"))
+        sum(col("cnt") - col("cclick")).as("n2"),
+        sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt")
+          - col("cnt")).as("tsum"))
       sums.selectExpr("n1", "n2",
         "(CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0 AS u1",
         "round(((CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0" +
-          " - n1 * n2 / 2.0)" +
-          " / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z")
+          " - CAST(n1 AS DOUBLE) * n2 / 2.0)" +
+          " / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0" +
+          " * ((n1 + n2 + 1.0) - CAST(tsum AS DOUBLE)" +
+          " / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z")
     }),
 
     "agg_ks_test" -> ((s, d) => {
@@ -1134,7 +1151,9 @@ object StatOps {
          cts AS (SELECT priority, count(*) AS ct FROM o GROUP BY 1),
          nD AS (SELECT count(*) AS nn FROM o),
          scored AS (SELECT c.status, c.priority, c.obs, r.rt, t.ct, n.nn,
-                      CAST(c.obs * n.nn - r.rt * t.ct AS DOUBLE) AS dd,
+                      CAST(CAST(c.obs AS DECIMAL(38,0)) * n.nn
+                        - CAST(r.rt AS DECIMAL(38,0)) * t.ct
+                        AS DOUBLE) AS dd,
                       CAST(r.rt AS DOUBLE) * t.ct / n.nn AS expected
                     FROM cells c
                     JOIN rts r ON c.status = r.status
@@ -1184,13 +1203,17 @@ object StatOps {
                     CAST(sum(cclick * (2 * sbefore + cnt + 1))
                       AS BIGINT) AS r1x2,
                     CAST(sum(cclick) AS BIGINT) AS n1,
-                    CAST(sum(cnt - cclick) AS BIGINT) AS n2
+                    CAST(sum(cnt - cclick) AS BIGINT) AS n2,
+                    sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+                      AS tsum
                   FROM staged)
          SELECT n1, n2,
                 (CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0 AS u1,
                 round(((CAST(r1x2 AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0
-                    - n1 * n2 / 2.0)
-                  / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z
+                    - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                  / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1.0) - CAST(tsum AS DOUBLE)
+                      / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z
          FROM sums""",
 
     // Same pooled sort, same exact integer cross-product gaps, same

@@ -52,22 +52,30 @@ object Windows {
     s.range(1, 6).select(col("id").as("lag"))
 
   /** Fixed-point paired-moment sums for win_autocorr — shared verbatim
-    * with the oracle. Scale 2²⁰ (not the usual 2⁴⁰): daily sums reach
-    * ~10⁶ at larger SFs, so squared terms at 2⁴⁰ would overflow the
-    * LONG accumulator (10¹²·2⁴⁰ ≫ 2⁶³); 2²⁰ keeps y²·2²⁰·days ≤ 2⁶¹
-    * with micro-precision — invisible at the 4-dp output. */
+    * with the oracle. Two overflow defenses, because the accumulator is
+    * a LONG and the SUM (not just each term) must stay under 2⁶³:
+    *  1. the series is MIN-SHIFTED first (y ← y − min(y) per series;
+    *     min of identical 4-dp doubles is exact and order-free in both
+    *     engines, and Pearson r is shift-invariant) — so the squared
+    *     terms grow with the series' RANGE, which scales ~√SF, not
+    *     with its absolute level, which scales ~SF;
+    *  2. scale 2¹⁶ (not the usual 2⁴⁰): the bound is
+    *     days·range²·2¹⁶ ≤ 2⁶³, i.e. range ≤ ~6·10⁵ for a year-long
+    *     daily series — comfortably above any plausible daily-sum
+    *     spread, with ~1.5e-5 per-term precision, invisible at the
+    *     4-dp output. */
   private val AcfSums: Seq[String] = Seq(
     "CAST(count(*) AS DOUBLE)",
-    "CAST(sum(CAST(floor(y1 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
-      " / 1048576.0",
-    "CAST(sum(CAST(floor(y2 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
-      " / 1048576.0",
-    "CAST(sum(CAST(floor(y1 * y1 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
-      " / 1048576.0",
-    "CAST(sum(CAST(floor(y2 * y2 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
-      " / 1048576.0",
-    "CAST(sum(CAST(floor(y1 * y2 * 1048576.0) AS BIGINT)) AS DOUBLE)" +
-      " / 1048576.0")
+    "CAST(sum(CAST(floor(y1 * 65536.0) AS BIGINT)) AS DOUBLE)" +
+      " / 65536.0",
+    "CAST(sum(CAST(floor(y2 * 65536.0) AS BIGINT)) AS DOUBLE)" +
+      " / 65536.0",
+    "CAST(sum(CAST(floor(y1 * y1 * 65536.0) AS BIGINT)) AS DOUBLE)" +
+      " / 65536.0",
+    "CAST(sum(CAST(floor(y2 * y2 * 65536.0) AS BIGINT)) AS DOUBLE)" +
+      " / 65536.0",
+    "CAST(sum(CAST(floor(y1 * y2 * 65536.0) AS BIGINT)) AS DOUBLE)" +
+      " / 65536.0")
 
   /** Paired-Pearson closed form over the moment columns — shared
     * verbatim with the oracle. */
@@ -486,15 +494,23 @@ object Windows {
         .withColumn("pos", row_number().over(wSer) - 1)
         .withColumn("maxp", count(lit(1)).over(
           Window.partitionBy("event_type")) - 1)
+      // try_element_at, not element_at: under ANSI (Spark 4 default) an
+      // index past the 128-entry weight table would throw
+      // INVALID_ARRAY_INDEX for a series longer than HoltLags days.
+      // try_element_at yields NULL there, the NULL term drops out of
+      // sum() — exactly DuckDB's arr[idx] out-of-range semantics, so
+      // both engines truly drop the identical (sub-1e-19) tail.
       val terms = posd.select(col("event_type"), col("maxp"),
         when(col("pos") === 0,
-          element_at(expr(HoltInitL), col("maxp").cast(IntegerType) + 1))
-          .otherwise(element_at(expr(HoltWL),
+          try_element_at(expr(HoltInitL),
+            col("maxp").cast(IntegerType) + 1))
+          .otherwise(try_element_at(expr(HoltWL),
             (col("maxp") - col("pos")).cast(IntegerType) + 1))
           .as("wl"),
         when(col("pos") === 0,
-          element_at(expr(HoltInitB), col("maxp").cast(IntegerType) + 1))
-          .otherwise(element_at(expr(HoltWB),
+          try_element_at(expr(HoltInitB),
+            col("maxp").cast(IntegerType) + 1))
+          .otherwise(try_element_at(expr(HoltWB),
             (col("maxp") - col("pos")).cast(IntegerType) + 1))
           .as("wb"),
         col("y"))
@@ -565,13 +581,18 @@ object Windows {
       // paired-Pearson estimator), one closed-form expression shared
       // verbatim with the oracle. The ×5 lag expansion is over the
       // daily table, never the fact table.
-      val daily = Tables.events(s, d)
+      val daily0 = Tables.events(s, d)
         .select(col("event_type"),
           expr("CAST(unix_timestamp(date_trunc('second', ts))" +
             " div 86400 AS BIGINT)").as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(money(sum(dec(col("value")))).as("y"))
+      // Min-shift each series before the fixed-point moments (see
+      // AcfSums): r is shift-invariant, and the shift keeps the LONG
+      // accumulator bounded by the series RANGE instead of its level.
+      val daily = daily0.withColumn("y",
+        col("y") - min(col("y")).over(Window.partitionBy("event_type")))
       val lags = daily.crossJoin(
         broadcast(spark_lagframe(s))).withColumnRenamed("y", "y1")
       val paired = lags.join(
@@ -1114,16 +1135,20 @@ object Windows {
                 maxp - p > k AS alarm_dn
          FROM pre ORDER BY event_type, day""",
 
-    // Same daily series, same lag equi-join, same fixed-point paired
-    // moments and shared Pearson closed form.
+    // Same daily series, same per-series min-shift, same lag equi-join,
+    // same fixed-point paired moments and shared Pearson closed form.
     "win_autocorr" ->
-      s"""WITH daily AS (
+      s"""WITH daily0 AS (
            SELECT event_type,
                   CAST(epoch(date_trunc('second', ts)) AS BIGINT)
                     // 86400 AS day,
                   CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
                     AS DOUBLE) AS y
            FROM events GROUP BY 1, 2),
+         daily AS (
+           SELECT event_type, day,
+                  y - min(y) OVER (PARTITION BY event_type) AS y
+           FROM daily0),
          lagged AS (SELECT a.event_type, l.lag, a.y AS y1, b.y AS y2
                     FROM daily a
                     CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5]) AS BIGINT)

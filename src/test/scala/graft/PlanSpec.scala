@@ -516,6 +516,22 @@ class PlanSpec extends AnyFunSuite {
       "no corpus-sized shuffle join in the classify pass")
   }
 
+  test("graph_random_walk: step is an equi-join on (cur,pick)=(src,idx), frontier not force-broadcast") {
+    val p = plan("graph_random_walk")
+    // each step must stay a plain equi-join so the planner can pick a
+    // shuffle strategy when the frontier is walks-sized (10⁹ walks);
+    // the adjacency probe join keys are (cur, pick) = (src, idx)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "walk step degenerated to a non-equi join")
+    // the logical plan carries no forced broadcast of the frontier:
+    // ResolvedHint/UnresolvedHint would show in the analyzed plan
+    val logical = SparkEntry.queries("graph_random_walk")(spark, Spec.sf001)
+      .queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      "frontier carries a forced broadcast hint — the 10⁹-walk shape must leave strategy choice to AQE")
+  }
+
   test("sim_pca_power: covariance is generator + partial agg, never a corpus self-join") {
     val p = plan("sim_pca_power")
     // the d(d+1)/2 pair expansion must come from chained generators on

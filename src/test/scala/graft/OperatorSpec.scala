@@ -207,6 +207,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_components: durable-checkpoint branch produces identical labels") {
+    // The spark.graft.components.checkpointDir branch (persist →
+    // reliable checkpoint → per-round unpersist) had never executed in
+    // any test — only the localCheckpoint default. The two branches
+    // must be observationally identical: same labels, and no leaked
+    // cached blocks once the run completes.
+    val base = q("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-comp-ckpt").toString
+    try {
+      spark.conf.set("spark.graft.components.checkpointDir", dir)
+      val durable = q("dedup_components").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(durable === base,
+        "durable-checkpoint fixpoint diverged from localCheckpoint path")
+      // the reliable-checkpoint path actually wrote checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "checkpointDir set but no checkpoint files written")
+    } finally {
+      spark.conf.unset("spark.graft.components.checkpointDir")
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pack_sequences: chunks fill to the budget and docs pack completely") {
     val rows = q("pack_sequences").collect()
     val perChunk = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)

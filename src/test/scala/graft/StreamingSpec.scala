@@ -122,6 +122,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("soak: watermarked dedup state stays bounded over 100 batches") {
+    // The scale axis StreamingSpec never exercised: a SUSTAINED input.
+    // 100 micro-batches, each advancing event time 5 minutes and
+    // re-sending one in-horizon duplicate; with a 10-minute watermark
+    // the state store must hold only the horizon's ids — if eviction
+    // broke, state would grow with TOTAL ids (1000) and the bound here
+    // trips. The bound is read from the engine's own stateOperators
+    // metrics, not inferred from output.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dedup = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("soak_dd").start()
+    try {
+      var maxState = 0L
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      for (b <- 0 until 100) {
+        val t = new Timestamp(base + b * 5L * 60 * 1000)
+        // 10 fresh ids per batch + 1 duplicate of the previous batch
+        val rows = (0 until 10).map(i => (t, b * 10L + i)) :+
+          ((t, math.max(0, b - 1) * 10L))
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        val st = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+        maxState = math.max(maxState, st)
+      }
+      val out = spark.sql("SELECT count(*) FROM soak_dd").head().getLong(0)
+      assert(out === 1000L, s"dedup dropped wrong rows: $out")
+      // horizon covers ~3 batches of 10-11 ids; 100 is a generous roof,
+      // 1000 (= no eviction) is the failure mode being guarded
+      assert(maxState <= 100L,
+        s"dedup state grew to $maxState rows — watermark eviction broken")
+    } finally q.stop()
+  }
+
+  test("soak: session-window state stays bounded over 100 batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sess = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sess.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("soak_sess").start()
+    try {
+      var maxState = 0L
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      for (b <- 0 until 100) {
+        val t = new Timestamp(base + b * 20L * 60 * 1000) // 20 min apart
+        // 5 users active per batch; every batch opens (and, once the
+        // watermark passes, closes) one session per user
+        in.addData((0 until 5).map(i => (t, i.toLong)): _*)
+        q.processAllAvailable()
+        val st = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+        maxState = math.max(maxState, st)
+      }
+      // 5 users × ~2 unexpired sessions is the honest high-water mark;
+      // unbounded growth would reach ~500 session rows
+      assert(maxState <= 50L,
+        s"session state grew to $maxState rows — eviction broken")
+      val emitted = spark.sql("SELECT count(*) FROM soak_sess")
+        .head().getLong(0)
+      assert(emitted >= 5L * 98,
+        s"only $emitted closed sessions emitted — sessions stuck in state")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within the range, incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Timestamp, Long, Long)] // ts, user, pid

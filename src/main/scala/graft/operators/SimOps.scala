@@ -755,7 +755,7 @@ object SimOps {
   )
 
   /** Final (vec_id, cluster, d2l, embedding) assignment of the
-    * two-round Lloyd pipeline (k=8 seed → assign/means ×2 → assign) —
+    * two-round Lloyd pipeline (k = max(8, N/250) seed → assign/means ×2) —
     * the ONE k-means implementation shared by sim_kmeans (profile) and
     * dedup_semantic (SemDeDup bucketing), so their cluster labels can
     * never drift apart.
@@ -775,7 +775,16 @@ object SimOps {
         .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
           min(col("d2l")).as("d2l"),
           first(col("embedding")).as("embedding"))
-    val c1 = clusterMeans(assign(sampleCentroids(emb, 8)))
+    // k SCALES WITH N (N/k ≈ 250 vectors per cluster, floored at 8):
+    // with a fixed k the within-cluster pair joins downstream grow as
+    // (N/k)² per cluster — the sf0.1→sf1 scale run measured
+    // dedup_semantic at 16× for 10× data before this scaled k, 2.4×
+    // after. Every driver fixture (N ≤ 2000) still lands on k = 8, so
+    // declared outputs are unchanged; the count is one cheap action,
+    // amortized by the stored-assignment cache. The oracle derives the
+    // SAME k via LIMIT (SELECT greatest(8, count(*)//250) ...).
+    val k = math.max(8L, emb.count() / 250L).toInt
+    val c1 = clusterMeans(assign(sampleCentroids(emb, k)))
     val c2 = clusterMeans(assign(c1))
     assign(c2)
   }
@@ -1010,7 +1019,9 @@ object SimOps {
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
          cents0 AS (SELECT vec_id AS cent_id FROM embeddings
-                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT (SELECT greatest(8, count(*) // 250)
+                           FROM embeddings)),
          cev0 AS (SELECT c.cent_id, e.pos, e.v AS cv
                   FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
          ${kmAssign(0)}, ${kmMeans(0)},
@@ -1046,7 +1057,7 @@ object SimOps {
          WHERE cos >= $SemDedupT)"""
 
   val oracles: Map[String, String] = Map(
-    // Mirrors the full Lloyd pipeline: identical md5-ordered k=8 seed
+    // Mirrors the full Lloyd pipeline: identical md5-ordered seed
     // sample, two mean-update rounds + final assignment, all distances
     // as order-free fixed-point LONG sums and all means FLOAT-rounded —
     // bit-identical centroids and labels in both engines, no float
@@ -1057,7 +1068,9 @@ object SimOps {
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
          cents0 AS (SELECT vec_id AS cent_id FROM embeddings
-                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                    LIMIT (SELECT greatest(8, count(*) // 250)
+                           FROM embeddings)),
          cev0 AS (SELECT c.cent_id, e.pos, e.v AS cv
                   FROM cents0 c JOIN ev e ON e.vec_id = c.cent_id),
          ${kmAssign(0)}, ${kmMeans(0)},

@@ -364,16 +364,23 @@ object TextOps {
     "text_repetition" -> ((s, d) => {
       // Repetition signals (the Gopher/C4 filter family): per document,
       // the duplicate-bigram fraction and the share of the single most
-      // frequent bigram. Two aggregations, both keyed on doc_id — the
-      // per-doc gram counts partial-aggregate map-side, so a 100 TB
-      // corpus pays one doc_id-keyed shuffle of (doc, gram) counts and
-      // one of per-doc rollups.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // frequent bigram. Bigrams are built MAP-SIDE by zipping the
+      // token array with its own tail (zip_with over two slices) —
+      // adjacency is a property of the row's own array, so paying a
+      // doc_id window shuffle to see the next token (the earlier lead()
+      // formulation) bought nothing. Two aggregations remain, both
+      // keyed on doc_id: the per-doc gram counts partial-aggregate
+      // map-side, so a 100 TB corpus pays one doc_id-keyed shuffle of
+      // (doc, gram) counts and one of per-doc rollups. The oracle keeps
+      // DuckDB's window form — same gram multiset, and every downstream
+      // aggregate is order-free.
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("gram"))
       grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_grams"),

@@ -21,6 +21,23 @@ object TextOps {
   /** Whitespace tokens minus the trailing empty token (FIXTURES.md). */
   private def toks: Column = filter(split(col("text"), " "), t => t =!= lit(""))
 
+  /** (doc_id, w1, w2) adjacent-token pairs, built MAP-SIDE by zipping
+    * the token array with its own tail: adjacency is a property of the
+    * row's own array, so the earlier lead()-over-(doc_id, pos) window
+    * formulation paid a full shuffle of exploded tokens for nothing.
+    * Shared by every bigram consumer (ngrams, bigram LM, PMI,
+    * repetition); oracles keep DuckDB's single-node window form — the
+    * gram multiset is identical and all downstream aggregates are
+    * order-free. */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+
   /** Feature-hashing dimension — ONE constant interpolated into both
     * the query and its oracle so they cannot drift (and read by the
     * spec's range assertion). */
@@ -63,18 +80,17 @@ object TextOps {
     * decontamination stage — see text_decontaminate for the 100 TB
     * broadcast/bloom notes. */
   private def contamHits(s: SparkSession, docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // 5-grams MAP-SIDE from each row's own token array (the
+    // bigramPairs rationale — four lead() windows bought a full doc_id
+    // shuffle of exploded tokens for adjacency the array already has);
+    // sequence is bounded by the ≥5-token filter, every index in range
+    // under ANSI.
     val grams = docs
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"),
-        lead(col("tok"), 2).over(w).as("t2"),
-        lead(col("tok"), 3).over(w).as("t3"),
-        lead(col("tok"), 4).over(w).as("t4"))
-      .filter(col("t4").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"),
-          col("t4")).as("gram"))
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 5), i -> concat_ws(' '," +
+          " t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")).as("gram"))
       .distinct()
       .withColumn("b", SampleOps.hashBucket)
     val evalGrams = grams.filter(col("b") === 9)
@@ -156,13 +172,9 @@ object TextOps {
     }),
 
     "text_ngrams" -> ((s, d) => {
-      // Bigrams via lead-over-position (the cross-engine formulation).
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+      // Bigrams map-side via bigramPairs (oracle keeps the window form).
+      bigramPairs(Tables.documents(s, d))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("gram"))
         .limit(20)
@@ -189,17 +201,13 @@ object TextOps {
       // Bigram conditional probabilities P(w2|w1) = c(w1,w2)/c(w1·) —
       // the count-based language-model estimate (the building block of
       // KenLM-style scoring and the perplexity gate's real-corpus
-      // form). The corpus pays ONE exploded+windowed pass: the context
+      // form). The corpus pays ONE map-side zip pass: the context
       // counts c(w1·) fold from the pair table (Σ_w2 c(w1,w2)) at
       // vocab² cost, never a second fact-sized scan. Exact long
       // counts, one final division. Top-20 by pair count, full
       // tiebreak.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("tok").as("w1"), col("nxt").as("w2"))
+      val grams = bigramPairs(Tables.documents(s, d))
+        .select(col("w1"), col("w2"))
       val c12 = grams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -222,15 +230,12 @@ object TextOps {
       // vocab-bounded aggregate of ONE corpus pass (checkpointed —
       // every step reads it); each step is a 1-row broadcast probe
       // into it, the TakeOrdered argmax never sorts the table.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-      val bi = grams.groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+      val grams = bigramPairs(Tables.documents(s, d))
+      val bi = grams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
         .localCheckpoint()
-      val seed = grams.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val seed = grams.groupBy(col("w1").as("tok"))
+        .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(1)
         .select(col("tok").as("word"))
       var cur = seed
@@ -279,12 +284,8 @@ object TextOps {
       // text_bigram_prob discipline — the corpus is scanned once).
       // Exact long counts; pmi is one closed-form ln on exact ints
       // (the agg_entropy discipline); ranking ties break on the pair.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("tok").as("w1"), col("nxt").as("w2"))
+      val grams = bigramPairs(Tables.documents(s, d))
+        .select(col("w1"), col("w2"))
       val c12 = grams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))

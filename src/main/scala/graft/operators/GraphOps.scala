@@ -489,6 +489,46 @@ object GraphOps {
         .orderBy("u", "rnk")
     }),
 
+    "graph_bipartite_project" -> ((s, d) => {
+      // Bipartite → item-item projection with an explicit HEAVY-KEY
+      // CAP — the recommendation / co-curation primitive (customers ×
+      // parts from orders⋈lineitem, projected onto parts). The cap is
+      // the load-bearing scale decision: projection pair count is
+      // Σ_u deg(u)², so ONE user with 10⁵ items would emit 10¹⁰ pairs
+      // — every production projector (GraphJet-style) caps or samples
+      // heavy keys first. Here each customer keeps their 20
+      // md5-smallest parts (deterministic, retry/partition-stable —
+      // the sample-family rule), bounding pairs at 190/user; the cap
+      // is the declared semantics, not a silent truncation. Weights:
+      // raw co-occurrence count plus the cosine normalization
+      // cooc/√(deg_a·deg_b) over capped degrees — one self-join on
+      // the user key, two broadcast-able degree joins, top-20 with
+      // full tiebreak.
+      val cp = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val wC = Window.partitionBy("c")
+        .orderBy(md5(col("p").cast(StringType)), col("p"))
+      val capped = cp.withColumn("rk", row_number().over(wC))
+        .filter(col("rk") <= 20).select("c", "p")
+      val deg = capped.groupBy(col("p")).agg(count(lit(1)).as("dg"))
+      val pairs = capped.select(col("c"), col("p").as("a"))
+        .join(capped.select(col("c").as("c2"), col("p").as("b")),
+          col("c") === col("c2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      pairs
+        .join(deg.select(col("p").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("p").as("b"), col("dg").as("db")), "b")
+        .select(col("a"), col("b"), col("cooc"),
+          round(col("cooc").cast(DoubleType)
+            / sqrt(col("da").cast(DoubleType) * col("db")), 6)
+            .as("cosine"))
+        .orderBy(col("cooc").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     "graph_random_walk" -> ((s, d) => {
       // Deterministic random walks — the node2vec/DeepWalk INPUT
       // generator: from each seed, a 3-step walk whose "random"
@@ -801,6 +841,29 @@ object GraphOps {
                       CAST(row_number() OVER (PARTITION BY u
                         ORDER BY aal DESC, w) AS INTEGER) AS rnk
                FROM ne) WHERE rnk <= 3 ORDER BY u, rnk""",
+
+    // Same md5-smallest-20 per-user cap, same capped degrees, one
+    // closed-form cosine.
+    "graph_bipartite_project" ->
+      """WITH cp AS (
+           SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         capped AS (SELECT c, p FROM (
+             SELECT c, p, row_number() OVER (PARTITION BY c
+               ORDER BY md5(CAST(p AS VARCHAR)), p) AS rk
+             FROM cp) WHERE rk <= 20),
+         deg AS (SELECT p, count(*) AS dg FROM capped GROUP BY 1),
+         pairs AS (SELECT x.p AS a, y.p AS b, count(*) AS cooc
+                   FROM capped x JOIN capped y
+                     ON x.c = y.c AND x.p < y.p
+                   GROUP BY 1, 2)
+         SELECT pr.a, pr.b, CAST(pr.cooc AS BIGINT) AS cooc,
+                round(CAST(pr.cooc AS DOUBLE)
+                  / sqrt(CAST(da.dg AS DOUBLE) * db.dg), 6) AS cosine
+         FROM pairs pr
+         JOIN deg da ON da.p = pr.a
+         JOIN deg db ON db.p = pr.b
+         ORDER BY pr.cooc DESC, pr.a, pr.b LIMIT 20""",
 
     // Walk replay: identical dst-sorted adjacency index, identical
     // md5(walk:step:node) mod degree pick per step.

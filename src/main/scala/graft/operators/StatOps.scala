@@ -476,6 +476,33 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_cuped" -> ((s, d) => {
+      // CUPED variance reduction (Deng et al., WSDM'13) — the standard
+      // A/B-test power tool: regress each user's experiment-period
+      // metric on their PRE-period metric and report how much metric
+      // variance the covariate removes (θ = cov/var_pre; reduced
+      // variance = var_post − cov²/var_pre; the reduction equals ρ²).
+      // Shape at 100 TB: one fact pass to per-user (pre, post) sums —
+      // pre/post split at min(day)+15 via a broadcast scalar — then
+      // the agg_multireg discipline: six moment sums (map-side
+      // partial, exact DECIMAL accumulation of per-row IEEE products)
+      // collapse everything to ONE row, and θ/variances are closed-form
+      // doubles from expression strings the oracle embeds verbatim.
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+          " div 86400 AS BIGINT)").as("day"),
+        col("value"))
+      val d0 = ev.agg(min(col("day")).as("d0"))
+      val per = ev.crossJoin(broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+          money(sum(when(col("day") < col("d0") + 15, dec(col("value")))
+            .otherwise(lit(0).cast(Det.Money)))).as("pre"),
+          money(sum(when(col("day") >= col("d0") + 15, dec(col("value")))
+            .otherwise(lit(0).cast(Det.Money)))).as("post"))
+      per.selectExpr(CupedSums: _*).selectExpr(CupedSolve: _*)
+    }),
+
     "agg_mannwhitney" -> ((s, d) => {
       // Mann–Whitney U (Wilcoxon rank-sum) — KS's companion: does one
       // cohort STOCHASTICALLY DOMINATE the other. Exact arithmetic
@@ -876,6 +903,35 @@ object StatOps {
   /** Exact moment-sum projections for agg_multireg — aggregate SQL
     * shared verbatim with the DuckDB oracle (DECIMAL(38,8) sums, one
     * cast to DOUBLE at the end). */
+  /** CUPED moment sums over the per-user (pre, post) frame — exact
+    * DECIMAL accumulation of per-row IEEE products (the RegSums
+    * discipline), shared verbatim with the oracle. */
+  private val CupedSums: Seq[String] = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(sum(CAST(pre AS DECIMAL(38,6))) AS DOUBLE) AS sx",
+    "CAST(sum(CAST(post AS DECIMAL(38,6))) AS DOUBLE) AS sy",
+    "CAST(sum(CAST(pre * pre AS DECIMAL(38,6))) AS DOUBLE) AS sxx",
+    "CAST(sum(CAST(post * post AS DECIMAL(38,6))) AS DOUBLE) AS syy",
+    "CAST(sum(CAST(pre * post AS DECIMAL(38,6))) AS DOUBLE) AS sxy")
+
+  /** CUPED closed forms on the one-row moment frame — θ, raw and
+    * adjusted variance, percent reduction (= 100·ρ²). Every
+    * subexpression is written out so both engines execute the
+    * identical IEEE op sequence. */
+  private val CupedSolve: Seq[String] = Seq(
+    "CAST(n AS BIGINT) AS n_users",
+    "round((sxy / n - (sx / n) * (sy / n))" +
+      " / (sxx / n - (sx / n) * (sx / n)), 6) AS theta",
+    "round(syy / n - (sy / n) * (sy / n), 6) AS var_post",
+    "round((syy / n - (sy / n) * (sy / n))" +
+      " - ((sxy / n - (sx / n) * (sy / n))" +
+      " * (sxy / n - (sx / n) * (sy / n)))" +
+      " / (sxx / n - (sx / n) * (sx / n)), 6) AS var_adjusted",
+    "round(100.0 * (((sxy / n - (sx / n) * (sy / n))" +
+      " * (sxy / n - (sx / n) * (sy / n)))" +
+      " / (sxx / n - (sx / n) * (sx / n)))" +
+      " / (syy / n - (sy / n) * (sy / n)), 4) AS var_reduction_pct")
+
   private val RegSums: Seq[String] = Seq(
     "CAST(count(*) AS DOUBLE) AS n",
     "CAST(sum(CAST(x1 AS DECIMAL(38,8))) AS DOUBLE) AS sx1",
@@ -1172,6 +1228,31 @@ object StatOps {
                 round(c.contrib, 6) AS contrib, t.chi2, t.df
          FROM contribs c CROSS JOIN tot t
          ORDER BY c.status, c.priority""",
+
+    // Same per-user pre/post split at min(day)+15, same CupedSums /
+    // CupedSolve expression strings — engine agreement by construction.
+    "agg_cuped" ->
+      s"""WITH ev AS (
+           SELECT user_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  value
+           FROM events),
+         d0 AS (SELECT min(day) AS d0 FROM ev),
+         per AS (SELECT user_id,
+                   CAST(round(sum(CASE WHEN day < d0.d0 + 15
+                       THEN CAST(value AS DECIMAL(38,4))
+                       ELSE CAST(0 AS DECIMAL(38,4)) END), 4)
+                     AS DOUBLE) AS pre,
+                   CAST(round(sum(CASE WHEN day >= d0.d0 + 15
+                       THEN CAST(value AS DECIMAL(38,4))
+                       ELSE CAST(0 AS DECIMAL(38,4)) END), 4)
+                     AS DOUBLE) AS post
+                 FROM ev CROSS JOIN d0 GROUP BY 1),
+         sums AS (SELECT ${CupedSums.mkString(",\n           ")}
+                  FROM per)
+         SELECT ${CupedSolve.mkString(",\n           ")}
+         FROM sums""",
 
     // The moment sums and the Cramer solve are THE SAME expression
     // strings the Spark plan compiles (RegSums / RegSolve) — engine

@@ -396,6 +396,36 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    "text_substring_dup" -> ((s, d) => {
+      // CHARACTER-level repeated-substring detection — the exact-
+      // substring dedup family (Lee et al., "Deduplicating Training
+      // Data Makes Language Models Better"): boilerplate, license
+      // headers and templated spans repeat across documents below the
+      // token level, where line dedup and token n-grams can't see
+      // them. Each doc emits 32-char shingles at stride 16 (any
+      // repeated span ≥ 47 chars is guaranteed to share an ALIGNED
+      // shingle pair; production densifies the stride or suffix-
+      // arrays within the flagged docs — this key is the corpus-wide
+      // candidate scan). Map-side generation from each row's own text
+      // (the bigramPairs rationale), one shingle-keyed count shuffle
+      // whose cardinality is |corpus chars|/16, top-20 most-shared
+      // spans with full tiebreak.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 31, 16)," +
+            " i -> substring(text, i, 32))")).as("shingle"))
+        .groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+          col("shingle"))
+        .limit(20)
+    }),
+
     "text_decontaminate" -> ((s, d) => {
       // Eval-set decontamination: flag TRAIN documents sharing ≥3
       // distinct 5-grams with the frozen TEST split (the same
@@ -1001,6 +1031,26 @@ object TextOps {
                       count(*) AS n_distinct, max(c) AS top_c
                FROM per GROUP BY doc_id)
          ORDER BY doc_id""",
+
+    // Same 32-char stride-16 shingles: DuckDB range() is
+    // exclusive-upper, Spark sequence() inclusive — range(1, L-30, 16)
+    // and sequence(1, L-31, 16) generate the identical index set for
+    // every length (largest 1+16k ≤ L-31 in both).
+    "text_substring_dup" ->
+      """WITH sh AS (
+           SELECT doc_id, substring(text, CAST(i AS INTEGER), 32)
+                    AS shingle
+           FROM (SELECT doc_id, text,
+                        unnest(range(1, length(text) - 30, 16)) AS i
+                 FROM documents WHERE length(text) >= 32))
+         SELECT shingle,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM sh GROUP BY 1
+         HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occurrences DESC, shingle
+         LIMIT 20""",
 
     "text_decontaminate" ->
       s"""WITH grams AS (

@@ -651,6 +651,53 @@ object Windows {
         .orderBy("event_type")
     }),
 
+    "win_mann_kendall" -> ((s, d) => {
+      // Mann–Kendall trend test — the nonparametric "is this series
+      // trending at all" gate a metrics pipeline runs BEFORE trusting
+      // win_theil_sen's slope: S = Σ_{i<j} sign(y_j − y_i) over the
+      // daily table, tie-corrected normal variance, continuity-
+      // corrected z. Same scale shape as theil_sen: the pairwise
+      // expansion is days²/2 per series — bounded by the observation
+      // window, never the corpus — via one series-keyed self-join.
+      // Determinism: y is a 4-dp exact-derived double, so sign() can
+      // never disagree between engines; S and the tie term are exact
+      // integers (ties in DECIMAL(38,0) — t(t−1)(2t+5) overflows
+      // BIGINT past t ≈ 1.6·10⁶ tied days); z is ONE closed-form IEEE
+      // expression shared verbatim.
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
+            " div 86400 AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy("event_type", "day")
+        .agg(money(sum(dec(col("value")))).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("y").as("y1"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("d2"), col("y").as("y2"))
+      val ss = a.join(b, col("event_type") === col("et2")
+          && col("d1") < col("d2"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("y2") - col("y1")).cast(LongType))
+          .as("s_stat"))
+      val nn = daily.groupBy("event_type").agg(count(lit(1)).as("nd"))
+      val ties = daily.groupBy("event_type", "y")
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1)
+          * (lit(2) * col("t") + 5)).as("tsum"))
+      ss.join(nn, Seq("event_type")).join(ties, Seq("event_type"))
+        .selectExpr("event_type", "nd AS n_days", "s_stat",
+          "round((s_stat - CAST(sign(s_stat) AS BIGINT))" +
+            " / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)" +
+            " - CAST(tsum AS DOUBLE)) / 18.0), 4) AS z")
+        .withColumn("trend",
+          when(col("z") > 1.96, lit("increasing"))
+            .when(col("z") < -1.96, lit("decreasing"))
+            .otherwise(lit("none")))
+        .orderBy("event_type")
+    }),
+
     "win_ohlc" -> ((s, d) => {
       // OHLC resampling — the downsample every telemetry/market store
       // runs: per (series, hour) the first/highest/lowest/last value
@@ -1188,6 +1235,41 @@ object Windows {
                   AS intercept
          FROM daily d JOIN ts t ON d.event_type = t.event_type
          GROUP BY d.event_type ORDER BY d.event_type""",
+
+    // Same daily series, same bounded pairwise self-join; exact
+    // integer S and DECIMAL tie term, one shared closed-form z.
+    "win_mann_kendall" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                    // 86400 AS day,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                    AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         ss AS (SELECT a.event_type,
+                  CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+                    AS s_stat
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.day < b.day
+                GROUP BY 1),
+         nn AS (SELECT event_type, count(*) AS nd FROM daily GROUP BY 1),
+         ties AS (SELECT event_type,
+                    sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+                      AS tsum
+                  FROM (SELECT event_type, y, count(*) AS t
+                        FROM daily GROUP BY 1, 2) GROUP BY 1),
+         z AS (SELECT s.event_type, n.nd AS n_days, s.s_stat,
+                 round((s.s_stat - CAST(sign(s.s_stat) AS BIGINT))
+                   / sqrt((CAST(n.nd AS DOUBLE) * (n.nd - 1)
+                     * (2 * n.nd + 5) - CAST(t.tsum AS DOUBLE)) / 18.0),
+                   4) AS z
+               FROM ss s JOIN nn n ON s.event_type = n.event_type
+               JOIN ties t ON s.event_type = t.event_type)
+         SELECT event_type, n_days, s_stat, z,
+                CASE WHEN z > 1.96 THEN 'increasing'
+                     WHEN z < -1.96 THEN 'decreasing'
+                     ELSE 'none' END AS trend
+         FROM z ORDER BY event_type""",
 
     // Same shared bucket window for the ordered ends, same exact
     // decimal volume.

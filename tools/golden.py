@@ -131,6 +131,56 @@ def golden_theil_sen(con, out):
           f"{len(got)} series, mismatches: {bad or 'none'}")
 
 
+def golden_mann_kendall(con, out):
+    daily = daily_series(con)
+    got = load(out, "win_mann_kendall").set_index("event_type")
+    bad = []
+    for et, grp in daily.groupby("event_type"):
+        y = grp.sort_values("day").y.to_numpy()
+        n = len(y)
+        i, j = np.triu_indices(n, k=1)
+        s_ref = int(np.sum(np.sign(y[j] - y[i])))
+        _, t = np.unique(y, return_counts=True)
+        var = (n * (n - 1) * (2 * n + 5)
+               - float(np.sum(t * (t - 1) * (2 * t + 5)))) / 18.0
+        z_ref = (s_ref - np.sign(s_ref)) / np.sqrt(var)
+        row = got.loc[et]
+        if row.s_stat != s_ref or abs(row.z - z_ref) > 1e-3:
+            bad.append((et, int(row.s_stat), s_ref, row.z, z_ref))
+    check("win_mann_kendall", not bad,
+          f"{len(got)} series, mismatches: {bad or 'none'}")
+
+
+def golden_cuped(con, out):
+    ev = con.execute("""
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+                 AS day,
+               value
+        FROM events""").df()
+    split = ev.day.min() + 15
+    per = ev.groupby("user_id").apply(
+        lambda g: pd.Series({
+            "pre": round(g.loc[g.day < split, "value"].sum(), 4),
+            "post": round(g.loc[g.day >= split, "value"].sum(), 4)}),
+        include_groups=False)
+    x, y = per.pre.to_numpy(), per.post.to_numpy()
+    vx = x.var()        # population variance, matching the closed form
+    vy = y.var()
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    theta = cov / vx
+    var_adj = vy - cov * cov / vx
+    red = 100.0 * (cov * cov / vx) / vy
+    got = load(out, "agg_cuped").iloc[0]
+    ok = (abs(got.theta - theta) < 1e-4
+          and abs(got.var_post - vy) / vy < 1e-6
+          and abs(got.var_adjusted - var_adj) / vy < 1e-6
+          and abs(got.var_reduction_pct - red) < 1e-3)
+    check("agg_cuped", ok,
+          f"theta spark={got.theta:.6f} numpy={theta:.6f}, "
+          f"reduction spark={got.var_reduction_pct:.4f} numpy={red:.4f}")
+
+
 def golden_pca(con, out):
     X = np.array(con.execute(
         "SELECT embedding FROM embeddings ORDER BY vec_id").df()
@@ -170,6 +220,8 @@ def main():
     golden_mannwhitney(con, out)
     golden_km(con, out)
     golden_theil_sen(con, out)
+    golden_mann_kendall(con, out)
+    golden_cuped(con, out)
     golden_pca(con, out)
     print(f"\n{'ALL GREEN' if not FAIL else 'FAILURES: ' + str(FAIL)}")
     sys.exit(1 if FAIL else 0)

@@ -207,6 +207,54 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_cuped: adjustment can only shrink variance, reduction in [0,100]") {
+    val r = q("agg_cuped").head()
+    val varPost = r.getAs[Double]("var_post")
+    val varAdj = r.getAs[Double]("var_adjusted")
+    val red = r.getAs[Double]("var_reduction_pct")
+    assert(varAdj <= varPost + 1e-9, "CUPED increased variance")
+    assert(varAdj >= 0.0 && red >= 0.0 && red <= 100.0)
+    // reduction must equal the variance ratio it claims
+    assert(math.abs(red - 100.0 * (1.0 - varAdj / varPost)) < 0.01)
+  }
+
+  test("win_mann_kendall: trend label consistent with z, S bounded by pairs") {
+    q("win_mann_kendall").collect().foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      val sStat = r.getAs[Long]("s_stat")
+      val z = r.getAs[Double]("z")
+      assert(math.abs(sStat) <= n * (n - 1) / 2, "S exceeds pair count")
+      val expect = if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"
+      assert(r.getAs[String]("trend") === expect)
+    }
+  }
+
+  test("text_substring_dup: 32-char shingles shared by >=2 docs, truly present") {
+    val rows = q("text_substring_dup").collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, Spec.sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val sh = r.getAs[String]("shingle")
+      assert(sh.length === 32)
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      // the reported min_doc really contains the shingle at a stride
+      // offset — the detector reports real substrings, not artifacts
+      assert(texts(r.getAs[Long]("min_doc")).contains(sh))
+    }
+  }
+
+  test("graph_bipartite_project: valid cosine weights over capped degrees") {
+    q("graph_bipartite_project").collect().foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      val cos = r.getAs[Double]("cosine")
+      assert(cos > 0.0 && cos <= 1.0 + 1e-9,
+        s"cosine $cos outside (0,1]: cooc can't exceed either degree")
+    }
+  }
+
   test("dedup_components: durable-checkpoint branch produces identical labels") {
     // The spark.graft.components.checkpointDir branch (persist →
     // reliable checkpoint → per-round unpersist) had never executed in

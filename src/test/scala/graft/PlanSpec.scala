@@ -516,6 +516,21 @@ class PlanSpec extends AnyFunSuite {
       "no corpus-sized shuffle join in the classify pass")
   }
 
+  test("text_substring_dup: shingles generate map-side — no window, no cartesian") {
+    val p = plan("text_substring_dup")
+    assert(!p.contains("Window"),
+      "shingle extraction must come from the row's own text, not a window")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.toLowerCase.contains("generate"), p.take(1500))
+  }
+
+  test("graph_bipartite_project: pair join is user-keyed equi-join, never cartesian") {
+    val p = plan("graph_bipartite_project")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "projection pairs must equi-join on the user key")
+  }
+
   test("graph_random_walk: step is an equi-join on (cur,pick)=(src,idx), frontier not force-broadcast") {
     val p = plan("graph_random_walk")
     // each step must stay a plain equi-join so the planner can pick a

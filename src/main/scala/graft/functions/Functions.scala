@@ -184,7 +184,11 @@ object Functions {
         .select(
           col("source"),
           size(col("lang_counts")).as("n_langs"),
-          element_at(col("lang_counts"), "en").as("en_docs"),
+          // try_element_at: under ANSI a missing map key THROWS — a
+          // source partition with zero English docs would crash the
+          // report, while the oracle's lookup yields NULL. NULL is the
+          // honest value for "no en docs here" in both engines.
+          try_element_at(col("lang_counts"), lit("en")).as("en_docs"),
           // keys are sorted by the sort_array above; serialize so the
           // driver's pandas hash gate can hash the cell.
           array_join(map_keys(col("lang_counts")), ",").as("langs"))

@@ -606,8 +606,12 @@ object StatOps {
           row_number().over(Window.partitionBy("x")
             .orderBy(col("g").desc, col("i").desc, col("j").desc)))
         .filter(col("rn") === 1)
+      // The ECDF cross-products i·n₂ and j·n₁ reach n₁·n₂ — past
+      // BIGINT at ~6·10⁹ pooled rows (the agg_chisq overflow class) —
+      // so the gap is computed in DECIMAL(38,0), exact to 10¹⁹.
       staged.crossJoin(broadcast(n1d)).crossJoin(broadcast(n2d))
-        .select(abs(col("i") * col("n2") - col("j") * col("n1"))
+        .select(abs(col("i").cast(DecimalType(38, 0)) * col("n2")
+          - col("j").cast(DecimalType(38, 0)) * col("n1"))
           .as("gap"), col("n1"), col("n2"))
         .groupBy("n1", "n2")
         .agg(max(col("gap")).as("maxgap"))
@@ -1315,7 +1319,8 @@ object StatOps {
                ORDER BY g DESC, i DESC, j DESC) AS rn
              FROM staged) WHERE rn = 1)
          SELECT n1.n1, n2.n2,
-                round(CAST(max(abs(i * n2.n2 - j * n1.n1)) AS DOUBLE)
+                round(CAST(max(abs(CAST(i AS DECIMAL(38,0)) * n2.n2
+                    - CAST(j AS DECIMAL(38,0)) * n1.n1)) AS DOUBLE)
                   / (CAST(n1.n1 AS DOUBLE) * n2.n2), 6) AS ks_d
          FROM lastrow CROSS JOIN n1 CROSS JOIN n2
          GROUP BY n1.n1, n2.n2""",

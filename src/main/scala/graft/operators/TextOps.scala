@@ -29,7 +29,7 @@ object TextOps {
     * repetition); oracles keep DuckDB's single-node window form — the
     * gram multiset is identical and all downstream aggregates are
     * order-free. */
-  private def bigramPairs(docs: DataFrame): DataFrame =
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(zip_with(

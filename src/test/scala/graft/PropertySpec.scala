@@ -35,6 +35,25 @@ class PropertySpec extends AnyFunSuite {
       .drop("rn", "h")
   }
 
+  test("bigramPairs equals the sliding-window reference on generated corpora") {
+    // bigramPairs (zip-with-own-tail, map-side) now backs five declared
+    // keys; pin it against the obvious local sliding-window definition
+    // on scalacheck corpora, including whitespace-edge inputs the
+    // vocab generator can't produce.
+    val texts = sample(textGen, 50, 7000L) ++
+      Seq("", " ", "one", "a  b", "  x y  z ")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = operators.TextOps.bigramPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      tk.zip(tk.drop(1)).map { case (a, b) => (i.toLong, a, b) }
+    }.sorted
+    assert(got === want)
+  }
+
   test("dedup_exact is idempotent and total on generated corpora") {
     val texts = sample(textGen, 60, 1000L)
     // force duplicates: every third doc repeats an earlier text

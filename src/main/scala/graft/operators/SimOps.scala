@@ -766,10 +766,60 @@ object SimOps {
     * the one N-row shuffle; means are FLOAT-rounded fixed-point sums
     * (the sim_ann_ivf cev discipline) so both engines carry
     * bit-identical centroids into the next round. */
+  /** Two-level (coarse-quantizer) nearest-centroid assignment — the
+    * conf-gated PRODUCTION RUNG (`spark.graft.kmeans.coarseAssign`)
+    * past the exact broadcast scan: route each vector to its nearest
+    * of ⌈√k⌉ coarse cells (the md5-smallest fine centers), then scan
+    * only that cell's fine centers — O(N·√k·d) per round instead of
+    * O(N·k·d), the IVF tree idea applied to the assignment itself.
+    * APPROXIMATE by design (a vector whose true center sits in a
+    * neighboring coarse cell mis-assigns — classic quantizer loss,
+    * bounded in OperatorSpec by label-agreement and inertia-ratio
+    * floors against the exact path), so the DEFAULT path and every
+    * declared oracle stay exact; production flips the conf when
+    * N·k·d stops fitting the round budget. Deterministic for a given
+    * conf: same md5 seed order, same (dist, id) min_by total orders. */
+  private def assignTwoLevel(emb: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val nc = math.ceil(math.sqrt(cents.count().toDouble)).toInt
+    val coarse = cents
+      .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
+      .limit(nc)
+      .select(col("cent_id").as("coarse_id"),
+        col("cent_emb").as("coarse_emb"))
+    val centMap = cents.join(broadcast(coarse))
+      .withColumn("d2c", expr("l2fx(cent_emb, coarse_emb)"))
+      .groupBy(col("cent_id"))
+      .agg(expr("min_by(coarse_id, struct(d2c, coarse_id))")
+        .as("coarse_id"),
+        first(col("cent_emb")).as("cent_emb"))
+    // MULTIPROBE routing (nprobe = 2): high-dim distances concentrate,
+    // so the single nearest coarse cell often misses the true center's
+    // cell — scanning the TWO nearest cells is the standard IVF recall
+    // lever (sim_ann_ivf's nprobe, applied to assignment) and keeps
+    // the round at O(N·2√k·d).
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("d2c"), col("coarse_id"))
+    emb.join(broadcast(coarse))
+      .withColumn("d2c", expr("l2fx(embedding, coarse_emb)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select(col("vec_id"), col("embedding"), col("coarse_id"))
+      .join(broadcast(centMap), "coarse_id")
+      .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
+      .groupBy(col("vec_id"))
+      .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
+        min(col("d2l")).as("d2l"),
+        first(col("embedding")).as("embedding"))
+  }
+
   private def kmeansAssigned(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.L2FixedF.register(s)
+    val coarseGate = s.conf
+      .getOption("spark.graft.kmeans.coarseAssign").contains("true")
     def assign(cents: DataFrame): DataFrame =
-      emb.join(broadcast(cents))
+      if (coarseGate) assignTwoLevel(emb, cents)
+      else emb.join(broadcast(cents))
         .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
         .groupBy(col("vec_id"))
         .agg(expr("min_by(cent_id, struct(d2l, cent_id))").as("cluster"),
@@ -972,6 +1022,14 @@ object SimOps {
       .agg(expr("min_by(code, struct(d2l, code))").as("bcode"),
         min(col("d2l")).as("sub_err"))
   }
+
+  /** Test hook: run the full Lloyd pipeline fresh (bypassing the
+    * stored-assignment cache, which is keyed only by input data and
+    * would mask the conf) — OperatorSpec compares the exact and
+    * two-level-gated assignments through this. */
+  private[graft] def testKmeansAssigned(s: SparkSession, d: String)
+      : DataFrame =
+    kmeansAssigned(s, Tables.embeddings(s, d))
 
   /** Test hook: total fixed-point reconstruction error of the corpus
     * under the seed vs the trained codebook — OperatorSpec asserts the

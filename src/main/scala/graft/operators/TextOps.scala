@@ -677,6 +677,39 @@ object TextOps {
     }),
 
     "text_bpe_train" -> ((s, d) => {
+      val (_, rules) = bpeMerged(s, d)
+      rules.reduce(_.unionAll(_)).orderBy("step")
+    }),
+
+    "text_bpe_encode" -> ((s, d) => {
+      // BPE ENCODE — the apply half of the tokenizer round trip: the
+      // corpus token table under the 6 trained merges. Tokenization
+      // falls straight out of training's final word-repr table (the
+      // fastBPE property: encoding IS the trained repr split), so the
+      // whole key is vocab-sized work — per-token totals weight each
+      // word's count, n_words counts distinct words containing the
+      // token, is_merged marks multi-char (learned) symbols. At 100 TB
+      // the corpus pays only the word-frequency groupBy it already
+      // paid for training; everything after is broadcast-scale.
+      val (fin, _) = bpeMerged(s, d)
+      fin.select(col("cnt"),
+          explode(expr("filter(split(trim(repr), ' '), x -> x != '')"))
+            .as("token"))
+        .groupBy("token")
+        .agg(sum(col("cnt")).as("total_count"),
+          count(lit(1)).as("n_words"))
+        .withColumn("is_merged", length(col("token")) > 1)
+        .orderBy(col("total_count").desc, col("token"))
+        .limit(20)
+    }),
+  )
+
+  /** Shared BPE training pipeline: word-frequency table → 6 merge
+    * rounds → (final word reprs, per-round rule frames). Backs both
+    * text_bpe_train (the rules) and text_bpe_encode (the reprs).
+    */
+  private def bpeMerged(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
       // BPE vocabulary training — learn the first 6 merge rules over
       // the corpus, the algorithm behind every production subword
       // tokenizer. The 100 TB shape is the critical part: the corpus
@@ -745,11 +778,8 @@ object TextOps {
           col("pcnt").as("pair_cnt"))
         (applied, acc :+ rule)
       }
-      val (_, rules) =
-        (1 to 6).foldLeft((words, Seq.empty[DataFrame]))(mergeRound)
-      rules.reduce(_.unionAll(_)).orderBy("step")
-    })
-  )
+      (1 to 6).foldLeft((words, Seq.empty[DataFrame]))(mergeRound)
+  }
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -1249,7 +1279,33 @@ object TextOps {
     // sentinel symbol strings, same (count DESC, pair ASC) argmax, and
     // the same 4-pass replace() apply per round.
     "text_bpe_train" ->
-      s"""WITH words AS (SELECT w, count(*) AS cnt FROM (
+      s"""WITH $bpeCtes
+         SELECT step, a AS lhs, b AS rhs, a || b AS merged,
+                CAST(pcnt AS BIGINT) AS pair_cnt
+         FROM (${(1 to 6).map(k =>
+             s"SELECT $k AS step, a, b, pcnt FROM best$k")
+           .mkString(" UNION ALL ")})
+         ORDER BY step""",
+
+    // Same trained reprs (the shared CTE chain's repr7), same
+    // frequency-weighted token rollup.
+    "text_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         tok AS (SELECT cnt,
+             unnest(list_filter(string_split(trim(repr), ' '),
+               x -> x <> '')) AS token
+           FROM repr7)
+         SELECT token, CAST(sum(cnt) AS BIGINT) AS total_count,
+                CAST(count(*) AS BIGINT) AS n_words,
+                length(token) > 1 AS is_merged
+         FROM tok GROUP BY 1
+         ORDER BY total_count DESC, token LIMIT 20"""
+  )
+
+  /** Shared BPE oracle CTE chain (word table → repr1 → 6 merge
+    * rounds), used by text_bpe_train and text_bpe_encode. */
+  private lazy val bpeCtes: String =
+    s"""words AS (SELECT w, count(*) AS cnt FROM (
              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
              FROM documents)
            WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= 20
@@ -1257,14 +1313,7 @@ object TextOps {
          repr1 AS (SELECT w, cnt,
              ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr
            FROM words),
-         ${(1 to 6).map(bpeRound).mkString(",\n         ")}
-         SELECT step, a AS lhs, b AS rhs, a || b AS merged,
-                CAST(pcnt AS BIGINT) AS pair_cnt
-         FROM (${(1 to 6).map(k =>
-             s"SELECT $k AS step, a, b, pcnt FROM best$k")
-           .mkString(" UNION ALL ")})
-         ORDER BY step"""
-  )
+         ${(1 to 6).map(bpeRound).mkString(",\n         ")}"""
 
   /** One BPE oracle round: symbol lists, lateral pair positions,
     * pair-count argmax with the lexicographic tie-break, 4-pass merge

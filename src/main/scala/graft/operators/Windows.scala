@@ -651,6 +651,52 @@ object Windows {
         .orderBy("event_type")
     }),
 
+    "win_attribution" -> ((s, d) => {
+      // Marketing-style first/last-touch attribution — for every
+      // purchase, which touch channel (click/view) gets the credit
+      // within a 24 h lookback. The scale shape is the range-join
+      // discipline (join_range_bucketed): candidates come from a
+      // (user, DAY-bucket) equi-join — each purchase probes exactly
+      // its own and the previous day's touches, so fan-out is bounded
+      // by a user's daily touch volume, never their history — then
+      // the exact [psec−86400, psec) range filter. First/last pick by
+      // min_by/max_by over the (tsec, event_id) total order (exact,
+      // tie-safe); purchases with NO touch in window report as the
+      // 'unattributed' channel via a left join — the honest row naive
+      // reports drop. Revenue is the exact decimal sum.
+      val ev = Tables.events(s, d).select(col("user_id"),
+        Det.epochS(col("ts")).as("sec"), col("event_type"),
+        col("value"), col("event_id"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("tu"), col("sec").as("tsec"),
+          col("event_type").as("ttype"), col("event_id").as("tev"),
+          expr("sec div 86400").as("tday"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("sec").as("psec"),
+          col("value"), col("event_id").as("pev"))
+        .withColumn("pday", expr("psec div 86400"))
+      val cand = pur.join(touch,
+        col("pu") === col("tu")
+          && (col("tday") === col("pday")
+            || col("tday") === col("pday") - 1)
+          && col("tsec") < col("psec")
+          && col("tsec") >= col("psec") - 86400L)
+      val att = cand.groupBy(col("pev"))
+        .agg(expr("max_by(ttype, struct(tsec, tev))").as("last_touch"),
+          expr("min_by(ttype, struct(tsec, tev))").as("first_touch"))
+      pur.join(att, Seq("pev"), "left")
+        .select(coalesce(col("last_touch"), lit("unattributed"))
+          .as("last_touch"),
+          coalesce(col("first_touch"), lit("unattributed"))
+            .as("first_touch"), col("value"))
+        .groupBy("last_touch")
+        .agg(count(lit(1)).as("n_last"),
+          sumMoney(col("value")).as("rev_last"),
+          sum(when(col("first_touch") === col("last_touch"), 1L)
+            .otherwise(0L)).as("n_same_first"))
+        .orderBy("last_touch")
+    }),
+
     "win_mann_kendall" -> ((s, d) => {
       // Mann–Kendall trend test — the nonparametric "is this series
       // trending at all" gate a metrics pipeline runs BEFORE trusting
@@ -1235,6 +1281,43 @@ object Windows {
                   AS intercept
          FROM daily d JOIN ts t ON d.event_type = t.event_type
          GROUP BY d.event_type ORDER BY d.event_type""",
+
+    // Same day-bucketed candidate join, same (tsec, event_id)
+    // min_by/max_by picks, same unattributed left-join row.
+    "win_attribution" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                  event_type, value, event_id
+           FROM events),
+         touch AS (SELECT user_id AS tu, sec AS tsec,
+                          event_type AS ttype, event_id AS tev,
+                          sec // 86400 AS tday
+                   FROM ev WHERE event_type IN ('click', 'view')),
+         pur AS (SELECT user_id AS pu, sec AS psec, value,
+                        event_id AS pev, sec // 86400 AS pday
+                 FROM ev WHERE event_type = 'purchase'),
+         cand AS (SELECT p.pev, t.ttype, t.tsec, t.tev
+                  FROM pur p JOIN touch t ON p.pu = t.tu
+                    AND (t.tday = p.pday OR t.tday = p.pday - 1)
+                    AND t.tsec < p.psec AND t.tsec >= p.psec - 86400),
+         att AS (SELECT pev,
+                   first(ttype ORDER BY tsec DESC, tev DESC)
+                     AS last_touch,
+                   first(ttype ORDER BY tsec, tev) AS first_touch
+                 FROM cand GROUP BY 1),
+         rows0 AS (SELECT coalesce(a.last_touch, 'unattributed')
+                     AS last_touch,
+                   coalesce(a.first_touch, 'unattributed')
+                     AS first_touch,
+                   p.value
+                   FROM pur p LEFT JOIN att a ON p.pev = a.pev)
+         SELECT last_touch, CAST(count(*) AS BIGINT) AS n_last,
+                CAST(round(sum(CAST(value AS DECIMAL(38,4))), 4)
+                  AS DOUBLE) AS rev_last,
+                CAST(sum(CASE WHEN first_touch = last_touch
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_same_first
+         FROM rows0 GROUP BY 1 ORDER BY last_touch""",
 
     // Same daily series, same bounded pairwise self-join; exact
     // integer S and DECIMAL tie term, one shared closed-form z.

@@ -476,6 +476,22 @@ object StatOps {
         .selectExpr(RegSolve: _*)
     }),
 
+    "agg_power_analysis" -> ((s, d) => {
+      // A/B sample-size planning — the third leg of the experiment
+      // toolkit (agg_ttest reads a result, agg_cuped shrinks variance,
+      // this one answers "how long must we run"): n per arm =
+      // 2σ²(z_{α/2}+z_β)²/δ² for α=0.05 two-sided, 80% power, and a
+      // 5%-of-mean minimum detectable effect, from the click metric's
+      // one-pass moments. The z quantiles are shared literals (the
+      // Benford-constant discipline — no erf in either engine); moments
+      // are exact DECIMAL sums; the solve is one closed-form string
+      // both engines compile. Corpus-size-independent after the one
+      // aggregate.
+      Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("value").cast(DoubleType).as("x"))
+        .selectExpr(PowerSums: _*).selectExpr(PowerSolve: _*)
+    }),
+
     "agg_cuped" -> ((s, d) => {
       // CUPED variance reduction (Deng et al., WSDM'13) — the standard
       // A/B-test power tool: regress each user's experiment-period
@@ -907,6 +923,22 @@ object StatOps {
   /** Exact moment-sum projections for agg_multireg — aggregate SQL
     * shared verbatim with the DuckDB oracle (DECIMAL(38,8) sums, one
     * cast to DOUBLE at the end). */
+  /** Power-analysis moment sums (one metric column `x`) and the
+    * closed-form solve — z_{0.975} and z_{0.80} as shared literals. */
+  private val PowerSums: Seq[String] = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx",
+    "CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx")
+  private val PowerSolve: Seq[String] = Seq(
+    "CAST(n AS BIGINT) AS n_obs",
+    "round(sx / n, 4) AS mu",
+    "round(sxx / n - (sx / n) * (sx / n), 4) AS sigma2",
+    "round(0.05 * (sx / n), 4) AS mde",
+    "CAST(ceil(2.0 * (sxx / n - (sx / n) * (sx / n))" +
+      " * (1.959964 + 0.841621) * (1.959964 + 0.841621)" +
+      " / ((0.05 * (sx / n)) * (0.05 * (sx / n)))) AS BIGINT)" +
+      " AS n_per_arm")
+
   /** CUPED moment sums over the per-user (pre, post) frame — exact
     * DECIMAL accumulation of per-row IEEE products (the RegSums
     * discipline), shared verbatim with the oracle. */
@@ -1232,6 +1264,16 @@ object StatOps {
                 round(c.contrib, 6) AS contrib, t.chi2, t.df
          FROM contribs c CROSS JOIN tot t
          ORDER BY c.status, c.priority""",
+
+    // Same one-pass moments and shared closed-form solve with the
+    // z-quantile literals.
+    "agg_power_analysis" ->
+      s"""WITH base AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+                        WHERE event_type = 'click'),
+         sums AS (SELECT ${PowerSums.mkString(",\n           ")}
+                  FROM base)
+         SELECT ${PowerSolve.mkString(",\n           ")}
+         FROM sums""",
 
     // Same per-user pre/post split at min(day)+15, same CupedSums /
     // CupedSolve expression strings — engine agreement by construction.

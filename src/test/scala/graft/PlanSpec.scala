@@ -531,6 +531,13 @@ class PlanSpec extends AnyFunSuite {
       "projection pairs must equi-join on the user key")
   }
 
+  test("win_attribution: candidate join is (user, day-bucket) equi — never cartesian") {
+    val p = plan("win_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "attribution candidates must come from the bucketed equi-join")
+  }
+
   test("graph_random_walk: step is an equi-join on (cur,pick)=(src,idx), frontier not force-broadcast") {
     val p = plan("graph_random_walk")
     // each step must stay a plain equi-join so the planner can pick a

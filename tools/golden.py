@@ -181,6 +181,21 @@ def golden_cuped(con, out):
           f"reduction spark={got.var_reduction_pct:.4f} numpy={red:.4f}")
 
 
+def golden_power(con, out):
+    x = con.execute(
+        "SELECT CAST(value AS DOUBLE) FROM events"
+        " WHERE event_type = 'click'").df().iloc[:, 0].to_numpy()
+    mu, var = x.mean(), x.var()
+    mde = 0.05 * mu
+    n_ref = int(np.ceil(2 * var * (1.959964 + 0.841621) ** 2 / mde ** 2))
+    got = load(out, "agg_power_analysis").iloc[0]
+    ok = (abs(got.mu - mu) < 1e-3 and abs(got.sigma2 - var) / var < 1e-5
+          and abs(int(got.n_per_arm) - n_ref) <= 1)
+    check("agg_power_analysis", ok,
+          f"n/arm spark={int(got.n_per_arm)} numpy={n_ref}, "
+          f"sigma2 spark={got.sigma2:.2f} numpy={var:.2f}")
+
+
 def golden_pca(con, out):
     X = np.array(con.execute(
         "SELECT embedding FROM embeddings ORDER BY vec_id").df()
@@ -222,6 +237,7 @@ def main():
     golden_theil_sen(con, out)
     golden_mann_kendall(con, out)
     golden_cuped(con, out)
+    golden_power(con, out)
     golden_pca(con, out)
     print(f"\n{'ALL GREEN' if not FAIL else 'FAILURES: ' + str(FAIL)}")
     sys.exit(1 if FAIL else 0)

@@ -154,6 +154,20 @@ object DedupOps {
         posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
   }
 
+  /** Stored component labels — built ONCE per corpus snapshot from the
+    * dedup_components fixpoint (path carries Stage.inputStamp so a
+    * regenerated fixture rotates the cache), read by every consumer
+    * (dedup_apply, dedup_cluster_stats). */
+  private def componentLabelsStored(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Stage.inputStamp(s, s"$d/documents.parquet")
+    val labPath = Stage.materializeOnce(s, s"/tmp/graft_components_$tag") {
+      queries("dedup_components")(s, d)
+        .write.mode("overwrite").parquet(s"/tmp/graft_components_$tag")
+    }
+    s.read.parquet(labPath)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) => {
       // Normalize → hash → keep lowest doc_id per hash. One shuffle.
@@ -349,18 +363,34 @@ object DedupOps {
       // Path carries Stage.inputStamp(documents): a regenerated fixture
       // rotates the cache path, so stored labels can never go stale
       // against the corpus they label (round-5 lesson).
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        Stage.inputStamp(s, s"$d/documents.parquet")
-      val labPath = Stage.materializeOnce(s, s"/tmp/graft_components_$tag") {
-        queries("dedup_components")(s, d)
-          .write.mode("overwrite").parquet(s"/tmp/graft_components_$tag")
-      }
-      val drop = s.read.parquet(labPath)
+      val drop = componentLabelsStored(s, d)
         .filter(col("doc_id") =!= col("component")).select("doc_id")
       Tables.documents(s, d)
         .join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    "dedup_cluster_stats" -> ((s, d) => {
+      // Dup-cluster size profile — the QA report a dedup run publishes
+      // next to its applied corpus: how many clusters of each size,
+      // and the honest SINGLETON row (docs in no near-dup pair at
+      // all), which naive reports over the pair-participant label
+      // table silently omit. Reads the SAME stored label snapshot
+      // dedup_apply consumes (build-once/report-many); two tiny
+      // aggregates over the labels plus one corpus count — the report
+      // itself is cluster-count-sized.
+      val lab = componentLabelsStored(s, d)
+      val dist = lab.groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      val tot = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val labeled = lab.agg(count(lit(1)).as("nl"))
+      val singles = tot.crossJoin(broadcast(labeled))
+        .select(lit(1L).as("cluster_size"),
+          (col("nd") - col("nl")).as("n_clusters"),
+          (col("nd") - col("nl")).as("n_docs"))
+      dist.unionAll(singles).orderBy("cluster_size")
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
@@ -573,6 +603,36 @@ object DedupOps {
            JOIN reach r ON r.x = n.x
            GROUP BY n.x)
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+
+    // Same recursive closure, then the size rollup plus the singleton
+    // row derived from the corpus count.
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         und AS (SELECT a AS x, b AS y FROM simpairs
+                 UNION SELECT b, a FROM simpairs),
+         reach(x, y) AS (
+           SELECT x, y FROM und
+           UNION
+           SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         comp AS (
+           SELECT n.x AS doc_id, least(n.x, min(r.y)) AS component
+           FROM (SELECT DISTINCT x FROM und) n
+           JOIN reach r ON r.x = n.x
+           GROUP BY n.x),
+         sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+         dist AS (SELECT sz AS cluster_size,
+                    CAST(count(*) AS BIGINT) AS n_clusters,
+                    CAST(sum(sz) AS BIGINT) AS n_docs
+                  FROM sizes GROUP BY 1),
+         tot AS (SELECT count(*) AS nd FROM documents),
+         lb AS (SELECT count(*) AS nl FROM comp)
+         SELECT * FROM (
+           SELECT cluster_size, n_clusters, n_docs FROM dist
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), CAST(nd - nl AS BIGINT),
+                  CAST(nd - nl AS BIGINT)
+           FROM tot CROSS JOIN lb)
+         ORDER BY cluster_size""",
 
     // Same recursive closure as dedup_components, then the anti join:
     // a doc drops iff it participates in a pair AND is not its

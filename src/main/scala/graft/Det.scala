@@ -75,4 +75,14 @@ object Det {
 
   /** Epoch seconds as long (after whole-second truncation). */
   def epochS(c: Column): Column = date_trunc("second", c).cast(LongType)
+
+  /** UTC day index of a timestamp — THE day bucket every daily-series
+    * operator shares (mirrored in oracles as
+    * `epoch(date_trunc('second', ts)) // 86400`). One definition so a
+    * future epoch/truncation change can't drift between the eight
+    * operators that bucket by day. floor() (not integer div) so the
+    * pre-1970 edge would round DOWN like the oracle's `//`, though
+    * every fixture is post-1970. */
+  def epochDay(c: Column): Column =
+    floor(epochS(c) / lit(86400)).cast(LongType)
 }

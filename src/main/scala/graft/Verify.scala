@@ -10,6 +10,13 @@ object Verify {
     // SPARK_GRAFT_MASTER lets the same main run against a real cluster
     // manager (e.g. spark://host:7077 via spark-submit) — the multi-JVM
     // parity path. Unset, it keeps the driver's local[cpus] contract.
+    // CAVEAT for MULTI-HOST clusters: the Stage.materializeOnce derived
+    // artifacts (/tmp/graft_*) are written through the default
+    // filesystem — with file:// and executors on other machines the
+    // parquet parts land on per-executor local disks and a later read
+    // silently truncates. Multi-host runs must point fs.defaultFS (or
+    // the /tmp/graft_ prefix) at a shared filesystem; the same-host
+    // standalone parity run documented in SCALE.md is unaffected.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
       .master(master)

@@ -755,7 +755,7 @@ object SimOps {
   )
 
   /** Final (vec_id, cluster, d2l, embedding) assignment of the
-    * two-round Lloyd pipeline (k = max(8, N/250) seed → assign/means ×2) —
+    * two-round Lloyd pipeline (k = max(8, ⌊√(N/31.25)⌋) seed → assign/means ×2) —
     * the ONE k-means implementation shared by sim_kmeans (profile) and
     * dedup_semantic (SemDeDup bucketing), so their cluster labels can
     * never drift apart.
@@ -787,13 +787,19 @@ object SimOps {
     * exactly when the conf should be flipped. */
   private def assignTwoLevel(emb: DataFrame, cents: DataFrame)
       : DataFrame = {
-    val nc = math.ceil(math.sqrt(cents.count().toDouble)).toInt
-    val coarse = cents
+    // Pin the (tiny) centroid frame once: its lineage after round 1
+    // contains the whole previous assign+means pipeline, and this
+    // method reads it four times (count, coarse, centMap, and via
+    // carr) — without truncation the corpus-sized assignment would
+    // re-execute per read, defeating the rung's purpose.
+    val cs = cents.localCheckpoint()
+    val nc = math.ceil(math.sqrt(cs.count().toDouble)).toInt
+    val coarse = cs
       .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
       .limit(nc)
       .select(col("cent_id").as("coarse_id"),
         col("cent_emb").as("coarse_emb"))
-    val centMap = cents.join(broadcast(coarse))
+    val centMap = cs.join(broadcast(coarse))
       .withColumn("d2c", expr("l2fx(cent_emb, coarse_emb)"))
       .groupBy(col("cent_id"))
       .agg(expr("min_by(coarse_id, struct(d2c, coarse_id))")
@@ -808,7 +814,15 @@ object SimOps {
     // its own (distance, id) structs — a row_number window here would
     // shuffle the full N·√k expansion, which is precisely the cost the
     // exact path's partial-aggregated min_by never pays.
+    // Probe only LIVE cells (cells that actually own ≥1 fine center):
+    // duplicated embeddings can route two coarse seeds' members to one
+    // cell via the min_by tiebreak, leaving the other cell empty — a
+    // vector probing two empty cells would silently VANISH through the
+    // inner centMap join. Restricting the probe array to live cells
+    // guarantees every probe finds candidates, so the assignment stays
+    // total.
     val carr = coarse
+      .join(centMap.select(col("coarse_id")).distinct(), "coarse_id")
       .agg(expr("array_sort(collect_list(struct(coarse_id, coarse_emb)))")
         .as("carr"))
     emb.crossJoin(broadcast(carr))

@@ -505,8 +505,7 @@ object StatOps {
       // collapse everything to ONE row, and θ/variances are closed-form
       // doubles from expression strings the oracle embeds verbatim.
       val ev = Tables.events(s, d).select(col("user_id"),
-        expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-          " div 86400 AS BIGINT)").as("day"),
+        Det.epochDay(col("ts")).as("day"),
         col("value"))
       val d0 = ev.agg(min(col("day")).as("d0"))
       val per = ev.crossJoin(broadcast(d0))
@@ -721,8 +720,7 @@ object StatOps {
       // running flag instead of ln(0).
       val fx = graft.Det.FixedPoint
       val ev = Tables.events(s, d).select(col("user_id"),
-        expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-          " div 86400 AS BIGINT)").as("day"))
+        Det.epochDay(col("ts")).as("day"))
       val horizon = ev.agg(max(col("day")).as("hz"))
       val lif = ev.groupBy("user_id")
         .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))

@@ -483,8 +483,7 @@ object Windows {
       // fixture series; a production pipeline extends the array).
       val daily = Tables.events(s, d)
         .select(col("event_type"),
-          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-            " div 86400 AS BIGINT)").as("day"),
+          Det.epochDay(col("ts")).as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(graft.Det.sumMoney(col("value")).as("y"))
@@ -543,8 +542,7 @@ object Windows {
       // of accumulated drift).
       val daily = Tables.events(s, d)
         .select(col("event_type"),
-          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-            " div 86400 AS BIGINT)").as("day"),
+          Det.epochDay(col("ts")).as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(sum(dec(col("value"))).as("y"))
@@ -583,8 +581,7 @@ object Windows {
       // daily table, never the fact table.
       val daily0 = Tables.events(s, d)
         .select(col("event_type"),
-          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-            " div 86400 AS BIGINT)").as("day"),
+          Det.epochDay(col("ts")).as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(money(sum(dec(col("value")))).as("y"))
@@ -623,8 +620,7 @@ object Windows {
       // doubles; medians interpolate identically (agg_percentile).
       val daily = Tables.events(s, d)
         .select(col("event_type"),
-          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-            " div 86400 AS BIGINT)").as("day"),
+          Det.epochDay(col("ts")).as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(money(sum(dec(col("value")))).as("y"))
@@ -712,8 +708,7 @@ object Windows {
       // expression shared verbatim.
       val daily = Tables.events(s, d)
         .select(col("event_type"),
-          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-            " div 86400 AS BIGINT)").as("day"),
+          Det.epochDay(col("ts")).as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(money(sum(dec(col("value")))).as("y"))
@@ -792,8 +787,7 @@ object Windows {
       val fx = graft.Det.FixedPoint
       val daily = Tables.events(s, d)
         .select(col("event_type"),
-          expr("CAST(unix_timestamp(date_trunc('second', ts))" +
-            " div 86400 AS BIGINT)").as("day"),
+          Det.epochDay(col("ts")).as("day"),
           col("value"))
         .groupBy("event_type", "day")
         .agg(money(sum(dec(col("value")))).as("y"))

@@ -44,9 +44,15 @@ def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        tp = f"{sf}/{t}.parquet"
+        # GenScale-produced fixtures are parquet DIRECTORIES; the
+        # driver's are single files — glob accordingly.
+        if os.path.isdir(tp):
+            tp = f"{tp}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tp}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for k in sorted(oracle):

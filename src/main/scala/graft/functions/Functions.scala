@@ -113,7 +113,13 @@ object Functions {
         expr("try_cast(l_returnflag AS INT)").as("bad_cast"),
         expr("try_cast(CAST(l_quantity AS STRING) AS DOUBLE)").as("good_cast"),
         expr("try_add(l_orderkey, l_partkey)").as("sum_ok"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // fixtures (unlike strict TPC-H) — the sf1 scale run exposed
+        // tie groups of 6 — so the sort extends over the remaining
+        // NON-NULL columns until only fully-identical rows can tie,
+        // making the output order total in both engines.
+        .orderBy("l_orderkey", "l_linenumber", "sum_ok", "good_cast",
+          "unit_price")
     }),
 
     "fn_url_parse" -> ((s, d) => {
@@ -344,7 +350,8 @@ object Functions {
              try_cast(l_returnflag AS INTEGER) AS bad_cast,
              try_cast(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS good_cast,
              l_orderkey + l_partkey AS sum_ok
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, sum_ok,
+           good_cast, unit_price""",
 
     // each part is restated from the construction itself — the oracle
     // is "what a correct URL parser must recover from these pieces"

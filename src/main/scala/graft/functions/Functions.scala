@@ -115,11 +115,18 @@ object Functions {
         expr("try_add(l_orderkey, l_partkey)").as("sum_ok"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
         // fixtures (unlike strict TPC-H) — the sf1 scale run exposed
-        // tie groups of 6 — so the sort extends over the remaining
-        // NON-NULL columns until only fully-identical rows can tie,
-        // making the output order total in both engines.
-        .orderBy("l_orderkey", "l_linenumber", "sum_ok", "good_cast",
-          "unit_price")
+        // tie groups of 6 — so the sort extends over ALL remaining
+        // columns until only fully-identical rows can tie, making the
+        // output order total in both engines. bad_cast/div0 are
+        // all-NULL on today's fixtures, but including them costs
+        // nothing and keeps totality even if a fixture ever carries a
+        // numeric returnflag or zero quantity delta. NULLS FIRST is
+        // pinned explicitly on the nullable keys: Spark defaults ASC
+        // to nulls-first but DuckDB to nulls-last, and a mixed tie
+        // group would otherwise diverge.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("sum_ok"),
+          col("good_cast"), col("unit_price"),
+          col("bad_cast").asc_nulls_first, col("div0").asc_nulls_first)
     }),
 
     "fn_url_parse" -> ((s, d) => {
@@ -351,7 +358,8 @@ object Functions {
              try_cast(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS good_cast,
              l_orderkey + l_partkey AS sum_ok
          FROM lineitem ORDER BY l_orderkey, l_linenumber, sum_ok,
-           good_cast, unit_price""",
+           good_cast, unit_price, bad_cast ASC NULLS FIRST,
+           div0 ASC NULLS FIRST""",
 
     // each part is restated from the construction itself — the oracle
     // is "what a correct URL parser must recover from these pieces"

@@ -932,10 +932,12 @@ object StatOps {
     "round(sx / n, 4) AS mu",
     "round(sxx / n - (sx / n) * (sx / n), 4) AS sigma2",
     "round(0.05 * (sx / n), 4) AS mde",
+    // nullif: a zero-mean metric makes the MDE denominator exactly 0
+    // (x/0 is NaN-vs-config across engines) → n_per_arm NULL instead
     "CAST(ceil(2.0 * (sxx / n - (sx / n) * (sx / n))" +
       " * (1.959964 + 0.841621) * (1.959964 + 0.841621)" +
-      " / ((0.05 * (sx / n)) * (0.05 * (sx / n)))) AS BIGINT)" +
-      " AS n_per_arm")
+      " / nullif((0.05 * (sx / n)) * (0.05 * (sx / n)), 0.0))" +
+      " AS BIGINT) AS n_per_arm")
 
   /** CUPED moment sums over the per-user (pre, post) frame — exact
     * DECIMAL accumulation of per-row IEEE products (the RegSums
@@ -953,18 +955,24 @@ object StatOps {
     * subexpression is written out so both engines execute the
     * identical IEEE op sequence. */
   private val CupedSolve: Seq[String] = Seq(
+    // nullif on every variance divisor: a degenerate cohort whose
+    // pre (or post) values are all identical zeroes the term exactly,
+    // and x/0 is NaN in Spark but config-dependent in DuckDB — both
+    // engines emit NULL for the affected columns instead.
     "CAST(n AS BIGINT) AS n_users",
     "round((sxy / n - (sx / n) * (sy / n))" +
-      " / (sxx / n - (sx / n) * (sx / n)), 6) AS theta",
+      " / nullif(sxx / n - (sx / n) * (sx / n), 0.0), 6) AS theta",
     "round(syy / n - (sy / n) * (sy / n), 6) AS var_post",
     "round((syy / n - (sy / n) * (sy / n))" +
       " - ((sxy / n - (sx / n) * (sy / n))" +
       " * (sxy / n - (sx / n) * (sy / n)))" +
-      " / (sxx / n - (sx / n) * (sx / n)), 6) AS var_adjusted",
+      " / nullif(sxx / n - (sx / n) * (sx / n), 0.0), 6)" +
+      " AS var_adjusted",
     "round(100.0 * (((sxy / n - (sx / n) * (sy / n))" +
       " * (sxy / n - (sx / n) * (sy / n)))" +
-      " / (sxx / n - (sx / n) * (sx / n)))" +
-      " / (syy / n - (sy / n) * (sy / n)), 4) AS var_reduction_pct")
+      " / nullif(sxx / n - (sx / n) * (sx / n), 0.0))" +
+      " / nullif(syy / n - (sy / n) * (sy / n), 0.0), 4)" +
+      " AS var_reduction_pct")
 
   private val RegSums: Seq[String] = Seq(
     "CAST(count(*) AS DOUBLE) AS n",

@@ -687,17 +687,19 @@ object TextOps {
       // falls straight out of training's final word-repr table (the
       // fastBPE property: encoding IS the trained repr split), so the
       // whole key is vocab-sized work — per-token totals weight each
-      // word's count, n_words counts distinct words containing the
-      // token, is_merged marks multi-char (learned) symbols. At 100 TB
+      // word's count (per occurrence, so a word holding a token twice
+      // contributes its count twice), n_words counts DISTINCT words
+      // containing the token (countDistinct, so that same word counts
+      // once), is_merged marks multi-char (learned) symbols. At 100 TB
       // the corpus pays only the word-frequency groupBy it already
       // paid for training; everything after is broadcast-scale.
       val (fin, _) = bpeMerged(s, d)
-      fin.select(col("cnt"),
+      fin.select(col("w"), col("cnt"),
           explode(expr("filter(split(trim(repr), ' '), x -> x != '')"))
             .as("token"))
         .groupBy("token")
         .agg(sum(col("cnt")).as("total_count"),
-          count(lit(1)).as("n_words"))
+          countDistinct(col("w")).as("n_words"))
         .withColumn("is_merged", length(col("token")) > 1)
         .orderBy(col("total_count").desc, col("token"))
         .limit(20)
@@ -1291,12 +1293,12 @@ object TextOps {
     // frequency-weighted token rollup.
     "text_bpe_encode" ->
       s"""WITH $bpeCtes,
-         tok AS (SELECT cnt,
+         tok AS (SELECT w, cnt,
              unnest(list_filter(string_split(trim(repr), ' '),
                x -> x <> '')) AS token
            FROM repr7)
          SELECT token, CAST(sum(cnt) AS BIGINT) AS total_count,
-                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(count(DISTINCT w) AS BIGINT) AS n_words,
                 length(token) > 1 AS is_merged
          FROM tok GROUP BY 1
          ORDER BY total_count DESC, token LIMIT 20"""

@@ -588,8 +588,28 @@ object Windows {
       // Min-shift each series before the fixed-point moments (see
       // AcfSums): r is shift-invariant, and the shift keeps the LONG
       // accumulator bounded by the series RANGE instead of its level.
-      val daily = daily0.withColumn("y",
-        col("y") - min(col("y")).over(Window.partitionBy("event_type")))
+      // The headroom is asserted, not assumed: the sum bound is
+      // nd·range²·2¹⁶ ≤ 2⁶³, and a series whose range outgrows it
+      // (longer span or heavier-tailed values at larger SFs) must
+      // fail HERE with a named error, not as an opaque mid-job ANSI
+      // overflow. max/count ride the same per-series window as the
+      // min, so the guard costs no extra shuffle; 2⁶² keeps 2×
+      // safety margin.
+      val wSer = Window.partitionBy("event_type")
+      val daily = daily0
+        .withColumn("__rng",
+          max(col("y")).over(wSer) - min(col("y")).over(wSer))
+        .withColumn("__nd", count(lit(1)).over(wSer).cast(DoubleType))
+        .filter(assert_true(
+          col("__nd") * col("__rng") * col("__rng") * lit(65536.0)
+            <= lit(math.pow(2, 62)),
+          concat(lit("win_autocorr: post-shift series range overflows"
+            + " the 2^16 fixed-point LONG accumulator (series="),
+            col("event_type"), lit(", range="), col("__rng"),
+            lit(", days="), col("__nd"),
+            lit("); lower the fixed-point scale"))).isNull)
+        .withColumn("y", col("y") - min(col("y")).over(wSer))
+        .drop("__rng", "__nd")
       val lags = daily.crossJoin(
         broadcast(spark_lagframe(s))).withColumnRenamed("y", "y1")
       val paired = lags.join(
@@ -727,11 +747,14 @@ object Windows {
         .groupBy("event_type")
         .agg(sum(col("t").cast(DecimalType(38, 0)) * (col("t") - 1)
           * (lit(2) * col("t") + 5)).as("tsum"))
+      // nullif guards the degenerate all-tied series (variance term
+      // exactly 0): 0/sqrt(0) is NaN in Spark but engine-configurable
+      // in DuckDB, so both emit z NULL → trend 'none' instead.
       ss.join(nn, Seq("event_type")).join(ties, Seq("event_type"))
         .selectExpr("event_type", "nd AS n_days", "s_stat",
           "round((s_stat - CAST(sign(s_stat) AS BIGINT))" +
-            " / sqrt((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)" +
-            " - CAST(tsum AS DOUBLE)) / 18.0), 4) AS z")
+            " / sqrt(nullif((CAST(nd AS DOUBLE) * (nd - 1) * (2 * nd + 5)" +
+            " - CAST(tsum AS DOUBLE)) / 18.0, 0.0)), 4) AS z")
         .withColumn("trend",
           when(col("z") > 1.96, lit("increasing"))
             .when(col("z") < -1.96, lit("decreasing"))
@@ -1337,9 +1360,9 @@ object Windows {
                         FROM daily GROUP BY 1, 2) GROUP BY 1),
          z AS (SELECT s.event_type, n.nd AS n_days, s.s_stat,
                  round((s.s_stat - CAST(sign(s.s_stat) AS BIGINT))
-                   / sqrt((CAST(n.nd AS DOUBLE) * (n.nd - 1)
-                     * (2 * n.nd + 5) - CAST(t.tsum AS DOUBLE)) / 18.0),
-                   4) AS z
+                   / sqrt(nullif((CAST(n.nd AS DOUBLE) * (n.nd - 1)
+                     * (2 * n.nd + 5) - CAST(t.tsum AS DOUBLE)) / 18.0,
+                     0.0)), 4) AS z
                FROM ss s JOIN nn n ON s.event_type = n.event_type
                JOIN ties t ON s.event_type = t.event_type)
          SELECT event_type, n_days, s_stat, z,

@@ -14,6 +14,65 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+# The components-family oracles close the near-dup pair graph with a
+# recursive CTE (all-pairs reachability) — quadratic in component size,
+# which OOMs single-node DuckDB at sf1 even though the Spark side is a
+# log-round pointer-jumping fixpoint. With GRAFT_ITER_CLOSURE=1 the
+# replay swaps ONLY the reach/comp block for the same iterative
+# min-label + pointer-jump algorithm DuckDB-side (mirroring
+# DedupOps.scala's fixpoint), keeping the simhash CTE chain and the
+# final per-key SELECT verbatim. This is an independent second
+# implementation of the closure, so a hash match is stronger evidence
+# than the recursive mirror, and it runs at sf1 in bounded memory.
+_REACH_START = "reach(x, y) AS ("
+_REACH_END = "GROUP BY n.x)"
+
+
+def iterative_closure(con, sql):
+    """Replay a components-family oracle with an iterative closure.
+
+    Splits the oracle at the recursive reach/comp block, materializes
+    `und` from the untouched CTE prefix, runs min-label propagation +
+    pointer jumping as CREATE TABLE AS rounds until no label changes,
+    then executes the untouched suffix with `comp` bound to the result.
+    """
+    i = sql.index(_REACH_START)
+    j = sql.index(_REACH_END) + len(_REACH_END)
+    prefix = sql[:i].rstrip().rstrip(",")   # WITH RECURSIVE ..., und AS (...)
+    suffix = sql[j:]                        # ", sizes AS (..." or final SELECT
+    con.execute(f"CREATE OR REPLACE TABLE __und AS {prefix} "
+                "SELECT x, y FROM und")
+    # Fused round 0: identity labels make the first min-neighbor step
+    # min(x, min over neighbors) — one aggregate, no join.
+    con.execute("CREATE OR REPLACE TABLE __lab AS "
+                "SELECT x AS doc_id, least(x, min(y)) AS component "
+                "FROM __und GROUP BY x")
+    for _ in range(50):
+        con.execute(
+            "CREATE OR REPLACE TABLE __jumped AS "
+            "WITH nmin AS (SELECT u.x AS doc_id, min(l.component) AS nl "
+            "              FROM __und u JOIN __lab l ON u.y = l.doc_id "
+            "              GROUP BY u.x), "
+            "stepped AS (SELECT l.doc_id, "
+            "              least(l.component, coalesce(n.nl, l.component))"
+            "                AS component "
+            "            FROM __lab l LEFT JOIN nmin n USING (doc_id)) "
+            "SELECT s.doc_id, "
+            "       least(s.component, coalesce(t.component, s.component))"
+            "         AS component "
+            "FROM stepped s LEFT JOIN stepped t ON s.component = t.doc_id")
+        changed = con.sql(
+            "SELECT count(*) FROM __jumped j JOIN __lab l USING (doc_id) "
+            "WHERE j.component <> l.component").fetchone()[0]
+        con.execute("CREATE OR REPLACE TABLE __lab AS "
+                    "SELECT * FROM __jumped")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("iterative closure: no convergence in 50 rounds")
+    return con.sql("WITH comp AS (SELECT doc_id, component FROM __lab)"
+                   + suffix).df()
+
 
 def canon(v):
     """Canonical cell form, tolerant of container/ts dtype differences."""
@@ -67,7 +126,11 @@ def main():
             n_fail += 1
             continue
         try:
-            odf = con.sql(sql).df()
+            if (os.environ.get("GRAFT_ITER_CLOSURE") == "1"
+                    and "WITH RECURSIVE" in sql and _REACH_START in sql):
+                odf = iterative_closure(con, sql)
+            else:
+                odf = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {k}: oracle sql error: {e}")
             n_fail += 1

@@ -82,11 +82,26 @@ object Bench {
     val flaky = (failCount.keySet & samples.keySet).toSeq.sorted
     val results = samples.map { case (k, v) => k -> median(v) } ++
       broken.map(_ -> -1.0)
+    // Cold/warm attribution: samples are appended in pass order, so a
+    // key's first sample is its cold run — the one that pays stored-
+    // artifact builds (dedup_apply: 24 s cold vs 0.33 s warm at sf1)
+    // and first-plan codegen — and the median of the remaining passes
+    // is its steady state. Splitting them makes a cross-round "regression"
+    // attributable at a glance: a cold-only jump is cache churn, a warm
+    // jump is a real plan change. (If pass 1 failed, "cold" is the first
+    // SUCCESSFUL pass — still the coldest run that produced a number.)
+    val coldWarm: Map[String, (Double, Double)] = samples.map {
+      case (k, v) =>
+        k -> (v.head, if (v.size >= 2) median(v.tail) else v.head)
+    }.toMap
     // Full per-query detail goes out as non-JSON debug lines: the driver
     // captures only a bounded tail of stdout, so the machine-readable
     // summary below must stay short and LAST. These lines are for humans.
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      println(s"BENCHQ $k ${fmt(v)}")
+      val cw = coldWarm.get(k)
+        .map { case (c, w) => s" cold=${fmt(c)} warm=${fmt(w)}" }
+        .getOrElse("")
+      println(s"BENCHQ $k ${fmt(v)}$cw")
     }
     broken.foreach(k => println(s"BENCHFAIL $k"))
     flaky.foreach(k => println(s"BENCHFLAKY $k ${failCount(k)}/$passes"))
@@ -133,6 +148,20 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"), "UTF-8")
       try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+    // Unabridged per-key cold/warm/median detail — too long for the
+    // driver's stdout tail window, so it goes to a sidecar file only.
+    try {
+      val w = new java.io.PrintWriter(
+        new java.io.File("bench_detail.json"), "UTF-8")
+      try {
+        val rows = results.toSeq.sortBy(-_._2).map { case (k, v) =>
+          val (c, wm) = coldWarm.getOrElse(k, (-1.0, -1.0))
+          s""""$k":{"med":${fmt(v)},"cold":${fmt(c)},"warm":${fmt(wm)}}"""
+        }
+        w.println(s"""{"ts":"$stamp","src":"$srcHash","sf":"$sfDir",""" +
+          s""""passes":$passes,"queries":{${rows.mkString(",")}}}""")
+      } finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
   }

@@ -122,21 +122,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("soak: watermarked dedup state stays bounded over 100 batches") {
-    // The scale axis StreamingSpec never exercised: a SUSTAINED input.
-    // 100 micro-batches, each advancing event time 5 minutes and
-    // re-sending one in-horizon duplicate; with a 10-minute watermark
-    // the state store must hold only the horizon's ids — if eviction
-    // broke, state would grow with TOTAL ids (1000) and the bound here
-    // trips. The bound is read from the engine's own stateOperators
-    // metrics, not inferred from output.
+  /** Runs a body under the RocksDB state-store provider — the
+    * production setting SCALE.md's streaming section claims; the
+    * default-provider soaks prove the watermark/eviction logic, these
+    * prove it against the store that actually ships. */
+  private def withRocksDb[T](body: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  // The scale axis StreamingSpec never exercised: a SUSTAINED input.
+  // 100 micro-batches, each advancing event time 5 minutes and
+  // re-sending one in-horizon duplicate; with a 10-minute watermark
+  // the state store must hold only the horizon's ids — if eviction
+  // broke, state would grow with TOTAL ids (1000) and the bound here
+  // trips. The bound is read from the engine's own stateOperators
+  // metrics, not inferred from output.
+  private def dedupSoak(name: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
     val dedup = in.toDF().toDF("ts", "event_id")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val q = dedup.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName("soak_dd").start()
+      .format("memory").queryName(name).start()
     try {
       var maxState = 0L
       val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -151,7 +162,7 @@ class StreamingSpec extends AnyFunSuite {
           .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
         maxState = math.max(maxState, st)
       }
-      val out = spark.sql("SELECT count(*) FROM soak_dd").head().getLong(0)
+      val out = spark.sql(s"SELECT count(*) FROM $name").head().getLong(0)
       assert(out === 1000L, s"dedup dropped wrong rows: $out")
       // horizon covers ~3 batches of 10-11 ids; 100 is a generous roof,
       // 1000 (= no eviction) is the failure mode being guarded
@@ -160,7 +171,15 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("soak: session-window state stays bounded over 100 batches") {
+  test("soak: watermarked dedup state stays bounded over 100 batches") {
+    dedupSoak("soak_dd")
+  }
+
+  test("soak: watermarked dedup state bounded over 100 batches (RocksDB)") {
+    withRocksDb(dedupSoak("soak_dd_rdb"))
+  }
+
+  private def sessionSoak(name: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
     val sess = in.toDF().toDF("ts", "user_id")
@@ -168,7 +187,7 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
     val q = sess.writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName("soak_sess").start()
+      .format("memory").queryName(name).start()
     try {
       var maxState = 0L
       val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -186,11 +205,19 @@ class StreamingSpec extends AnyFunSuite {
       // unbounded growth would reach ~500 session rows
       assert(maxState <= 50L,
         s"session state grew to $maxState rows — eviction broken")
-      val emitted = spark.sql("SELECT count(*) FROM soak_sess")
+      val emitted = spark.sql(s"SELECT count(*) FROM $name")
         .head().getLong(0)
       assert(emitted >= 5L * 98,
         s"only $emitted closed sessions emitted — sessions stuck in state")
     } finally q.stop()
+  }
+
+  test("soak: session-window state stays bounded over 100 batches") {
+    sessionSoak("soak_sess")
+  }
+
+  test("soak: session-window state bounded over 100 batches (RocksDB)") {
+    withRocksDb(sessionSoak("soak_sess_rdb"))
   }
 
   test("stream-stream interval join pairs within the range, incrementally") {

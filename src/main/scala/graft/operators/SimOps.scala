@@ -257,10 +257,12 @@ object SimOps {
       // diversity-aware sampling. Output is the cluster profile
       // (size + inertia), the convergence signal a training pipeline
       // monitors per round. Every round is the same two shuffles:
-      // assignment = broadcast(k centroids) product collapsed map-side
-      // (O(N·k) compute, O(N) shuffle bytes), means = one (cluster,
-      // pos)-keyed aggregate — no driver-side state, rounds are a
-      // fixed unrolled count exactly like PageRank's. Determinism:
+      // assignment = the two-level coarse route (broadcast ⌈√k⌉ coarse
+      // cells + the probed cells' fine centers, collapsed map-side —
+      // O(N·√k) compute, O(N) shuffle bytes; see assignTwoLevel),
+      // means = one (cluster, pos)-keyed aggregate — no driver-side
+      // state, rounds are a fixed unrolled count exactly like
+      // PageRank's. Determinism:
       // distances come from the native l2fx expression — per-TERM
       // floored fixed-point LONG sums, order-free AND codegen'd (the
       // DotProductF rationale, but for argmin: an integer distance can
@@ -767,24 +769,23 @@ object SimOps {
     * (the sim_ann_ivf cev discipline) so both engines carry
     * bit-identical centroids into the next round. */
   /** Two-level (coarse-quantizer) nearest-centroid assignment — the
-    * conf-gated PRODUCTION RUNG (`spark.graft.kmeans.coarseAssign`)
-    * past the exact broadcast scan: route each vector to its nearest
-    * of ⌈√k⌉ coarse cells (the md5-smallest fine centers), then scan
-    * only that cell's fine centers — O(N·√k·d) per round instead of
-    * O(N·k·d), the IVF tree idea applied to the assignment itself.
-    * APPROXIMATE by design (a vector whose true center sits in a
-    * neighboring coarse cell mis-assigns — classic quantizer loss,
-    * bounded in OperatorSpec by label-agreement and inertia-ratio
-    * floors against the exact path), so the DEFAULT path and every
-    * declared oracle stay exact; production flips the conf when
-    * N·k·d stops fitting the round budget. Deterministic for a given
-    * conf: same md5 seed order, same (dist, id) min_by total orders.
-    * Measured honestly: at sf3 (k = 43, nc = 7) the gate is ~parity
-    * (9.9 vs 8.2 s end-to-end for dedup_semantic) — assignment is only
-    * ~20% of that key's cost at this k and the per-row probe sort has
-    * real overhead; the √k saving wins when k reaches the thousands
-    * (nc = 64, nprobe 2 → ~20× fewer fine evaluations), which is
-    * exactly when the conf should be flipped. */
+    * DECLARED path since round 9 (`spark.graft.kmeans.coarseAssign=
+    * false` falls back to the exact broadcast scan): route each vector
+    * to its top-2 nearest of ⌈√k⌉ coarse cells (the md5-smallest fine
+    * centers), then scan only those cells' fine centers — O(N·√k·d)
+    * per round instead of O(N·k·d), the IVF tree idea applied to the
+    * assignment itself. APPROXIMATE relative to exact k-means (a
+    * vector whose true center sits outside both probed coarse cells
+    * mis-assigns — classic quantizer loss, bounded in OperatorSpec by
+    * label-agreement and inertia-ratio floors against the exact
+    * fallback), but fully DETERMINISTIC and REPLAYED BY THE ORACLE
+    * verbatim (kmAssign routes identically in DuckDB), so declared
+    * correctness is exact-by-construction: the gate hashes the same
+    * algorithm in both engines. Scale honesty: at toy k (√N keeps
+    * driver fixtures at k = 8, nc = 3) the rung is ~parity — the √k
+    * saving wins when k reaches the thousands (nc = 64, nprobe 2 →
+    * ~20× fewer fine evaluations), which is why it is the declared
+    * 100 TB shape. */
   private def assignTwoLevel(emb: DataFrame, cents: DataFrame)
       : DataFrame = {
     // Pin the (tiny) centroid frame once: its lineage after round 1
@@ -841,10 +842,16 @@ object SimOps {
 
   private def kmeansAssigned(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.L2FixedF.register(s)
-    val coarseGate = s.conf
-      .getOption("spark.graft.kmeans.coarseAssign").contains("true")
+    // Round 9: the two-level coarse assignment IS the declared path —
+    // the oracle replays its routing exactly (see kmAssign), so the
+    // O(N·√k·d) rung no longer trades replayability for scale. Setting
+    // spark.graft.kmeans.coarseAssign=false falls back to the exact
+    // O(N·k·d) broadcast scan (kept as the quantizer-loss reference:
+    // OperatorSpec bounds the two paths against each other).
+    val exactGate = s.conf
+      .getOption("spark.graft.kmeans.coarseAssign").contains("false")
     def assign(cents: DataFrame): DataFrame =
-      if (coarseGate) assignTwoLevel(emb, cents)
+      if (!exactGate) assignTwoLevel(emb, cents)
       else emb.join(broadcast(cents))
         .withColumn("d2l", expr("l2fx(embedding, cent_emb)"))
         .groupBy(col("vec_id"))
@@ -858,11 +865,10 @@ object SimOps {
     //  - k ∝ N (constant cluster size): pairs go linear but the Lloyd
     //    ASSIGNMENT is O(N·k·d) = O(N²d) — the sf1→sf3 exponent
     //    measured 1.97;
-    //  - k ∝ √N: assignment O(N^1.5·d) and pairs O(N^1.5·d) — both
-    //    phases share the same sub-quadratic envelope. (Production
-    //    pushes further with a coarse-quantizer tree for O(N·√k)
-    //    assignment — the IVF two-level — at the cost of a much longer
-    //    replayable oracle; N^1.5 is the declared shape here.)
+    //  - k ∝ √N: pairs O(N^1.5·d), and with the two-level coarse
+    //    assignment (the declared path since round 9) the Lloyd
+    //    rounds drop to O(N·√k·d) = O(N^1.25·d) — the oracle replays
+    //    the routing verbatim, so the rung costs no replayability.
     // Every driver fixture still lands on k = 8 exactly (N = 2000 →
     // √(2000/31.25) = √64 = 8; smaller N floors at 8), so declared
     // outputs are unchanged. The oracle derives the SAME k via
@@ -961,11 +967,14 @@ object SimOps {
     * applies them many times downstream — the dedup_apply precedent). */
   private def kmeansAssignedStored(s: SparkSession, d: String): DataFrame = {
     // The path keys on the ASSIGNMENT MODE as well as the input stamp:
-    // labels from the conf-gated two-level path differ from exact, so
-    // a gated run must never serve its approximate labels to a later
-    // exact run (or vice versa) through the cache.
+    // labels from the two-level path differ from the exact fallback, so
+    // one mode must never serve its labels to the other through the
+    // cache. The suffixes are NEW in round 9 ("_tl"/"_exact", vs the
+    // old ""/"_coarse") precisely because the default flipped: a stale
+    // round-8 cache dir holding exact labels under the unsuffixed path
+    // must not satisfy a two-level read.
     val mode = if (s.conf.getOption("spark.graft.kmeans.coarseAssign")
-      .contains("true")) "_coarse" else ""
+      .contains("false")) "_exact" else "_tl"
     val path = s"/tmp/graft_kmasg_${d.replaceAll("[^A-Za-z0-9]", "_")}$mode" +
       "_" + graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
     val p = graft.Stage.materializeOnce(s, path) {
@@ -1056,9 +1065,9 @@ object SimOps {
   }
 
   /** Test hook: run the full Lloyd pipeline fresh (bypassing the
-    * stored-assignment cache, which is keyed only by input data and
-    * would mask the conf) — OperatorSpec compares the exact and
-    * two-level-gated assignments through this. */
+    * stored-assignment cache, whose mode suffix would otherwise have
+    * to be cleared between runs) — OperatorSpec compares the declared
+    * two-level and the exact-fallback assignments through this. */
   private[graft] def testKmeansAssigned(s: SparkSession, d: String)
       : DataFrame =
     kmeansAssigned(s, Tables.embeddings(s, d))
@@ -1087,14 +1096,53 @@ object SimOps {
       (0 until Lsh.Dims).map(i => s"($p,${i + 1},${Lsh.weight(p, i)})")
     }.mkString(",")
 
-  /** One k-means oracle round: fixed-point L2 distances from cev$k +
-    * (d2l, cent_id)-ordered argmin — replays the Spark min_by total
-    * order. */
+  /** One k-means oracle round — replays the TWO-LEVEL (coarse
+    * quantizer) assignment that is the engine's declared path since
+    * round 9: route to the top-2 nearest of the ⌈√k⌉ md5-smallest
+    * centers' LIVE coarse cells, then argmin over only those cells'
+    * fine centers. Every ordering is the same (distance, id) total
+    * order the Spark side folds map-side, and every distance is the
+    * same per-term floored fixed-point LONG sum, so labels are
+    * bit-identical by construction — the oracle replays the algorithm,
+    * not an idealized k-means. */
   private def kmAssign(k: Int): String =
-    s"""dist$k AS (SELECT e.vec_id, c.cent_id,
+    s"""co$k AS (SELECT cent_id AS coarse_id
+           FROM (SELECT DISTINCT cent_id FROM cev$k)
+           ORDER BY md5(CAST(cent_id AS VARCHAR)), cent_id
+           LIMIT (SELECT CAST(ceil(sqrt(count(DISTINCT cent_id)))
+                    AS BIGINT) FROM cev$k)),
+       cod$k AS (SELECT f.cent_id, c.coarse_id,
+           sum(CAST(floor((f.cv - x.cv) * (f.cv - x.cv)
+               * 1099511627776.0) AS BIGINT)) AS d2c
+         FROM cev$k f
+         JOIN co$k c ON true
+         JOIN cev$k x ON x.cent_id = c.coarse_id AND x.pos = f.pos
+         GROUP BY 1, 2),
+       cmap$k AS MATERIALIZED (SELECT cent_id, coarse_id FROM (
+           SELECT cent_id, coarse_id,
+                  row_number() OVER (PARTITION BY cent_id
+                    ORDER BY d2c, coarse_id) AS rn
+           FROM cod$k) WHERE rn = 1),
+       vcd$k AS (SELECT e.vec_id, l.coarse_id,
+           sum(CAST(floor((e.v - x.cv) * (e.v - x.cv)
+               * 1099511627776.0) AS BIGINT)) AS dc
+         FROM ev e
+         JOIN (SELECT DISTINCT coarse_id FROM cmap$k) l ON true
+         JOIN cev$k x ON x.cent_id = l.coarse_id AND x.pos = e.pos
+         GROUP BY 1, 2),
+       probe$k AS MATERIALIZED (SELECT vec_id, coarse_id FROM (
+           SELECT vec_id, coarse_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dc, coarse_id) AS rn
+           FROM vcd$k) WHERE rn <= 2),
+       dist$k AS (SELECT e.vec_id, m.cent_id,
            sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1099511627776.0)
                AS BIGINT)) AS d2l
-         FROM ev e JOIN cev$k c ON e.pos = c.pos GROUP BY 1, 2),
+         FROM probe$k p
+         JOIN cmap$k m ON m.coarse_id = p.coarse_id
+         JOIN ev e ON e.vec_id = p.vec_id
+         JOIN cev$k c ON c.cent_id = m.cent_id AND c.pos = e.pos
+         GROUP BY 1, 2),
        a$k AS MATERIALIZED (SELECT vec_id, cent_id AS cluster, d2l FROM (
            SELECT vec_id, cent_id, d2l,
                   row_number() OVER (PARTITION BY vec_id

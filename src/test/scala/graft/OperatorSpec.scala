@@ -208,19 +208,19 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("kmeans two-level coarse assignment: bounded quantizer loss vs the exact scan") {
-    // The conf-gated O(N·√k) production rung must stay CLOSE to the
-    // exact O(N·k) scan it replaces: high label agreement, and the
-    // total within-cluster inertia (sum of fixed-point d2l) within a
-    // small factor — the quantizer-loss bound that makes the gate
-    // safe to flip at scale.
+    // The O(N·√k) two-level rung is the DECLARED path (round 9); the
+    // exact O(N·k) scan stays behind coarseAssign=false as the
+    // quantizer-loss reference. The declared path must stay CLOSE to
+    // it: high label agreement, and the total within-cluster inertia
+    // (sum of fixed-point d2l) within a small factor.
     def labels() = operators.SimOps.testKmeansAssigned(spark, Spec.sf001)
       .select("vec_id", "cluster", "d2l").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = labels()
-    val twoLevel = try {
-      spark.conf.set("spark.graft.kmeans.coarseAssign", "true")
+    val exact = try {
+      spark.conf.set("spark.graft.kmeans.coarseAssign", "false")
       labels()
     } finally spark.conf.unset("spark.graft.kmeans.coarseAssign")
+    val twoLevel = labels()
     assert(exact.keySet === twoLevel.keySet, "assignment dropped vectors")
     val agree = exact.count { case (v, (c, _)) => twoLevel(v)._1 == c }
     val frac = agree.toDouble / exact.size

@@ -277,10 +277,20 @@ object DedupOps {
       // last-round decrease once totals pass 2^53 (~1e8 docs), exiting
       // before the fixpoint.
       import org.apache.spark.HashPartitioner
+      val ckptDir = s.conf.getOption("spark.graft.components.checkpointDir")
+      ckptDir.foreach(s.sparkContext.setCheckpointDir)
       val edges = simhashPairs(Tables.documents(s, d)).select(col("a"), col("b"))
-      val und = edges
-        .union(edges.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(true)
+      // Durable runs reliably checkpoint the edge list too: a
+      // localCheckpoint's blocks live only on executors, so losing an
+      // executor BEFORE byY materializes would kill exactly the job
+      // the durable conf is meant to keep alive (proven by the round-9
+      // worker-kill probe). Non-durable runs keep the cheaper eager
+      // localCheckpoint.
+      val und = {
+        val u = edges
+          .union(edges.select(col("b").as("a"), col("a").as("b")))
+        if (ckptDir.isDefined) u.checkpoint() else u.localCheckpoint(true)
+      }
       // Partitioner width scales with DATA and CLUSTER (overridable
       // per-job): ~20k edges per task, floored at min(8, parallelism)
       // so a tiny graph doesn't pay 32 tasks of scheduling overhead per
@@ -297,8 +307,6 @@ object DedupOps {
             math.min(8, s.sparkContext.defaultParallelism))
         }
       val part = new HashPartitioner(nPart)
-      val ckptDir = s.conf.getOption("spark.graft.components.checkpointDir")
-      ckptDir.foreach(s.sparkContext.setCheckpointDir)
       // Reliable checkpoints recompute an UNPERSISTED RDD's lineage a
       // second time for the checkpoint job (documented Spark behavior),
       // doubling every fixpoint round — so the durable path persists

@@ -11,9 +11,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle partitions from thread
+    // count for scale experiments: a cluster scales partitions with
+    // data while local[n] cannot, so proving a "fixed-32-partition
+    // saturation" diagnosis needs partitions ∝ input at constant n.
+    // Unset, partitions = cpus — the driver's contract.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       // UTC parity with Verify/RunOne: the NTZ→TimestampType cast in
       // Tables.events is session-TZ dependent, so an unpinned TZ would
       // shift event-time filter selectivity (and timings) on a

@@ -184,7 +184,14 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val t = docs.select(col("doc_id"), explode(toks).as("term"))
       val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = t.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      // df derives FROM tf: the (doc_id, term) aggregate already is the
+      // distinct table, so the document-frequency branch re-aggregates
+      // those (small) rows instead of re-exploding and re-shuffling the
+      // full token stream a second time — one corpus-sized shuffle for
+      // the whole key. (The checkpoint truncates lineage so the tf
+      // exchange feeds both branches rather than being recomputed.)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(dfreq, "term")

@@ -104,6 +104,16 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     import os
+    # Scaled-fixture replays (sf1+) need bounded memory with disk
+    # spill: GRAFT_DUCKDB_MEM caps the working set and
+    # GRAFT_DUCKDB_TMP points the spill at a disk with room, so a
+    # heavy replay degrades to spilling instead of OOMing the box.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmpd = os.environ.get("GRAFT_DUCKDB_TMP")
+    if tmpd:
+        con.execute(f"SET temp_directory='{tmpd}'")
     for t in TABLES:
         tp = f"{sf}/{t}.parquet"
         # GenScale-produced fixtures are parquet DIRECTORIES; the
@@ -125,6 +135,17 @@ def main():
             print(f"FAIL {k}: spark result unreadable: {e}")
             n_fail += 1
             continue
+        # GRAFT_KEY_TIMEOUT (seconds): bound each oracle replay so one
+        # quadratic single-node replay can't stall a scaled-fixture
+        # sweep — the interrupt surfaces as a per-key FAIL and the
+        # sweep moves on (the Spark side is the scalable one by
+        # design; see SURVEY §5.3).
+        timeout = float(os.environ.get("GRAFT_KEY_TIMEOUT", "0"))
+        timer = None
+        if timeout > 0:
+            import threading
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             if (os.environ.get("GRAFT_ITER_CLOSURE") == "1"
                     and "WITH RECURSIVE" in sql and _REACH_START in sql):
@@ -132,9 +153,12 @@ def main():
             else:
                 odf = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {k}: oracle sql error: {e}")
+            print(f"FAIL {k}: oracle sql error: {e}", flush=True)
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL {k}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
             n_fail += 1
@@ -156,11 +180,11 @@ def main():
         dt = [(c, str(sdf[c].dtype), str(odf[c].dtype))
               for c in sdf.columns if str(sdf[c].dtype) != str(odf[c].dtype)]
         if bad:
-            print(f"FAIL {k}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}")
+            print(f"FAIL {k}: row {bad[0]}\n  spark : {bad[1]}\n  oracle: {bad[2]}", flush=True)
             n_fail += 1
         else:
             note = f"  [dtype diff: {dt}]" if dt else ""
-            print(f"PASS {k} ({len(sdf)} rows){note}")
+            print(f"PASS {k} ({len(sdf)} rows){note}", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)

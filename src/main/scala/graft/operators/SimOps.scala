@@ -1347,13 +1347,13 @@ object SimOps {
     // 4-dp rounding grid and the sign threshold, so DuckDB's group-sum
     // matches Spark's sequential loop bit-for-bit after round(_, 4).
     "sim_ann_lsh" ->
-      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
              SELECT vec_id, unnest(embedding) AS v,
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
          planes AS (SELECT p, pos, CAST(CAST(w AS FLOAT) AS DOUBLE) AS w
                     FROM (VALUES $planeValuesSql) t(p, pos, w)),
-         sigs AS (
+         sigs AS MATERIALIZED (
            SELECT vec_id,
                   CAST(sum(CASE WHEN dot > 0
                            THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
@@ -1361,7 +1361,7 @@ object SimOps {
                  FROM ev JOIN planes pl ON ev.pos = pl.pos
                  GROUP BY 1, 2)
            GROUP BY 1),
-         bucketed AS (
+         bucketed AS MATERIALIZED (
            SELECT vec_id, CAST(t.band AS INTEGER) AS band,
                   (sig >> CAST(${Lsh.BandBits} * t.band AS INTEGER))
                     & ${Lsh.BandMask} AS bucket
@@ -1573,7 +1573,7 @@ object SimOps {
     // k-center replay: same md5 seed, same per-term fixed-point
     // distances, same (mind DESC, vec_id) argmax and least() fold.
     "sample_kcenter" ->
-      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
              SELECT vec_id, unnest(embedding) AS v,
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),
@@ -1634,7 +1634,7 @@ object SimOps {
     // MMR replay: same fixed-point cosine chain (4-dp rounded before
     // any compare), same top-20 candidate page, same 5 greedy rounds.
     "sim_mmr_rerank" ->
-      s"""WITH ev AS (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id, CAST(v AS DOUBLE) AS v, pos FROM (
              SELECT vec_id, unnest(embedding) AS v,
                     unnest(range(1, len(embedding)+1)) AS pos
              FROM embeddings)),

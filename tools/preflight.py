@@ -74,6 +74,74 @@ def iterative_closure(con, sql):
                    + suffix).df()
 
 
+def split_ctes(sql):
+    """Split a top-level WITH chain into ([(name, body)...], final_select).
+
+    Paren-depth scanner that is single-quote-aware, so parens inside
+    string literals don't break the chain. Only used for staged
+    replays; the driver's gate always runs the oracle verbatim.
+    """
+    s = sql.strip()
+    assert s.upper().startswith("WITH")
+    i = len("WITH")
+    ctes = []
+    while True:
+        # parse: <name> AS [MATERIALIZED] ( body ) [, | final SELECT]
+        while s[i].isspace():
+            i += 1
+        j = i
+        while s[j] not in " \t\r\n(":
+            j += 1
+        name = s[i:j]
+        k = s.index("(", j)
+        depth, q = 0, False
+        m = k
+        while True:
+            c = s[m]
+            if q:
+                if c == "'":
+                    q = False
+            elif c == "'":
+                q = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            m += 1
+        ctes.append((name, s[k + 1:m]))
+        m += 1
+        while s[m].isspace():
+            m += 1
+        if s[m] == ",":
+            i = m + 1
+            continue
+        return ctes, s[m:]
+
+
+def staged_replay(con, sql):
+    """Replay a (non-recursive) oracle as one CREATE TABLE per CTE.
+
+    DuckDB's planner chokes on deep CTE chains whose members are
+    referenced repeatedly with correlated subqueries (the greedy
+    k-round oracles ran 40+ min at sf1 as ONE statement; the identical
+    chain as sequential tables runs in seconds). Semantics are
+    unchanged — each CTE body executes verbatim, in order, with
+    earlier CTEs visible as tables.
+    """
+    ctes, final = split_ctes(sql)
+    made = []
+    try:
+        for name, body in ctes:
+            con.execute(f"CREATE OR REPLACE TABLE {name} AS {body}")
+            made.append(name)
+        return con.sql(final).df()
+    finally:
+        for name in reversed(made):
+            con.execute(f"DROP TABLE IF EXISTS {name}")
+
+
 def canon(v):
     """Canonical cell form, tolerant of container/ts dtype differences."""
     if v is None:
@@ -150,6 +218,10 @@ def main():
             if (os.environ.get("GRAFT_ITER_CLOSURE") == "1"
                     and "WITH RECURSIVE" in sql and _REACH_START in sql):
                 odf = iterative_closure(con, sql)
+            elif (os.environ.get("GRAFT_STAGED") == "1"
+                    and "WITH RECURSIVE" not in sql
+                    and sql.strip().upper().startswith("WITH")):
+                odf = staged_replay(con, sql)
             else:
                 odf = con.sql(sql).df()
         except Exception as e:

@@ -28,6 +28,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), "scan reads unused columns")
   }
 
+  test("text_tfidf explodes the token stream exactly once") {
+    // The df branch derives from the materialized tf aggregate, so the
+    // corpus-sized explode+shuffle is paid once — the round-9 fix that
+    // took sf3 from e(1→3)=1.15 to 0.47. A second Generate in this
+    // plan means the duplicate-branch regression is back.
+    val p = plan("text_tfidf")
+    assert(!p.contains("Generate"),
+      "token stream re-exploded downstream of the tf checkpoint")
+  }
+
   test("join_broadcast is a BroadcastHashJoin") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
   }

@@ -85,19 +85,11 @@ def split_ctes(sql):
     assert s.upper().startswith("WITH")
     i = len("WITH")
     ctes = []
-    while True:
-        # parse: <name> AS [MATERIALIZED] ( body ) [, | final SELECT]
-        while s[i].isspace():
-            i += 1
-        j = i
-        while s[j] not in " \t\r\n(":
-            j += 1
-        name = s[i:j]
-        k = s.index("(", j)
+
+    def balanced_end(p):
         depth, q = 0, False
-        m = k
         while True:
-            c = s[m]
+            c = s[p]
             if q:
                 if c == "'":
                     q = False
@@ -108,9 +100,34 @@ def split_ctes(sql):
             elif c == ")":
                 depth -= 1
                 if depth == 0:
-                    break
+                    return p
+            p += 1
+
+    while True:
+        # parse: <name> [(col, ...)] AS [MATERIALIZED] ( body )
+        #        [, | final SELECT]
+        while s[i].isspace():
+            i += 1
+        j = i
+        while s[j] not in " \t\r\n(":
+            j += 1
+        name = s[i:j]
+        # optional CTE column list: name(c1, c2) AS (...)
+        cols = None
+        m = j
+        while s[m].isspace():
             m += 1
-        ctes.append((name, s[k + 1:m]))
+        if s[m] == "(":
+            p = balanced_end(m)
+            after = p + 1
+            while s[after].isspace():
+                after += 1
+            if s[after:after + 2].upper() == "AS":
+                cols = s[m + 1:p]
+                j = after
+        k = s.index("(", j)
+        m = balanced_end(k)
+        ctes.append((name, cols, s[k + 1:m]))
         m += 1
         while s[m].isspace():
             m += 1
@@ -133,8 +150,13 @@ def staged_replay(con, sql):
     ctes, final = split_ctes(sql)
     made = []
     try:
-        for name, body in ctes:
-            con.execute(f"CREATE OR REPLACE TABLE {name} AS {body}")
+        for name, cols, body in ctes:
+            if cols:
+                # CTE column list: rename through a FROM-alias wrapper
+                con.execute(f"CREATE OR REPLACE TABLE {name} AS "
+                            f"SELECT * FROM ({body}) AS __cl({cols})")
+            else:
+                con.execute(f"CREATE OR REPLACE TABLE {name} AS {body}")
             made.append(name)
         return con.sql(final).df()
     finally:

@@ -81,7 +81,26 @@ def split_ctes(sql):
     string literals don't break the chain. Only used for staged
     replays; the driver's gate always runs the oracle verbatim.
     """
-    s = sql.strip()
+    # Strip -- comments (quote-aware) first: a top-level comment would
+    # otherwise scan as a CTE named "--".
+    buf, q, p = [], False, 0
+    while p < len(sql):
+        c = sql[p]
+        if q:
+            buf.append(c)
+            if c == "'":
+                q = False
+        elif c == "'":
+            buf.append(c)
+            q = True
+        elif c == "-" and sql[p:p + 2] == "--":
+            while p < len(sql) and sql[p] != "\n":
+                p += 1
+            continue
+        else:
+            buf.append(c)
+        p += 1
+    s = "".join(buf).strip()
     assert s.upper().startswith("WITH")
     i = len("WITH")
     ctes = []
@@ -173,6 +192,8 @@ def canon(v):
             return "NaN"
         return v
     t = type(v).__name__
+    if t == "NaTType":
+        return "NaT"
     if t in ("ndarray", "list", "tuple"):
         return tuple(canon(x) for x in v)
     if t == "Timestamp":
@@ -263,13 +284,43 @@ def main():
             print(f"FAIL {k}: rows spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
             continue
-        svals = [tuple(canon(v) for v in row) for row in sdf.itertuples(index=False)]
-        ovals = [tuple(canon(v) for v in row) for row in odf.itertuples(index=False)]
+        # Vectorized per-column equality for simple dtypes (the sf3
+        # sweep spent ~15 min per 28M-row key in the per-cell loop);
+        # columns with container/Decimal cells fall back to canon().
+        # Semantics match the loop: NaN==NaN counts equal (canon maps
+        # NaN to the string "NaN"), everything else is exact.
+        import numpy as np
+        import pandas as pd
+        bad_rows = np.zeros(len(sdf), dtype=bool)
+        slow_cols = []
+        for c in sdf.columns:
+            a, b = sdf[c], odf[c]
+            if ((pd.api.types.is_float_dtype(a) and
+                    pd.api.types.is_float_dtype(b)) or
+                    (a.dtype == b.dtype
+                     and pd.api.types.is_datetime64_any_dtype(a))):
+                # NaN==NaN and NaT==NaT count equal, like canon()
+                bad_rows |= ~((a.values == b.values)
+                              | (pd.isna(a.values) & pd.isna(b.values)))
+            elif (a.dtype == b.dtype and
+                    (pd.api.types.is_integer_dtype(a)
+                     or pd.api.types.is_bool_dtype(a))):
+                bad_rows |= a.values != b.values
+            else:
+                slow_cols.append(c)
+        for c in slow_cols:
+            av = sdf[c].tolist()
+            bv = odf[c].tolist()
+            bad_rows |= np.fromiter(
+                (canon(x) != canon(y) for x, y in zip(av, bv)),
+                dtype=bool, count=len(av))
         bad = None
-        for i, (a, b) in enumerate(zip(svals, ovals)):
-            if a != b:
-                bad = (i, a, b)
-                break
+        nz = np.flatnonzero(bad_rows)
+        if len(nz):
+            i = int(nz[0])
+            bad = (i,
+                   tuple(canon(v) for v in sdf.iloc[i]),
+                   tuple(canon(v) for v in odf.iloc[i]))
         # dtype mismatches matter if the driver hashes typed values
         dt = [(c, str(sdf[c].dtype), str(odf[c].dtype))
               for c in sdf.columns if str(sdf[c].dtype) != str(odf[c].dtype)]

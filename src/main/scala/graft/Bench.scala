@@ -19,6 +19,8 @@ object Bench {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config(Stage.DirConf,
+        sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "/tmp"))
       .config("spark.sql.shuffle.partitions", shuffle)
       // UTC parity with Verify/RunOne: the NTZ→TimestampType cast in
       // Tables.events is session-TZ dependent, so an unpinned TZ would

@@ -13,6 +13,25 @@ import org.apache.spark.sql.SparkSession
   * java.nio write would silently break on the first multi-node deploy.
   */
 object Stage {
+  /** Base directory for engine-managed artifacts (stored derived
+    * tables, sink twins, scratch fixtures). Default `/tmp` keeps the
+    * local gate zero-conf; on a multi-host cluster set this to a
+    * path every executor AND the driver resolve to the same bytes
+    * (an `hdfs://`/`s3a://` URI, or a shared mount) — per-executor
+    * local `/tmp` would give each host its own partial copy of a
+    * stored artifact (silent truncation, the caveat Verify.scala
+    * documents). The two fixture paths baked into static oracle SQL
+    * (`/tmp/graft_sample.csv`, `/tmp/graft_wd_entities.ndjson`) stay
+    * fixed regardless — they are driver-written single files the
+    * DuckDB oracle must read at a literal local path. */
+  val DirConf = "spark.graft.stage.dir"
+
+  def dir(s: SparkSession): String =
+    s.conf.get(DirConf, "/tmp").stripSuffix("/")
+
+  /** An engine-managed artifact path under the configured base. */
+  def p(s: SparkSession, rel: String): String = s"${dir(s)}/$rel"
+
   def fs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -10,16 +10,18 @@ object Verify {
     // SPARK_GRAFT_MASTER lets the same main run against a real cluster
     // manager (e.g. spark://host:7077 via spark-submit) — the multi-JVM
     // parity path. Unset, it keeps the driver's local[cpus] contract.
-    // CAVEAT for MULTI-HOST clusters: the Stage.materializeOnce derived
-    // artifacts (/tmp/graft_*) are written through the default
-    // filesystem — with file:// and executors on other machines the
-    // parquet parts land on per-executor local disks and a later read
-    // silently truncates. Multi-host runs must point fs.defaultFS (or
-    // the /tmp/graft_ prefix) at a shared filesystem; the same-host
-    // standalone parity run documented in SCALE.md is unaffected.
+    // MULTI-HOST clusters: the Stage.materializeOnce derived artifacts
+    // default under /tmp via the default filesystem — with file:// and
+    // executors on other machines the parquet parts would land on
+    // per-executor local disks and a later read silently truncate.
+    // Set spark.graft.stage.dir (Stage.DirConf, round 10) to a shared
+    // path/URI so driver and every executor resolve the same bytes;
+    // the same-host standalone parity run in SCALE.md needs nothing.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
       .master(master)
+      .config(Stage.DirConf,
+        sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "/tmp"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{Stage, Tables}
+import graft.{Ckpt, Stage, Tables}
 
 /** Deduplication operators (SURVEY.md §2.10 + north-star additions).
   *
@@ -161,9 +161,10 @@ object DedupOps {
   private def componentLabelsStored(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       Stage.inputStamp(s, s"$d/documents.parquet")
-    val labPath = Stage.materializeOnce(s, s"/tmp/graft_components_$tag") {
+    val path = Stage.p(s, s"graft_components_$tag")
+    val labPath = Stage.materializeOnce(s, path) {
       queries("dedup_components")(s, d)
-        .write.mode("overwrite").parquet(s"/tmp/graft_components_$tag")
+        .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(labPath)
   }
@@ -277,20 +278,26 @@ object DedupOps {
       // last-round decrease once totals pass 2^53 (~1e8 docs), exiting
       // before the fixpoint.
       import org.apache.spark.HashPartitioner
-      val ckptDir = s.conf.getOption("spark.graft.components.checkpointDir")
-      ckptDir.foreach(s.sparkContext.setCheckpointDir)
+      // Per-key conf kept as an override; the engine-wide switch is
+      // spark.graft.checkpointDir (Ckpt), adopted round 10 across all
+      // fixpoint operators after the round-9 worker-kill probe.
+      val ckptDir = s.conf
+        .getOption("spark.graft.components.checkpointDir")
+        .filter(_.nonEmpty)
+        .orElse(Ckpt.dir(s))
+      ckptDir.foreach(Ckpt.ensure(s, _))
       val edges = simhashPairs(Tables.documents(s, d)).select(col("a"), col("b"))
       // Durable runs reliably checkpoint the edge list too: a
       // localCheckpoint's blocks live only on executors, so losing an
       // executor BEFORE byY materializes would kill exactly the job
       // the durable conf is meant to keep alive (proven by the round-9
-      // worker-kill probe). Non-durable runs keep the cheaper eager
-      // localCheckpoint.
-      val und = {
-        val u = edges
-          .union(edges.select(col("b").as("a"), col("a").as("b")))
-        if (ckptDir.isDefined) u.checkpoint() else u.localCheckpoint(true)
-      }
+      // worker-kill probe). Ckpt.df persists before the reliable
+      // checkpoint so the checkpoint job reads the just-computed
+      // blocks instead of recomputing the full simhashPairs lineage a
+      // second time (the same discipline as the fixpoint rounds below).
+      val und = Ckpt.df(
+        edges.union(edges.select(col("b").as("a"), col("a").as("b"))),
+        ckptDir)
       // Partitioner width scales with DATA and CLUSTER (overridable
       // per-job): ~20k edges per task, floored at min(8, parallelism)
       // so a tiny graph doesn't pay 32 tasks of scheduling overhead per

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{Det, Stage, Tables}
+import graft.{Ckpt, Det, Stage, Tables}
 
 /** Graph-analytics operator family (round 4i).
   *
@@ -74,8 +74,8 @@ object GraphOps {
     * driver-side fixture regeneration rotates the path instead of
     * serving a stale `_SUCCESS`-marked snapshot. */
   private def gpath(s: SparkSession, d: String, kind: String): String =
-    s"/tmp/graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
-      Stage.inputStamp(s, s"$d/lineitem.parquet")
+    Stage.p(s, s"graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      Stage.inputStamp(s, s"$d/lineitem.parquet"))
 
   /** Canonical undirected edge list (a < b), built once per fixture dir
     * and stored — all graph keys read the stored table. */
@@ -148,8 +148,9 @@ object GraphOps {
         .filter(col("rn") === 1)
         .select("node", "label")
       // checkpoint=false only for plan inspection in PlanSpec (the
-      // composed multi-round plan; production always truncates lineage)
-      lab = if (checkpoint) next.localCheckpoint(true) else next
+      // composed multi-round plan; production always truncates lineage
+      // — durably when spark.graft.checkpointDir is set, see Ckpt)
+      lab = if (checkpoint) Ckpt.df(next) else next
     }
     lab
   }
@@ -284,7 +285,7 @@ object GraphOps {
         var iters = 0
         var done = false
         while (!done && iters < cap) {
-          val nxt = prStep(dg, u, r).localCheckpoint(true)
+          val nxt = Ckpt.df(prStep(dg, u, r))
           val delta = nxt.as("n")
             .join(r.select(col("node").as("pn"), col("fx").as("pfx")),
               col("node") === col("pn"))
@@ -379,9 +380,9 @@ object GraphOps {
         ceil(expr("percentile(degree, 0.5)") * lit(0.7))
           .cast(LongType).as("kth"))
       def survivors(deg: DataFrame): DataFrame =
-        deg.crossJoin(broadcast(kdf))
+        Ckpt.df(deg.crossJoin(broadcast(kdf))
           .filter(col("degree") >= col("kth"))
-          .select("node").localCheckpoint(true)
+          .select("node"))
       def inducedDeg(alive: DataFrame): DataFrame = {
         val induced = e
           .join(alive.select(col("node").as("a")), "a")
@@ -547,10 +548,9 @@ object GraphOps {
       // row is one tuple regardless of degree). The adjacency index
       // (row_number per src) is built once and checkpointed; seeds are
       // the 20 md5-smallest nodes (probe convention).
-      val adj = und(s, d)
+      val adj = Ckpt.df(und(s, d)
         .withColumn("idx", row_number().over(
-          Window.partitionBy("src").orderBy("dst")) - 1)
-        .localCheckpoint()
+          Window.partitionBy("src").orderBy("dst")) - 1))
       val dg = degrees(s, d)
       val seeds = dg
         .orderBy(md5(col("node").cast(StringType)), col("node"))
@@ -595,20 +595,18 @@ object GraphOps {
       // dedup_components fixpoint): without it, hop k's plan re-derives
       // hops 1..k-1 — the anti-join target AND the frontier each embed
       // the full prior chain, so work grows quadratically in depth.
-      // Eager localCheckpoint pins each hop's (small) frontier and
-      // visited set; at 100 TB with deep walks, swap for a durable
-      // checkpoint dir exactly as components does.
-      var visited = seeds.withColumn("dist", lit(0)).localCheckpoint(true)
+      // Each hop's (small) frontier and visited set are pinned via
+      // Ckpt — durable (spark.graft.checkpointDir) on clusters, eager
+      // localCheckpoint locally.
+      var visited = Ckpt.df(seeds.withColumn("dist", lit(0)))
       // hop 1 reads the CHECKPOINTED seed blocks — `seeds` itself would
       // re-derive the part-filter ⋈ degrees subplan a second time
       var frontier = visited.select("node")
       for (k <- 1 to 3) {
-        val next = u.join(frontier, col("src") === col("node"))
+        val next = Ckpt.df(u.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        visited = visited.union(next.withColumn("dist", lit(k)))
-          .localCheckpoint(true)
+          .join(visited.select("node"), Seq("node"), "left_anti"))
+        visited = Ckpt.df(visited.union(next.withColumn("dist", lit(k))))
         frontier = next
       }
       visited.orderBy("node")
@@ -626,16 +624,16 @@ object GraphOps {
       // delta discipline as khop's frontier and dedup_incremental. All
       // integer arithmetic (costs ∈ [1,9], BIGINT sums) so the oracle
       // hash-matches with no float tolerance. Each round: one src-keyed
-      // equi-join + two aggregations — no driver-side state; eager
-      // localCheckpoint truncates the per-round lineage exactly like
-      // khop/components (durable checkpoints at 100 TB).
+      // equi-join + two aggregations — no driver-side state; Ckpt
+      // truncates the per-round lineage exactly like khop/components
+      // (durable under spark.graft.checkpointDir at 100 TB).
       val e = wedges(s, d)
       val wu = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
-      var dist = seeds.withColumn("dist", lit(0L)).localCheckpoint(true)
+      var dist = Ckpt.df(seeds.withColumn("dist", lit(0L)))
       var frontier = dist
       for (_ <- 1 to 3) {
         // candidate labels out of the frontier, combined per node BEFORE
@@ -643,14 +641,12 @@ object GraphOps {
         val relax = wu.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
           .groupBy("node").agg(min(col("dist")).as("dist"))
-        val improved = relax.as("r")
+        val improved = Ckpt.df(relax.as("r")
           .join(dist.as("dd"), col("r.node") === col("dd.node"), "left_outer")
           .filter(col("dd.dist").isNull || col("r.dist") < col("dd.dist"))
-          .select(col("r.node").as("node"), col("r.dist").as("dist"))
-          .localCheckpoint(true)
-        dist = dist.union(improved)
-          .groupBy("node").agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
+          .select(col("r.node").as("node"), col("r.dist").as("dist")))
+        dist = Ckpt.df(dist.union(improved)
+          .groupBy("node").agg(min(col("dist")).as("dist")))
         frontier = improved
       }
       dist.orderBy("node")

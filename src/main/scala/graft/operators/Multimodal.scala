@@ -73,7 +73,7 @@ object Multimodal {
       // maxPartitionBytes); the projection here builds the content-
       // addressed manifest (name, length, sha-256) that multimodal_
       // digest then dedups on. Fixture blobs stage once per session.
-      val dir = "/tmp/graft_blobs"
+      val dir = Stage.p(s, "graft_blobs")
       Stage.materializeOnce(s, dir) {
         blobFixture.foreach { case (n, b) => Stage.write(s, s"$dir/$n", b) }
         Stage.write(s, s"$dir/_SUCCESS", Array.emptyByteArray)

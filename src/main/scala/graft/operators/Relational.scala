@@ -107,9 +107,9 @@ object Relational {
             .bucketBy(8, key).sortBy(key)
             .option("path", path).mode("overwrite").saveAsTable(tbl)
       ensureBucketed(s"g_orders_bkt_$tag", Tables.orders(s, d),
-        "o_custkey", s"/tmp/graft_bucketed/$tag/orders")
+        "o_custkey", graft.Stage.p(s, s"graft_bucketed/$tag/orders"))
       ensureBucketed(s"g_customer_bkt_$tag", Tables.customer(s, d),
-        "c_custkey", s"/tmp/graft_bucketed/$tag/customer")
+        "c_custkey", graft.Stage.p(s, s"graft_bucketed/$tag/customer"))
       // MERGE hint: at fixture scale AQE would broadcast the customer
       // side, which hides the property this key exists to prove (and
       // PlanSpec locks) — bucket-aligned SMJ with no join-side shuffle.

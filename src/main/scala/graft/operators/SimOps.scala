@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables
+import graft.{Ckpt, Tables}
 
 /** Similarity search over the embedding column (SURVEY.md §2.10).
   *
@@ -576,10 +576,9 @@ object SimOps {
       // truncation Spark would recompute the covariance scan 2⁵⁺ times
       // (the iterative-lineage explosion the graph rounds checkpoint
       // against; measured 60 s → ~2 s at sf0.1).
-      val covFull = cov.union(
+      val covFull = Ckpt.df(cov.union(
         cov.filter(col("i") < col("j"))
-          .select(col("j"), col("i"), col("cval")))
-        .localCheckpoint()
+          .select(col("j"), col("i"), col("cval"))))
       val v0 = s.range(1, 65).select(col("id").as("pos"),
         lit(0.125).as("vv")) // uniform unit start: 64·(1/8)² = 1 exactly
       def step(v: DataFrame): DataFrame = {
@@ -590,10 +589,10 @@ object SimOps {
         val nrm = w.agg(
           sqrt(sum(floor(col("w") * col("w") * fx)).cast(DoubleType) / fx)
             .as("nr"))
-        w.crossJoin(broadcast(nrm))
+        Ckpt.df(w.crossJoin(broadcast(nrm))
           .select(col("pos"),
-            (col("w") / col("nr")).cast(FloatType).cast(DoubleType).as("vv"))
-          .localCheckpoint() // 64 rows; truncates the doubled lineage
+            (col("w") / col("nr")).cast(FloatType).cast(DoubleType)
+              .as("vv"))) // 64 rows; truncates the doubled lineage
       }
       val v5 = step(step(step(step(step(v0)))))
       val vj = v5.select(col("pos").as("jp"), col("vv").as("vvj"))
@@ -632,25 +631,23 @@ object SimOps {
         .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
         .limit(1)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      var state = emb.crossJoin(broadcast(c0))
+      var state = Ckpt.df(emb.crossJoin(broadcast(c0))
         .select(col("vec_id"), col("embedding"),
-          expr("l2fx(embedding, cemb)").as("mindl"))
-        .localCheckpoint()
+          expr("l2fx(embedding, cemb)").as("mindl")))
       val radius = round(sqrt(col("mindl").cast(DoubleType) / fx), 6)
       var rules = c0.select(lit(0).as("rnd"), col("cid").as("center_id"),
         lit(null).cast(DoubleType).as("radius"))
       for (r <- 1 to 5) {
-        val center = state
+        val center = Ckpt.df(state
           .orderBy(col("mindl").desc, col("vec_id")).limit(1)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-            col("mindl"))
-          .localCheckpoint()
+            col("mindl")))
         rules = rules.unionAll(center.select(lit(r).as("rnd"),
           col("cid").as("center_id"), radius.as("radius")))
-        state = state.crossJoin(broadcast(center.select("cid", "cemb")))
+        state = Ckpt.df(state
+          .crossJoin(broadcast(center.select("cid", "cemb")))
           .select(col("vec_id"), col("embedding"),
-            least(col("mindl"), expr("l2fx(embedding, cemb)")).as("mindl"))
-          .localCheckpoint()
+            least(col("mindl"), expr("l2fx(embedding, cemb)")).as("mindl")))
       }
       val cov = state.agg(max(col("mindl")).as("mindl"))
         .select(radius.as("coverage"))
@@ -729,14 +726,13 @@ object SimOps {
         .orderBy(col("rel").desc, col("vec_id")).limit(20)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
           lit(0.0).as("red"))
-        .localCheckpoint()
+        .transform(f => Ckpt.df(f))
       var rules: DataFrame = null
       for (r <- 1 to 5) {
-        val pick = state
+        val pick = Ckpt.df(state
           .withColumn("score",
             lit(0.7) * col("rel") - lit(0.3) * col("red"))
-          .orderBy(col("score").desc, col("vec_id")).limit(1)
-          .localCheckpoint()
+          .orderBy(col("score").desc, col("vec_id")).limit(1))
         val rule = pick.select(lit(r).as("rank"),
           col("vec_id"), col("rel"), round(col("red"), 4).as("red"),
           round(col("score"), 6).as("score"))
@@ -750,7 +746,7 @@ object SimOps {
               / (col("nrm") * col("pn")), 4)))
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("rel"), col("red"))
-          .localCheckpoint()
+          .transform(f => Ckpt.df(f))
       }
       rules.orderBy("rank")
     })
@@ -793,7 +789,7 @@ object SimOps {
     // method reads it four times (count, coarse, centMap, and via
     // carr) — without truncation the corpus-sized assignment would
     // re-execute per read, defeating the rung's purpose.
-    val cs = cents.localCheckpoint()
+    val cs = Ckpt.df(cents)
     val nc = math.ceil(math.sqrt(cs.count().toDouble)).toInt
     val coarse = cs
       .orderBy(md5(col("cent_id").cast(StringType)), col("cent_id"))
@@ -952,8 +948,9 @@ object SimOps {
     * re-running the Lloyd round. Identical rows to pqCents(emb) — the
     * pipeline is deterministic — so the oracles are unaffected. */
   private def pqCentsStored(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_pqcents_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
-      graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
+    val path = graft.Stage.p(s,
+      s"graft_pqcents_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        graft.Stage.inputStamp(s, s"$d/embeddings.parquet"))
     val p = graft.Stage.materializeOnce(s, path) {
       pqCents(Tables.embeddings(s, d))
         .write.mode("overwrite").parquet(path)
@@ -975,8 +972,9 @@ object SimOps {
     // must not satisfy a two-level read.
     val mode = if (s.conf.getOption("spark.graft.kmeans.coarseAssign")
       .contains("false")) "_exact" else "_tl"
-    val path = s"/tmp/graft_kmasg_${d.replaceAll("[^A-Za-z0-9]", "_")}$mode" +
-      "_" + graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
+    val path = graft.Stage.p(s,
+      s"graft_kmasg_${d.replaceAll("[^A-Za-z0-9]", "_")}$mode" +
+        "_" + graft.Stage.inputStamp(s, s"$d/embeddings.parquet"))
     val p = graft.Stage.materializeOnce(s, path) {
       kmeansAssigned(s, Tables.embeddings(s, d))
         .write.mode("overwrite").parquet(path)
@@ -989,8 +987,9 @@ object SimOps {
     * production encodes the corpus once per snapshot and every search
     * scans ONLY these 8 small ints per vector. */
   private def pqSubCodesStored(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_pqcodes_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
-      graft.Stage.inputStamp(s, s"$d/embeddings.parquet")
+    val path = graft.Stage.p(s,
+      s"graft_pqcodes_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
+        graft.Stage.inputStamp(s, s"$d/embeddings.parquet"))
     val p = graft.Stage.materializeOnce(s, path) {
       pqSubCodesWith(Tables.embeddings(s, d), pqCentsStored(s, d))
         .write.mode("overwrite").parquet(path)

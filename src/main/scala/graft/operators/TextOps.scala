@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{Det, Tables}
+import graft.{Ckpt, Det, Tables}
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.10
   * + the north-star additions: language-ID, quality scoring, token
@@ -183,14 +183,16 @@ object TextOps {
     "text_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val t = docs.select(col("doc_id"), explode(toks).as("term"))
-      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      val tf = Ckpt.df(
+        t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       // df derives FROM tf: the (doc_id, term) aggregate already is the
       // distinct table, so the document-frequency branch re-aggregates
       // those (small) rows instead of re-exploding and re-shuffling the
       // full token stream a second time — one corpus-sized shuffle for
       // the whole key. (The checkpoint truncates lineage so the tf
-      // exchange feeds both branches rather than being recomputed.)
+      // exchange feeds both branches rather than being recomputed;
+      // durable under spark.graft.checkpointDir so the term×doc blocks
+      // survive executor loss on a cluster.)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -238,9 +240,8 @@ object TextOps {
       // every step reads it); each step is a 1-row broadcast probe
       // into it, the TakeOrdered argmax never sorts the table.
       val grams = bigramPairs(Tables.documents(s, d))
-      val bi = grams.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c12"))
-        .localCheckpoint()
+      val bi = Ckpt.df(grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")))
       val seed = grams.groupBy(col("w1").as("tok"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(1)
@@ -248,10 +249,9 @@ object TextOps {
       var cur = seed
       var out = seed.select(lit(0).as("step"), col("word"))
       for (t <- 1 to 8) {
-        cur = bi.join(broadcast(cur), col("w1") === col("word"))
+        cur = Ckpt.df(bi.join(broadcast(cur), col("w1") === col("word"))
           .orderBy(col("c12").desc, col("w2")).limit(1)
-          .select(col("w2").as("word"))
-          .localCheckpoint()
+          .select(col("w2").as("word")))
         out = out.unionAll(cur.select(lit(t).as("step"), col("word")))
       }
       out.orderBy("step")
@@ -753,7 +753,7 @@ object TextOps {
         // scheduling overhead (15 s → 2.6 s at sf0.1 for the two fixes
         // together; production sizes partitions to vocab/64Ki).
         .coalesce(1)
-        .localCheckpoint()
+        .transform(f => Ckpt.df(f))
       def mergeRound(state: (DataFrame, Seq[DataFrame]),
                      step: Int): (DataFrame, Seq[DataFrame]) = {
         val (wr, acc) = state
@@ -781,7 +781,7 @@ object TextOps {
               " pat, rep), pat, rep), pat, rep), pat, rep)"))
           .select(col("w"), col("cnt"), col("repr"))
           .coalesce(1)
-          .localCheckpoint() // per-round truncation, same rationale
+          .transform(f => Ckpt.df(f)) // per-round truncation, same rationale
         val rule = best.select(lit(step).as("step"), col("a").as("lhs"),
           col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
           col("pcnt").as("pair_cnt"))

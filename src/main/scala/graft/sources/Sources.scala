@@ -26,8 +26,9 @@ object Sources {
       // All derived lineitem/orders twins fold Stage.inputStamp into the
       // path: fixture regeneration rotates the cache instead of serving
       // a stale _SUCCESS-marked copy.
-      val path = "/tmp/graft_part_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + Stage.inputStamp(s, s"$d/lineitem.parquet")
+      val path = Stage.p(s, "graft_part_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Stage.inputStamp(s, s"$d/lineitem.parquet"))
       if (!Stage.exists(s, s"$path/_SUCCESS")) {
         Tables.lineitem(s, d)
           .withColumn("ship_year", year(col("l_shipdate")))
@@ -45,8 +46,9 @@ object Sources {
     * reading gigabytes and reading the whole table; PlanSpec proves the
     * pruning from the scan's runtime numOutputRows metric. */
   def ensureSortedLineitem(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft_sorted_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + Stage.inputStamp(s, s"$d/lineitem.parquet")
+    val path = Stage.p(s, "graft_sorted_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Stage.inputStamp(s, s"$d/lineitem.parquet"))
     Stage.materializeOnce(s, path) {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
@@ -66,8 +68,9 @@ object Sources {
     * sort only provides for its leading column. The interleave is 16
     * codegen'd shift/and/or terms, no UDF. */
   def ensureZorderLineitem(s: SparkSession, d: String): String = {
-    val path = "/tmp/graft_zorder_" + d.replaceAll("[^A-Za-z0-9]", "_") +
-      "_" + Stage.inputStamp(s, s"$d/lineitem.parquet")
+    val path = Stage.p(s, "graft_zorder_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Stage.inputStamp(s, s"$d/lineitem.parquet"))
     Stage.materializeOnce(s, path) {
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
@@ -112,7 +115,8 @@ object Sources {
   private def ensureCsv(s: SparkSession): String =
     Stage.write(s, csvPath, csvContent.getBytes(StandardCharsets.UTF_8))
 
-  private val bz2Path = "/tmp/graft_dump.txt.bz2"
+  private def bz2Path(s: SparkSession): String =
+    Stage.p(s, "graft_dump.txt.bz2")
   private val dumpLines = Seq(
     "[",
     """{"id":"Q1","type":"item"},""",
@@ -127,13 +131,14 @@ object Sources {
     val codec = new org.apache.hadoop.io.compress.BZip2Codec()
     codec.setConf(s.sparkContext.hadoopConfiguration)
     val out = codec.createOutputStream(
-      new BufferedOutputStream(Stage.create(s, bz2Path)))
+      new BufferedOutputStream(Stage.create(s, bz2Path(s))))
     try out.write(dumpLines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    bz2Path
+    bz2Path(s)
   }
 
-  private val badJsonPath = "/tmp/graft_bad.ndjson"
+  private def badJsonPath(s: SparkSession): String =
+    Stage.p(s, "graft_bad.ndjson")
   private val badJsonLines = Seq(
     """{"id":1,"name":"alpha"}""",
     """{"id":2,"name":"beta"}""",
@@ -142,7 +147,7 @@ object Sources {
     """{broken json line""")
 
   private def ensureBadJson(s: SparkSession): String =
-    Stage.write(s, badJsonPath,
+    Stage.write(s, badJsonPath(s),
       badJsonLines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
 
   val queries: Map[String, Q] = Map(
@@ -177,9 +182,9 @@ object Sources {
       // the raw line, good rows parse to the exact decimal. Per-row
       // malformedness quarantines; the scan never dies — the 100 TB
       // ingest posture.
-      val path = "/tmp/graft_csv_malformed_" +
+      val path = Stage.p(s, "graft_csv_malformed_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        graft.Stage.inputStamp(s, s"$d/supplier.parquet")
+        graft.Stage.inputStamp(s, s"$d/supplier.parquet"))
       graft.Stage.materializeOnce(s, path) {
         Tables.supplier(s, d)
           .select(concat_ws(",", col("s_suppkey"), col("s_name"),
@@ -215,7 +220,7 @@ object Sources {
       // Transparent decompress-on-scan; bz2 is block-splittable so a
       // 100 GB dump fans out across tasks with zero extra code.
       ensureBz2(s)
-      s.read.text(bz2Path)
+      s.read.text(bz2Path(s))
         .select(col("value"), length(col("value")).as("len"))
         .orderBy("value")
     }),
@@ -240,7 +245,8 @@ object Sources {
       // sf dir: v1 (key, name), v2 adds r_len. mergeSchema is opt-in
       // because footer-merging 10⁶ files costs a driver pass — enable
       // it per-read like this, not globally.
-      val path = "/tmp/graft_schemamerge_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = Stage.p(s,
+        "graft_schemamerge_" + d.replaceAll("[^A-Za-z0-9]", "_"))
       if (!Stage.exists(s, s"$path/v2/_SUCCESS")) {
         Tables.region(s, d)
           .select(lit(1).cast(IntegerType).as("v"),
@@ -262,7 +268,7 @@ object Sources {
       // materialized ONCE per sf dir (behind _SUCCESS, same policy as
       // scan_partitioned) so this key times the scan it names, not a
       // rewrite on every invocation.
-      val out = "/tmp/graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = Stage.p(s, "graft_orc_" + d.replaceAll("[^A-Za-z0-9]", "_"))
       if (!Stage.exists(s, s"$out/_SUCCESS")) {
         Tables.nation(s, d).write.mode("overwrite").orc(out)
       }
@@ -281,7 +287,7 @@ object Sources {
       // inferSchema stays banned for the same determinism reasons as
       // CSV (SURVEY §1.3). Doubles survive the text round trip because
       // Spark writes the shortest round-tripping decimal.
-      val out = "/tmp/graft_xml_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val out = Stage.p(s, "graft_xml_" + d.replaceAll("[^A-Za-z0-9]", "_"))
       if (!Stage.exists(s, s"$out/_SUCCESS")) {
         Tables.supplier(s, d)
           .write.mode("overwrite").format("xml")
@@ -305,7 +311,7 @@ object Sources {
     "sink_parquet" -> ((s, d) => {
       // Materialize-and-reread round trip: the result IS the sink's
       // output, so the oracle (direct SQL) proves write fidelity.
-      val out = "/tmp/graft_sink_parquet"
+      val out = Stage.p(s, "graft_sink_parquet")
       val agg = Tables.nation(s, d)
         .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
@@ -322,7 +328,7 @@ object Sources {
       // schema (inferSchema stays banned) parses it back to the same
       // IEEE double; the 4-dp money values here make that exact by
       // construction.
-      val out = "/tmp/graft_sink_csv"
+      val out = Stage.p(s, "graft_sink_csv")
       val agg = Tables.region(s, d)
         .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
         .join(Tables.supplier(s, d), col("n_nationkey") === col("s_nationkey"))
@@ -351,13 +357,15 @@ object Sources {
       // aggregate proves content survived the rewrite byte-exactly.
       val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         Stage.inputStamp(s, s"$d/orders.parquet")
-      val frag = Stage.materializeOnce(s, s"/tmp/graft_frag_$tag") {
+      val fragP = Stage.p(s, s"graft_frag_$tag")
+      val frag = Stage.materializeOnce(s, fragP) {
         Tables.orders(s, d).repartition(128)
-          .write.mode("overwrite").parquet(s"/tmp/graft_frag_$tag")
+          .write.mode("overwrite").parquet(fragP)
       }
-      val compacted = Stage.materializeOnce(s, s"/tmp/graft_compacted_$tag") {
+      val compP = Stage.p(s, s"graft_compacted_$tag")
+      val compacted = Stage.materializeOnce(s, compP) {
         s.read.parquet(frag).coalesce(4)
-          .write.mode("overwrite").parquet(s"/tmp/graft_compacted_$tag")
+          .write.mode("overwrite").parquet(compP)
       }
       s.read.parquet(compacted)
         .groupBy(col("o_orderstatus"))
@@ -381,10 +389,11 @@ object Sources {
       val base = ensurePartitionedLineitem(s, d)
       val dynTag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         Stage.inputStamp(s, s"$d/lineitem.parquet")
-      val out = Stage.materializeOnce(s, s"/tmp/graft_dynpart_$dynTag") {
+      val dynP = Stage.p(s, s"graft_dynpart_$dynTag")
+      val out = Stage.materializeOnce(s, dynP) {
         s.read.parquet(base).write.mode("overwrite")
           .partitionBy("ship_year")
-          .parquet(s"/tmp/graft_dynpart_$dynTag")
+          .parquet(dynP)
       }
       val repriced = s.read.parquet(base)
         .filter(col("ship_year") === 1996)
@@ -459,7 +468,7 @@ object Sources {
         s.read.schema(schema).option("header", "false").csv(out)
           .orderBy("o_orderstatus")
       } else {
-        val out = "/tmp/graft_sink_pg_twin"
+        val out = Stage.p(s, "graft_sink_pg_twin")
         ParquetSink(out).write(agg)
         s.read.parquet(out).orderBy("o_orderstatus")
       }
@@ -471,7 +480,7 @@ object Sources {
       // a filesystem URL to the ParquetSink twin; with a
       // jdbc:postgresql:// URL the identical call path bulk-loads
       // Postgres (JdbcSink options unit-tested in SinkSpec).
-      val out = "/tmp/graft_sink_jdbc_twin"
+      val out = Stage.p(s, "graft_sink_jdbc_twin")
       val load = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),

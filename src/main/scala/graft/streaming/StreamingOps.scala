@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 import org.apache.spark.sql.types._
-import graft.{Det, Tables}
+import graft.{Det, Stage, Tables}
 import Det._
 
 /** Structured-Streaming operators (SURVEY.md §2.9).
@@ -195,7 +195,7 @@ object StreamingOps {
           .csv(out)
           .orderBy("ws", "event_type")
       } else {
-        val out = "/tmp/graft_stream_pg_twin"
+        val out = Stage.p(s, "graft_stream_pg_twin")
         ParquetSink(out).write(agg)
         s.read.parquet(out).orderBy("ws", "event_type")
       }

@@ -23,7 +23,8 @@ import graft.sources.{ParquetSink, PgCopySink, PgDdl, PgServer}
   * wide operator in the whole job is the read-back ORDER BY.
   */
 object Etl {
-  private val bz2Path = "/tmp/graft_wd_entities.ndjson.bz2"
+  private def bz2Path(s: SparkSession): String =
+    Stage.p(s, "graft_wd_entities.ndjson.bz2")
 
   /** Stage the fixture twice: the bz2 dump the pipeline ingests, and
     * the plain NDJSON twin the DuckDB oracle reads — byte-identical
@@ -35,10 +36,10 @@ object Etl {
     val codec = new org.apache.hadoop.io.compress.BZip2Codec()
     codec.setConf(s.sparkContext.hadoopConfiguration)
     val out = codec.createOutputStream(
-      new BufferedOutputStream(Stage.create(s, bz2Path)))
+      new BufferedOutputStream(Stage.create(s, bz2Path(s))))
     try out.write(in.readAllBytes())
     finally { out.close(); in.close() }
-    bz2Path
+    bz2Path(s)
   }
 
   /** Target/readback schema — column order is the Postgres DDL order. */
@@ -88,7 +89,7 @@ object Etl {
       } else {
         // no server bootable in this environment: the same load frame
         // through the ParquetSink twin — the oracle holds on both paths
-        val out = "/tmp/graft_wd_etl_twin"
+        val out = Stage.p(s, "graft_wd_etl_twin")
         ParquetSink(out).write(load)
         s.read.parquet(out).orderBy("id", "pid", "statement_id")
       }

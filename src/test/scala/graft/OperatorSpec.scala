@@ -315,6 +315,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.checkpointDir: durable branch identical across fixpoint families") {
+    // Round 10 generalized the components durable-checkpoint pattern
+    // (Ckpt) to every iterative/fixpoint operator. One representative
+    // per touched lineage-truncation family runs under BOTH modes and
+    // must be row-identical; the durable pass must actually write
+    // checkpoint files (i.e. the reliable branch executed, not a
+    // silent fallback to localCheckpoint).
+    val keys = Seq(
+      "graph_lpa",       // lpaOnUnd per-round labels
+      "graph_kcore",     // survivors() per-peel
+      "graph_khop",      // frontier + visited
+      "graph_sssp",      // frontier Bellman-Ford
+      "graph_random_walk", // checkpointed adjacency index
+      "sim_pca_power",   // covFull + power-iteration steps
+      "sample_kcenter",  // per-round min-distance state
+      "sim_mmr_rerank",  // candidate state + per-round pick
+      "text_tfidf",      // tf reuse checkpoint
+      "text_lm_generate", // bigram table + per-step token
+      "text_bpe_train")  // word-repr per-merge-round
+    val base = keys.map(k => k -> q(k).collect().map(_.toString).sorted)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-all").toString
+    try {
+      spark.conf.set(Ckpt.DirConf, dir)
+      base.foreach { case (k, rows) =>
+        val durable = q(k).collect().map(_.toString).sorted
+        assert(durable === rows,
+          s"$k: durable-checkpoint result diverged from localCheckpoint path")
+      }
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "checkpointDir set but no checkpoint files written")
+    } finally {
+      spark.conf.unset(Ckpt.DirConf)
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pack_sequences: chunks fill to the budget and docs pack completely") {
     val rows = q("pack_sequences").collect()
     val perChunk = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)

@@ -7,6 +7,17 @@ in DuckDB over the same fixture parquet, sort columns by name, and
 compare values exactly. Usage:
 
     python3 tools/preflight.py <sfDir> <verifyOutDir> [key ...]
+
+PASS criteria (deliberately mirroring the driver's hash gate, no more
+and no less):
+  - Columns are matched BY NAME after sorting both sides' column lists
+    — the driver sorts columns by name before hashing, so a column-
+    ORDER divergence between engines is not a defect and does not fail
+    here either (rows, by contrast, compare in produced order).
+  - NaN == NaN and NaT == NaT count as equal (canon() maps both to
+    sentinel strings; the vectorized path uses isna-on-both-sides for
+    the same semantics). Everything else is exact equality — no float
+    tolerance.
 """
 import sys, json, math
 import duckdb
@@ -167,6 +178,16 @@ def staged_replay(con, sql):
     earlier CTEs visible as tables.
     """
     ctes, final = split_ctes(sql)
+    # Staged tables are created under the CTE's own name (references in
+    # later bodies resolve unchanged). A CTE named like a base-table
+    # view would try to shadow fixture state and the finally-drop would
+    # then race the view — refuse loudly instead of corrupting the
+    # sweep for every later key.
+    clash = [n for n, _, _ in ctes if n.lower() in TABLES]
+    if clash:
+        raise ValueError(
+            f"staged_replay: CTE name(s) {clash} collide with base "
+            f"fixture tables; rename the CTE(s) in the oracle")
     made = []
     try:
         for name, cols, body in ctes:

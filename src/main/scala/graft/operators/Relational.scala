@@ -340,6 +340,11 @@ object Relational {
       // not results (both paths compute the same join), so the oracle
       // stays the plain-join SQL. (AQE's OptimizeSkewedJoin is the
       // automatic runtime variant; this is the plan-time hand-tool.)
+      // MEASURED (SkewProbe, round 10, 40%-skewed twin): AQE's runtime
+      // split beats this recipe at both sf1 and sf3 — the probe/semi/
+      // anti passes cost more than the straggler they remove. Use AQE
+      // first; this shape earns its keep only where AQE cannot split
+      // (skewed agg keys, order-constrained SMJ, known hot lists).
       val salts = 8
       val fact = Tables.lineitem(s, d)
       val dim = Tables.orders(s, d)

@@ -17,10 +17,10 @@ object Bench {
     // saturation" diagnosis needs partitions ∝ input at constant n.
     // Unset, partitions = cpus — the driver's contract.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // spark.graft.stage.dir resolves inside Stage.dir (conf -> env
+    // SPARK_GRAFT_STAGE_DIR -> /tmp); no builder default to clobber it.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config(Stage.DirConf,
-        sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "/tmp"))
       .config("spark.sql.shuffle.partitions", shuffle)
       // UTC parity with Verify/RunOne: the NTZ→TimestampType cast in
       // Tables.events is session-TZ dependent, so an unpinned TZ would

@@ -31,9 +31,17 @@ import org.apache.spark.storage.StorageLevel
   *    just-computed blocks instead.
   *
   * `SparkContext.setCheckpointDir` appends a fresh UUID subdirectory
-  * on every call, so it is set once per (context, base dir) — a blind
-  * per-call re-set would fragment one run's checkpoints across
-  * directories and defeat any external cleanup by base path.
+  * on every call and a context holds exactly ONE checkpoint dir, so
+  * the dir is re-set only when the requested BASE changes (repeat
+  * calls with the same base are no-ops — no per-call UUID spray).
+  * Corollary: configuring the legacy per-key components dir AND the
+  * engine-wide dir to DIFFERENT paths in one application re-points
+  * the global dir at each alternation — each family's checkpoints
+  * land under its own base, at the cost of one UUID subdir per
+  * switch, and concurrent queries in such a double-conf app could
+  * race the global pointer. Point both confs at the same base (or
+  * set only the engine-wide one) to avoid that; the gate and probes
+  * do.
   */
 object Ckpt {
   /** The one durable-checkpoint conf. Operators with a historical
@@ -43,20 +51,17 @@ object Ckpt {
   def dir(s: SparkSession): Option[String] =
     s.conf.getOption(DirConf).filter(_.nonEmpty)
 
-  private val setFor =
+  private val baseFor =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Set the context checkpoint dir exactly once per (context, base). */
-  def ensure(s: SparkSession, base: String): Unit = {
+  /** Point the context checkpoint dir at `base` if it isn't already
+    * (see header for the change-of-base semantics). */
+  def ensure(s: SparkSession, base: String): Unit = synchronized {
     val k = s.sparkContext.applicationId
-    if (setFor.get(k) != base || s.sparkContext.getCheckpointDir.isEmpty)
-      synchronized {
-        if (setFor.get(k) != base ||
-            s.sparkContext.getCheckpointDir.isEmpty) {
-          s.sparkContext.setCheckpointDir(base)
-          setFor.put(k, base)
-        }
-      }
+    if (baseFor.get(k) != base || s.sparkContext.getCheckpointDir.isEmpty) {
+      s.sparkContext.setCheckpointDir(base)
+      baseFor.put(k, base)
+    }
   }
 
   /** Truncate `frame`'s lineage: reliable checkpoint under `base`,

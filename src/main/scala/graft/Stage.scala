@@ -26,8 +26,16 @@ object Stage {
     * DuckDB oracle must read at a literal local path. */
   val DirConf = "spark.graft.stage.dir"
 
+  /** Resolution order: session/`--conf` value, then the
+    * `SPARK_GRAFT_STAGE_DIR` env (so every main — Verify, Bench,
+    * RunOne, the probes — honors the same switch without per-main
+    * builder plumbing, and a spark-submit `--conf` is never
+    * clobbered by a builder default), then `/tmp`. */
   def dir(s: SparkSession): String =
-    s.conf.get(DirConf, "/tmp").stripSuffix("/")
+    s.conf.getOption(DirConf)
+      .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
+      .getOrElse("/tmp")
+      .stripSuffix("/")
 
   /** An engine-managed artifact path under the configured base. */
   def p(s: SparkSession, rel: String): String = s"${dir(s)}/$rel"

@@ -27,18 +27,25 @@ import org.apache.spark.sql.streaming.OutputMode
   *    × 100 well-separated activity bursts; contract ≥ 490 closed
   *    sessions emitted, maxState ≤ 50.
   *
-  * Protocol: touches a `B<n>` marker FILE in the checkpoint dir's
-  * parent every 10 batches (spark-submit's redirected stdout is
-  * block-buffered, so stdout markers appear only at exit — files are
-  * the race-free signal for the external killer), then prints one
+  * Protocol: touches a `B<n>` marker FILE every 10 batches
+  * (spark-submit's redirected stdout is block-buffered, so stdout
+  * markers appear only at exit — files are the race-free signal for
+  * the external killer), then prints one
   * `PROBE_RESULT out=<rows> maxState=<rows>` line. Exit 0 iff the
   * mode's contract held — the same assertions as the in-JVM soak.
+  * Markers go to arg 3 if given, else the checkpoint path's local
+  * parent — pass arg 3 explicitly when the checkpointLocation is a
+  * non-local URI (hdfs://, s3a://), since the killer script reads
+  * markers off the DRIVER's local disk.
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val ckpt = args(0)
     val mode = if (args.length > 1) args(1) else "dedup"
-    val markerDir = java.nio.file.Paths.get(ckpt).getParent
+    val markerDir =
+      if (args.length > 2) java.nio.file.Paths.get(args(2))
+      else java.nio.file.Paths.get(ckpt).toAbsolutePath.getParent
+    java.nio.file.Files.createDirectories(markerDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()

@@ -18,10 +18,11 @@ object Verify {
     // path/URI so driver and every executor resolve the same bytes;
     // the same-host standalone parity run in SCALE.md needs nothing.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // spark.graft.stage.dir resolves inside Stage.dir (session conf →
+    // SPARK_GRAFT_STAGE_DIR env → /tmp), so a spark-submit --conf is
+    // never clobbered by a builder default here.
     val spark = SparkSession.builder()
       .master(master)
-      .config(Stage.DirConf,
-        sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR", "/tmp"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

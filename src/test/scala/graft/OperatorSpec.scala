@@ -288,41 +288,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_components: durable-checkpoint branch produces identical labels") {
-    // The spark.graft.components.checkpointDir branch (persist →
-    // reliable checkpoint → per-round unpersist) had never executed in
-    // any test — only the localCheckpoint default. The two branches
-    // must be observationally identical: same labels, and no leaked
-    // cached blocks once the run completes.
-    val base = q("dedup_components").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted
+  /** Durable-vs-local identity harness: run `keys` with no durable
+    * conf, re-run them with `conf` pointed at a fresh tempdir, assert
+    * every result row-identical AND that the reliable branch actually
+    * wrote checkpoint files (no silent localCheckpoint fallback). */
+  private def assertDurableIdentical(conf: String, keys: Seq[String]): Unit = {
+    val base = keys.map(k => k -> q(k).collect().map(_.toString).sorted)
     val dir = java.nio.file.Files
-      .createTempDirectory("graft-comp-ckpt").toString
+      .createTempDirectory("graft-ckpt").toString
     try {
-      spark.conf.set("spark.graft.components.checkpointDir", dir)
-      val durable = q("dedup_components").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted
-      assert(durable === base,
-        "durable-checkpoint fixpoint diverged from localCheckpoint path")
-      // the reliable-checkpoint path actually wrote checkpoint files
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      spark.conf.set(conf, dir)
+      base.foreach { case (k, rows) =>
+        val durable = q(k).collect().map(_.toString).sorted
+        assert(durable === rows,
+          s"$k: durable-checkpoint result diverged from localCheckpoint path")
+      }
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(wrote > 0, "checkpointDir set but no checkpoint files written")
     } finally {
-      spark.conf.unset("spark.graft.components.checkpointDir")
+      spark.conf.unset(conf)
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(dir))
     }
   }
 
+  test("dedup_components: durable-checkpoint branch produces identical labels") {
+    // The components per-key conf (persist → reliable checkpoint →
+    // per-round unpersist on the RDD fixpoint) — kept as its own test
+    // because it exercises the raw-RDD ckpt path, not Ckpt.df.
+    assertDurableIdentical("spark.graft.components.checkpointDir",
+      Seq("dedup_components"))
+  }
+
   test("spark.graft.checkpointDir: durable branch identical across fixpoint families") {
     // Round 10 generalized the components durable-checkpoint pattern
     // (Ckpt) to every iterative/fixpoint operator. One representative
-    // per touched lineage-truncation family runs under BOTH modes and
-    // must be row-identical; the durable pass must actually write
-    // checkpoint files (i.e. the reliable branch executed, not a
-    // silent fallback to localCheckpoint).
-    val keys = Seq(
+    // per touched lineage-truncation family runs under BOTH modes.
+    assertDurableIdentical(Ckpt.DirConf, Seq(
       "graph_lpa",       // lpaOnUnd per-round labels
       "graph_kcore",     // survivors() per-peel
       "graph_khop",      // frontier + visited
@@ -333,25 +337,7 @@ class OperatorSpec extends AnyFunSuite {
       "sim_mmr_rerank",  // candidate state + per-round pick
       "text_tfidf",      // tf reuse checkpoint
       "text_lm_generate", // bigram table + per-step token
-      "text_bpe_train")  // word-repr per-merge-round
-    val base = keys.map(k => k -> q(k).collect().map(_.toString).sorted)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ckpt-all").toString
-    try {
-      spark.conf.set(Ckpt.DirConf, dir)
-      base.foreach { case (k, rows) =>
-        val durable = q(k).collect().map(_.toString).sorted
-        assert(durable === rows,
-          s"$k: durable-checkpoint result diverged from localCheckpoint path")
-      }
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, "checkpointDir set but no checkpoint files written")
-    } finally {
-      spark.conf.unset(Ckpt.DirConf)
-      org.apache.commons.io.FileUtils
-        .deleteQuietly(new java.io.File(dir))
-    }
+      "text_bpe_train")) // word-repr per-merge-round
   }
 
   test("pack_sequences: chunks fill to the budget and docs pack completely") {

@@ -39,6 +39,36 @@ object Bench {
     }
     try Tables.events(spark, sfDir).limit(1).count()
     catch { case _: Throwable => () }
+    // Plan-shape regression tracking: wall-clock on this box drifts
+    // up to ±50% per key across rounds (BASELINE.md warm-band table),
+    // but SHUFFLE BYTES are a deterministic function of plan + data —
+    // a changed byte count is a changed plan (or changed input),
+    // never box noise. A stage-level listener accumulates shuffle
+    // read/write and spill; the final pass snapshots the counters
+    // around each query (listener bus drained first — events post
+    // asynchronously) and bench_detail.json records the deltas.
+    val shRead = new java.util.concurrent.atomic.AtomicLong
+    val shWrite = new java.util.concurrent.atomic.AtomicLong
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            shRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
+        }
+      })
+    def shuffleSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      (shRead.get(), shWrite.get(), spilled.get())
+    }
+    val shuffleByKey =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     // Optional comma-separated key filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -67,11 +97,23 @@ object Bench {
       val rnd = new scala.util.Random(0x9E3779B97F4A7C15L * pass)
       rnd.shuffle(keys).foreach { name =>
         val fn = selected(name)
+        // shuffle accounting only on the last (warm, AQE-settled)
+        // pass: the drain is cheap but not free, and the warm plan is
+        // the one whose shape future rounds should diff against
+        val account = pass == passes
+        val before = if (account) shuffleSnapshot() else null
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        if (ok) {
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+          if (account) {
+            val after = shuffleSnapshot()
+            shuffleByKey(name) = (after._1 - before._1,
+              after._2 - before._2, after._3 - before._3)
+          }
+        }
         else failCount(name) = failCount.getOrElse(name, 0) + 1
       }
     }
@@ -165,7 +207,9 @@ object Bench {
       try {
         val rows = results.toSeq.sortBy(-_._2).map { case (k, v) =>
           val (c, wm) = coldWarm.getOrElse(k, (-1.0, -1.0))
-          s""""$k":{"med":${fmt(v)},"cold":${fmt(c)},"warm":${fmt(wm)}}"""
+          val (sr, sw, sp) = shuffleByKey.getOrElse(k, (-1L, -1L, -1L))
+          s""""$k":{"med":${fmt(v)},"cold":${fmt(c)},"warm":${fmt(wm)},""" +
+            s""""shr":$sr,"shw":$sw,"spill":$sp}"""
         }
         w.println(s"""{"ts":"$stamp","src":"$srcHash","sf":"$sfDir",""" +
           s""""passes":$passes,"queries":{${rows.mkString(",")}}}""")

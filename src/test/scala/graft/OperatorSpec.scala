@@ -2104,6 +2104,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept === all -- drop)
   }
 
+  test("Stage.dir: session conf wins over default; Stage.p composes") {
+    // Resolution contract (round 10): session conf → env
+    // SPARK_GRAFT_STAGE_DIR → /tmp. Env can't be mutated in-JVM, so
+    // the testable layers are conf-beats-default and trailing-slash
+    // normalization; the env layer is exercised end-to-end by the
+    // relocated-stage-dir Verify runs in SCALE.md.
+    val envBase = sys.env.get("SPARK_GRAFT_STAGE_DIR")
+      .map(_.stripSuffix("/")).getOrElse("/tmp")
+    assert(Stage.dir(spark) === envBase)
+    try {
+      spark.conf.set(Stage.DirConf, "/somewhere/else/")
+      assert(Stage.dir(spark) === "/somewhere/else")
+      assert(Stage.p(spark, "graft_x") === "/somewhere/else/graft_x")
+    } finally spark.conf.unset(Stage.DirConf)
+    assert(Stage.dir(spark) === envBase)
+  }
+
   test("graph_random_walk: every step follows a real edge, picks replay") {
     val rows = q("graph_random_walk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -148,3 +148,157 @@ object TopKByAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by", build, "built-in")
 }
+
+/** Bounded bottom-k-DISTINCT aggregate
+  * (`bottomk_distinct_by(ord, payload, k)`) — the mergeable twin of
+  * `topk_by` for the md5-smallest-k cap idiom
+  * (`row_number() OVER (ORDER BY md5(x), x) <= k` over DISTINCT rows).
+  *
+  * Two differences from TopKByAgg, both load-bearing for the cap
+  * semantics: it keeps the SMALLEST k entries (the md5-order cap keeps
+  * the hash-smallest), and entries are DISTINCT on the (ord, payload)
+  * tuple — the window idiom ranks a pre-`distinct()`ed input, and when
+  * duplicates arrive here instead (so the caller can SKIP that
+  * distinct's full-width shuffle) a duplicate must not occupy two of
+  * the k slots. With `ord` a pure function of `payload` (md5 of it),
+  * tuple-distinctness IS payload-distinctness, so the aggregate
+  * replays the distinct+window selection exactly while shipping ≤ k
+  * entries per group per partition across the shuffle — O(k · groups ·
+  * partitions) instead of the distinct's O(distinct pairs) plus the
+  * window's full per-group sort. Buffer is a k-bounded TreeSet (dedup
+  * and eviction in one structure); merge is associative, and with the
+  * (ord, payload) pair totally ordered the result is exactly the
+  * global bottom-k regardless of partitioning.
+  */
+case class BottomKDistinctByAgg(
+    ord: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[(Any, Any)]] {
+
+  override def prettyName: String = "bottomk_distinct_by"
+  override def children: Seq[Expression] = Seq(ord, payload)
+  override def nullable: Boolean = false
+
+  private def entryType = StructType(Seq(
+    StructField("ord", ord.dataType), StructField("payload", payload.dataType)))
+
+  override def dataType: DataType = ArrayType(entryType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be > 0")
+    else TypeUtils.checkForOrderingExpr(ord.dataType, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        TypeUtils.checkForOrderingExpr(payload.dataType, prettyName)
+      case f => f
+    }
+
+  // (ord, payload) lexicographic — payload joins the key so the TreeSet
+  // dedups exact duplicates (compare == 0) rather than colliding
+  // distinct payloads that happen to share an ord
+  @transient private lazy val ordering: Ordering[(Any, Any)] = {
+    val oOrd = TypeUtils.getInterpretedOrdering(ord.dataType)
+    val pOrd = TypeUtils.getInterpretedOrdering(payload.dataType)
+    new Ordering[(Any, Any)] {
+      def compare(a: (Any, Any), b: (Any, Any)): Int = {
+        val c = oOrd.compare(a._1, b._1)
+        if (c != 0) c else pOrd.compare(a._2, b._2)
+      }
+    }
+  }
+
+  override def createAggregationBuffer(): mutable.TreeSet[(Any, Any)] =
+    mutable.TreeSet.empty(ordering)
+
+  private def offer(buf: mutable.TreeSet[(Any, Any)], e: (Any, Any)): Unit = {
+    if (buf.size < k) { buf.add(e); () }
+    else if (ordering.lt(e, buf.last)) {
+      if (buf.add(e)) { buf.remove(buf.last); () }
+    }
+  }
+
+  override def update(buf: mutable.TreeSet[(Any, Any)],
+      input: InternalRow): mutable.TreeSet[(Any, Any)] = {
+    val o = ord.eval(input)
+    val p = payload.eval(input)
+    if (o != null && p != null)
+      offer(buf, (InternalRow.copyValue(o), InternalRow.copyValue(p)))
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[(Any, Any)],
+      other: mutable.TreeSet[(Any, Any)]): mutable.TreeSet[(Any, Any)] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[(Any, Any)]): Any =
+    new GenericArrayData(buf.toArray.map { case (o, p) =>
+      new GenericInternalRow(Array[Any](o, p)): Any
+    }) // TreeSet iterates ascending — smallest-first, the cap's order
+
+  @transient private lazy val entryProj = UnsafeProjection.create(entryType)
+
+  override def serialize(buf: mutable.TreeSet[(Any, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (o, p) =>
+      val bytes = entryProj(new GenericInternalRow(Array[Any](o, p))).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Any, Any)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    val row = new UnsafeRow(2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      row.pointTo(b, len)
+      buf.add((
+        InternalRow.copyValue(row.get(0, ord.dataType)),
+        InternalRow.copyValue(row.get(1, payload.dataType))))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinctByAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinctByAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKDistinctByAgg =
+    copy(ord = newChildren(0), payload = newChildren(1))
+}
+
+object BottomKDistinctByAgg {
+  /** `bottomk_distinct_by(ord, payload, k)` — k a positive int literal. */
+  def build(exprs: Seq[Expression]): Expression = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map(
+          "message" -> s"bottomk_distinct_by(ord, payload, k): $msg"))
+    if (exprs.length != 3) fail(s"expects 3 arguments, got ${exprs.length}")
+    val k = exprs(2) match {
+      case Literal(v: Int, IntegerType) if v > 0 => v
+      case _ => fail("k must be a positive integer literal")
+    }
+    BottomKDistinctByAgg(exprs(0), exprs(1), k).toAggregateExpression()
+  }
+
+  /** Register `bottomk_distinct_by` for SQL / expr() use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_distinct_by", build, "built-in")
+}

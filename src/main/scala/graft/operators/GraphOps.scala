@@ -438,7 +438,12 @@ object GraphOps {
         .select(col("node").as("u")).limit(20)
       val uv = u.join(broadcast(probes), col("src") === col("u"))
         .select(col("u"), col("dst").as("v"))
-      val wedges = uv.join(u, col("v") === col("src"))
+      // uv is probe-batch-bounded (probes × max degree) — the same
+      // reason the anti-join below broadcasts it. Hinting it here too
+      // keeps the wedge expansion a broadcast probe over the streamed
+      // edge table instead of a full-edge-list shuffle (the planner
+      // can't see the bound through the join-derived stats).
+      val wedges = broadcast(uv).join(u, col("v") === col("src"))
         .filter(col("dst") =!= col("u"))
         .select(col("u"), col("dst").as("w"))
       val cn = wedges.groupBy("u", "w").agg(count(lit(1)).as("cn"))
@@ -471,7 +476,8 @@ object GraphOps {
       val uv = u.join(broadcast(probes), col("src") === col("u"))
         .select(col("u"), col("dst").as("v"))
       val deg = degrees(s, d).select(col("node").as("v"), col("degree"))
-      val wedges = uv.join(u, col("v") === col("src"))
+      // broadcast(uv): probe-batch-bounded, same as link_predict
+      val wedges = broadcast(uv).join(u, col("v") === col("src"))
         .filter(col("dst") =!= col("u"))
         .select(col("u"), col("v"), col("dst").as("w"))
         .join(deg, "v")
@@ -502,27 +508,48 @@ object GraphOps {
       // the sample-family rule), bounding pairs at 190/user; the cap
       // is the declared semantics, not a silent truncation. Weights:
       // raw co-occurrence count plus the cosine normalization
-      // cooc/√(deg_a·deg_b) over capped degrees — one self-join on
-      // the user key, two broadcast-able degree joins, top-20 with
-      // full tiebreak.
+      // cooc/√(deg_a·deg_b) over capped degrees, two degree joins,
+      // top-20 with full tiebreak.
+      // Physical plan (round 10): the cap is computed by the mergeable
+      // bottomk_distinct_by aggregate instead of distinct() + rank
+      // window + self-join. The logical semantics are UNCHANGED (the
+      // oracle still replays distinct → row_number ≤ 20 → self-join):
+      // bottom-20 distinct (md5(p), p) IS that window's selection, and
+      // the ≤20-element per-customer array generates the ≤190 pairs
+      // map-side with `transform`, so the c-keyed self-join disappears
+      // entirely. Shuffle law at 10⁹ customers: the old plan shuffled
+      // every distinct (c,p) pair twice (distinct, then the window
+      // sort) before pairing; this plan ships ≤ 20 (16B-md5, long)
+      // entries per customer per map partition — partial aggregation
+      // collapses duplicate (c,p) rows map-side, which is why the
+      // upstream distinct() can go too. Measured at sf0.1 driver
+      // config: shuffle read 108.1 → 44.8 MB, write 83.7 → 33.2 MB
+      // (2.4×; the remainder is the pair-count partial agg plus the
+      // 32-char md5 hex strings serialized in the k-buffers); warm
+      // wall-clock unchanged within the noise band at this toy scale
+      // — the win is the shuffle law, which is what survives 1000×.
+      graft.functions.BottomKDistinctByAgg.register(s)
       val cp = Tables.orders(s, d)
         .join(Tables.lineitem(s, d),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-      val wC = Window.partitionBy("c")
-        .orderBy(md5(col("p").cast(StringType)), col("p"))
-      // No checkpoint needed although `capped` feeds three consumers:
-      // the self-join's two sides are IDENTICAL subplans, so
-      // ReuseExchange serves both from one shuffle (verified — an
-      // eager localCheckpoint measured slightly SLOWER at sf0.1, pure
-      // materialization overhead).
-      val capped = cp.withColumn("rk", row_number().over(wC))
-        .filter(col("rk") <= 20).select("c", "p")
-      val deg = capped.groupBy(col("p")).agg(count(lit(1)).as("dg"))
-      val pairs = capped.select(col("c"), col("p").as("a"))
-        .join(capped.select(col("c").as("c2"), col("p").as("b")),
-          col("c") === col("c2") && col("a") < col("b"))
+      // `ps`: this customer's capped parts, ascending (the aggregate
+      // emits (md5, p) ascending by md5; pair generation wants p-order)
+      val capped = cp.groupBy(col("c"))
+        .agg(expr("bottomk_distinct_by(md5(cast(p as string)), p, 20)")
+          .as("ks"))
+        .select(col("c"),
+          array_sort(expr("transform(ks, x -> x.payload)")).as("ps"))
+      // Two consumers (deg, pairs) of the same aggregate subplan:
+      // ReuseExchange serves both from the one c-keyed shuffle.
+      val deg = capped.select(explode(col("ps")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+      val pairs = capped.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
       pairs
         .join(deg.select(col("p").as("a"), col("dg").as("da")), "a")
@@ -546,11 +573,18 @@ object GraphOps {
       // adjacency on (node, picked-index) — no per-node neighbor
       // arrays, no skew beyond the adjacency's own (the indexed-edge
       // row is one tuple regardless of degree). The adjacency index
-      // (row_number per src) is built once and checkpointed; seeds are
-      // the 20 md5-smallest nodes (probe convention).
-      val adj = Ckpt.df(und(s, d)
-        .withColumn("idx", row_number().over(
-          Window.partitionBy("src").orderBy("dst")) - 1))
+      // (row_number per src) is a pure function of the stored edge
+      // snapshot, so it is STORED like edges/degrees/triangles
+      // (build-once/query-many) — the round-10 fingerprint showed the
+      // per-run window rebuild was this key's dominant shuffle
+      // (~2m-row sort per pass, every pass). Seeds are the 20
+      // md5-smallest nodes (probe convention).
+      val adjP = Stage.materializeOnce(s, gpath(s, d, "adjidx")) {
+        und(s, d).withColumn("idx", row_number().over(
+            Window.partitionBy("src").orderBy("dst")) - 1)
+          .write.mode("overwrite").parquet(gpath(s, d, "adjidx"))
+      }
+      val adj = s.read.parquet(adjP)
       val dg = degrees(s, d)
       val seeds = dg
         .orderBy(md5(col("node").cast(StringType)), col("node"))
@@ -587,7 +621,17 @@ object GraphOps {
       // expansion is one src-keyed join + distinct + anti-join against
       // the visited set; min-distance labels come free from the
       // expansion order (a node is claimed by its FIRST reaching hop).
-      val u = und(s, d)
+      // The edge side is hash-partitioned on src ONCE and persisted:
+      // the checkpointed frontier's stats are opaque to the planner,
+      // so without this every hop's join re-shuffled the FULL edge
+      // list (fingerprint: 3 × edges ≈ 48 MB at sf0.1). With the
+      // partitioning pinned on the cached side, only the hop-sized
+      // frontier moves per round — the iterative-graph discipline
+      // that holds at 10⁹ edges (MEMORY_AND_DISK spills, never
+      // recomputes). sortWithinPartitions makes the SMJ sort a no-op.
+      val u = und(s, d).repartition(col("src"))
+        .sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
@@ -609,6 +653,9 @@ object GraphOps {
         visited = Ckpt.df(visited.union(next.withColumn("dist", lit(k))))
         frontier = next
       }
+      // every hop is already materialized (Ckpt is eager), so the edge
+      // cache has served its purpose by the time the result plan runs
+      u.unpersist(blocking = false)
       visited.orderBy("node")
     }),
 
@@ -628,8 +675,15 @@ object GraphOps {
       // truncates the per-round lineage exactly like khop/components
       // (durable under spark.graft.checkpointDir at 100 TB).
       val e = wedges(s, d)
+      // same pinned-partitioning discipline as khop: one src shuffle
+      // of the weighted edges up front, then every relaxation round
+      // moves only the frontier (the checkpointed frontier's stats
+      // can't justify a broadcast, so the planner would otherwise
+      // re-shuffle the full edge list each round)
       val wu = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .repartition(col("src")).sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
@@ -649,6 +703,7 @@ object GraphOps {
           .groupBy("node").agg(min(col("dist")).as("dist")))
         frontier = improved
       }
+      wu.unpersist(blocking = false)
       dist.orderBy("node")
     }),
 

@@ -572,6 +572,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === run())
   }
 
+  test("bottomk_distinct_by: duplicates never occupy two slots; exact across partitionings") {
+    import spark.implicits._
+    graft.functions.BottomKDistinctByAgg.register(spark)
+    // every value appears 3× — the aggregate must replay
+    // distinct → order by (md5, v) → take 4, regardless of where the
+    // duplicates land, so a 1-partition and a 16-partition run (merge
+    // path exercised) must agree with the explicit window formulation
+    val vals = (1 to 200).flatMap(i => Seq.fill(3)(i.toLong))
+    def run(parts: Int) = vals.toDF("v").repartition(parts)
+      .agg(expr("bottomk_distinct_by(md5(cast(v as string)), v, 4)").as("ks"))
+      .select(explode(col("ks")).as("e"))
+      .select(col("e.payload")).as[Long].collect().toSeq
+    val oracle = vals.toDF("v").distinct()
+      .orderBy(md5(col("v").cast("string")), col("v"))
+      .limit(4).as[Long].collect().toSeq
+    assert(run(1) === oracle && run(16) === oracle)
+    assert(oracle.distinct.length === 4)
+  }
+
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
     assert(q("scan_ndjson_entities").count() === 10L)
     val flat = q("wd_entity_flatten").collect()

@@ -534,11 +534,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("generate"), p.take(1500))
   }
 
-  test("graph_bipartite_project: pair join is user-keyed equi-join, never cartesian") {
+  test("graph_bipartite_project: pairs generate map-side from the bounded aggregate — no self-join") {
     val p = plan("graph_bipartite_project")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      "projection pairs must equi-join on the user key")
+      "projection pairs must never cartesian")
+    // round-10 shape: the per-customer cap is the mergeable
+    // bottomk_distinct_by aggregate (ObjectHashAggregate with partial
+    // map-side combine), and the ≤190 pairs/customer explode from the
+    // capped array (Generate) — the distinct() + rank window + c-keyed
+    // self-join are gone. A Window or a third SortMergeJoin here means
+    // the two-extra-corpus-shuffles plan is back.
+    assert(p.contains("bottomk_distinct_by"),
+      "cap must be the mergeable bounded aggregate")
+    assert(p.contains("Generate"), "pairs must explode map-side")
+    assert(!p.contains("Window"),
+      "rank-window cap regressed — ships every distinct (c,p) through a per-group sort")
   }
 
   test("win_attribution: candidate join is (user, day-bucket) equi — never cartesian") {

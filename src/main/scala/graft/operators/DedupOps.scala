@@ -171,13 +171,19 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) => {
-      // Normalize → hash → keep lowest doc_id per hash. One shuffle.
+      // Normalize → hash → keep lowest doc_id per hash. One shuffle —
+      // and since round 10 a codegen'd min aggregate instead of a
+      // rank window: partial aggregation collapses duplicates
+      // map-side, so one row per group per partition crosses the
+      // exchange and nothing per-group gets SORTED reduce-side. At
+      // 100 TB a viral duplicate (one hash, 10⁷ copies) costs the
+      // window formulation a single-partition sort of all copies;
+      // the aggregate folds it map-side. Selection identical (doc_id
+      // unique → min is the rank-1 row; oracle unchanged).
       val h = md5(lower(trim(col("text"))))
-      val w = Window.partitionBy("h").orderBy("doc_id")
       Tables.documents(s, d)
         .select(col("doc_id"), h.as("h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("h"))
         .orderBy("doc_id")
     }),
@@ -187,17 +193,24 @@ object DedupOps {
       // the BEST representative (longest raw text, then English, then
       // lowest doc_id), not merely the first — the policy real training
       // pipelines use when near-identical docs differ in metadata or
-      // whitespace. Same one-shuffle row_number shape as dedup_exact.
+      // whitespace. Same one-shuffle map-side-folding shape as
+      // dedup_exact: max_by over a composite ord struct (n_chars,
+      // en-first as 0/-1, -doc_id — each component negated where the
+      // window sorted ascending) replays the window's rank-1 pick
+      // exactly, ties impossible since doc_id makes the ord unique.
+      // A viral duplicate group folds map-side instead of sorting in
+      // one reduce partition.
       val h = md5(lower(trim(col("text"))))
-      val w = Window.partitionBy("h").orderBy(
-        col("n_chars").desc,
-        when(col("lang") === "en", 0).otherwise(1),
-        col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), h.as("h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("h"), col("lang"), col("n_chars"))
+        .groupBy(col("h"))
+        .agg(max_by(
+          struct(col("doc_id"), col("lang"), col("n_chars")),
+          struct(col("n_chars"),
+            when(col("lang") === "en", 0).otherwise(-1).as("en"),
+            (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("best.doc_id").as("doc_id"), col("h"),
+          col("best.lang").as("lang"), col("best.n_chars").as("n_chars"))
         .orderBy("doc_id")
     }),
 

@@ -25,7 +25,10 @@ class PropertySpec extends AnyFunSuite {
     Gen.chooseNum(3, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
       .map(_.mkString(" "))
 
-  /** Same pipeline as the dedup_exact key, parameterized by input. */
+  /** Same SELECTION as the dedup_exact key, via the rank-window
+    * reference formulation (the key itself ships the map-side-folding
+    * min aggregate since round 10 — this window form is the
+    * independent definition the property pins against). */
   private def dedupExact(df: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy("h").orderBy("doc_id")
     df.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
@@ -67,6 +70,13 @@ class PropertySpec extends AnyFunSuite {
     // every surviving text is unique, and every input text survives
     assert(once.select("text").distinct().count() === once.count())
     assert(once.count() === docs.select("text").distinct().count())
+    // the shipped aggregate formulation picks the same survivors as
+    // this window reference on every generated corpus
+    val agg = docs
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    assert(agg.select("doc_id").except(once.select("doc_id")).count() === 0)
+    assert(once.select("doc_id").except(agg.select("doc_id")).count() === 0)
   }
 
   test("fixed-point dot product is symmetric and self-normalizes to 1") {

@@ -65,9 +65,14 @@ object TextOps {
     val hits = docs.select(col("doc_id"), explode(toks).as("term"))
       .join(broadcast(lex), col("term") === col("w"))
       .groupBy("doc_id", "lg").agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lg"))
-    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lg"), col("hits"))
+    // Per-doc argmax as a codegen'd min_by (ord = (-hits, lg): max
+    // hits, then smallest language code — the old rank window's exact
+    // order) so the winner folds map-side instead of sorting every
+    // (doc, lang) row through a per-doc window partition.
+    val best = hits.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("lg"), col("hits")),
+        struct((-col("hits")).as("nh"), col("lg"))).as("b"))
+      .select(col("doc_id"), col("b.lg").as("lg"), col("b.hits").as("hits"))
     docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lg"), lit("und")).as("pred_lang"),
@@ -467,11 +472,14 @@ object TextOps {
         .select(col("doc_id"), size(toks).as("n_tokens"),
           qualityScore.as("quality"))
         .filter(col("n_tokens") >= 30 && col("quality") >= 0.3)
-      val wdup = Window.partitionBy("h").orderBy("doc_id")
+      // keep-first per content hash via the dedup_exact min_by shape
+      // (fold map-side; no per-group sort for a viral duplicate)
       val deduped = train.join(english, "doc_id").join(scored, "doc_id")
-        .withColumn("h", md5(lower(trim(col("text")))))
-        .withColumn("rn", row_number().over(wdup))
-        .filter(col("rn") === 1)
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min_by(struct(col("doc_id"), col("n_tokens"), col("quality")),
+          col("doc_id")).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.n_tokens").as("n_tokens"),
+          col("k.quality").as("quality"))
       deduped
         .join(contamHits(s, all).select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_tokens"), col("quality"))
@@ -584,10 +592,15 @@ object TextOps {
       // footers crawl-wide. Fixed 10-token chunks stand in for lines
       // (the fixture has no newlines); production splits on '\n',
       // same plan. Chunking is map-only (array slice — no
-      // explode-then-group); the single shuffle is the first-
-      // occurrence window hash-partitioned on md5(line) — the
-      // dedup_exact shape, skew-safe because even a crawl-wide
-      // boilerplate line lands in ONE group scanned once.
+      // explode-then-group). First occurrence per line = a codegen'd
+      // min_by on (doc_id, idx) per md5(line) — round 10 replaced the
+      // rank window here: the window was "skew-safe" only in the sense
+      // that a crawl-wide boilerplate line landed in one group scanned
+      // once, but that scan was a SINGLE-PARTITION SORT of every copy;
+      // the aggregate's partial pass folds each partition's copies to
+      // one candidate before the shuffle, so the viral line costs one
+      // row per partition. Winners then roll up per doc against the
+      // per-doc line counts.
       val lines = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) > 0)
@@ -596,12 +609,16 @@ object TextOps {
             """transform(sequence(0, CAST(((size(tk) - 1) div 10) AS INT)),
                  i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"""))
             .as(Seq("idx", "line")))
-      val w = Window.partitionBy(md5(col("line")))
-        .orderBy(col("doc_id"), col("idx"))
-      lines.withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      val kept = lines
+        .groupBy(md5(col("line")).as("lh"))
+        .agg(min_by(struct(col("doc_id"), col("idx")),
+          struct(col("doc_id"), col("idx"))).as("w"))
+        .groupBy(col("w.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_kept"))
+      lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .withColumn("kept_ratio",
           round(col("n_kept").cast(DoubleType) / col("n_lines"), 4))
         .orderBy("doc_id")

@@ -139,14 +139,24 @@ object SimOps {
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b")
         .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
-      val w = Window.partitionBy("a").orderBy(col("cos").desc, col("b"))
+      // Per-probe top-5 via the mergeable bounded aggregate (round 10;
+      // ord = (-cos, b) replays the window's (cos desc, b) order, rnk =
+      // emit position): the brute-force baseline's candidate frame is
+      // probes × CORPUS, so the rank window sorted every scored pair
+      // through one probe-keyed shuffle — the aggregate ships 5 per
+      // probe per partition. The ANN keys bound candidates instead;
+      // this keeps the exact baseline scale-sane too.
+      graft.functions.BottomKDistinctByAgg.register(s)
       dots
         .join(broadcast(nr.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
         .join(broadcast(nr.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .withColumn("cos", round(col("dotd") / (col("na") * col("nb")), 4))
-        .withColumn("rnk", row_number().over(w).cast(IntegerType))
-        .filter(col("rnk") <= 5)
-        .select(col("a"), col("b"), col("cos"), col("rnk"))
+        .groupBy(col("a"))
+        .agg(expr("bottomk_distinct_by(struct(-cos, b), struct(b, cos), 5)")
+          .as("ks"))
+        .select(col("a"), posexplode(expr("transform(ks, x -> x.payload)")))
+        .select(col("a"), col("col.b").as("b"), col("col.cos").as("cos"),
+          (col("pos") + 1).cast(IntegerType).as("rnk"))
         .orderBy("a", "rnk")
     }),
 
@@ -164,14 +174,19 @@ object SimOps {
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b", "label")
         .agg(graft.Det.sumFixed(col("va") * col("vb")).as("dotd"))
-      val w = Window.partitionBy("a", "label").orderBy(col("cos").desc, col("b"))
+      // rank-1 per (probe, label) as a codegen'd min_by on (-cos, b)
+      // (round 10) — same selection as the old label-partitioned rank
+      // window, but the probes × corpus candidate frame folds map-side
+      // instead of sorting per group.
       dots
         .join(broadcast(nr.select(col("vec_id").as("a"), col("nrm").as("na"))), "a")
         .join(broadcast(nr.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .withColumn("cos", round(col("dotd") / (col("na") * col("nb")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a"), col("label"), col("b"), col("cos"))
+        .groupBy(col("a"), col("label"))
+        .agg(min_by(struct(col("b"), col("cos")),
+          struct((-col("cos")).as("nc"), col("b"))).as("k"))
+        .select(col("a"), col("label"), col("k.b").as("b"),
+          col("k.cos").as("cos"))
         .orderBy("a", "label")
     }),
 

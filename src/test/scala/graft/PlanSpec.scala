@@ -557,6 +557,19 @@ class PlanSpec extends AnyFunSuite {
       "rank-window cap regressed — ships every distinct (c,p) through a per-group sort")
   }
 
+  test("aggregate-cap keys carry no rank window: caps/argmax fold map-side") {
+    // Round-10 conversions: keep-first, per-group caps, and argmax all
+    // ride mergeable aggregates (min_by/max_by/bottomk_distinct_by)
+    // whose partial pass folds duplicates map-side. A Window node in
+    // any of these plans means the per-group reduce-side sort is back
+    // (viral-duplicate / giant-stratum / probes×corpus shapes).
+    for (k <- Seq("dedup_exact", "dedup_exact_keepbest", "text_line_dedup",
+        "text_langid", "sample_stratified", "sample_negative",
+        "sim_cosine_topk", "sim_knn_per_label", "agg_assoc_rules",
+        "graph_bipartite_project"))
+      assert(!plan(k).contains("Window"), s"$k regressed to a rank window")
+  }
+
   test("win_attribution: candidate join is (user, day-bucket) equi — never cartesian") {
     val p = plan("win_attribution")
     assert(!p.contains("CartesianProduct") &&

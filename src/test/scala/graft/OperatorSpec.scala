@@ -591,6 +591,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(oracle.distinct.length === 4)
   }
 
+  test("bottomk_distinct_by: struct ord (-score, id) replays the desc rank window") {
+    import spark.implicits._
+    graft.functions.BottomKDistinctByAgg.register(spark)
+    // the sim_cosine_topk usage shape: keep the top-3 by score desc
+    // (ties by id) per group, ord = struct(-score, id). Scores collide
+    // across ids on purpose so the tiebreak path is exercised.
+    val rows = for (g <- 1 to 5; i <- 1 to 40)
+      yield (g, i.toLong, ((i * 7) % 11).toDouble / 10.0)
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val got = df.groupBy("g")
+      .agg(expr("bottomk_distinct_by(struct(-score, id), struct(id, score), 3)")
+        .as("ks"))
+      .select(col("g"), posexplode(expr("transform(ks, x -> x.payload)")))
+      .select(col("g"), (col("pos") + 1).as("rnk"), col("col.id"), col("col.score"))
+      .collect().map(_.toString).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3).select("g", "rnk", "id", "score")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want && got.size === 15)
+  }
+
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
     assert(q("scan_ndjson_entities").count() === 10L)
     val flat = q("wd_entity_flatten").collect()

@@ -169,6 +169,20 @@ object TopKByAgg {
   * and eviction in one structure); merge is associative, and with the
   * (ord, payload) pair totally ordered the result is exactly the
   * global bottom-k regardless of partitioning.
+  *
+  * NULL handling (precondition): a row whose `ord` or `payload`
+  * evaluates to NULL is SKIPPED by `update` — the same convention as
+  * Spark's own `max_by`/`min_by` (null ordering keys are ignored).
+  * This differs from the rank-window formulations this aggregate
+  * replaces, which rank NULL ords LAST (Spark and DuckDB default for
+  * DESC) and would still emit such rows when a group has fewer than k
+  * non-null candidates. A call site whose `ord` can be NULL and that
+  * needs exact window parity must `coalesce` the ord to a
+  * sorts-last sentinel (e.g. `coalesce(-cos, double('Infinity'))` —
+  * see SimOps `sim_cosine_topk`). NOTE the struct-ord subtlety: a
+  * non-null STRUCT with a null field is NOT skipped — struct
+  * comparison puts the null field FIRST ascending, silently promoting
+  * the row; the sentinel coalesce is required there too.
   */
 case class BottomKDistinctByAgg(
     ord: Expression,

@@ -152,8 +152,15 @@ object SimOps {
         .join(broadcast(nr.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .withColumn("cos", round(col("dotd") / (col("na") * col("nb")), 4))
         .groupBy(col("a"))
-        .agg(expr("bottomk_distinct_by(struct(-cos, b), struct(b, cos), 5)")
-          .as("ks"))
+        // coalesce(-cos, +Inf): a zero-norm embedding makes cos NULL
+        // (divide-by-zero → null), and a null struct field sorts FIRST
+        // ascending — the window this replaced ordered `cos DESC`
+        // (NULLS LAST on both Spark and DuckDB). The +Inf sentinel
+        // sorts null-cos candidates last, matching the window exactly
+        // instead of silently promoting them (round-11 advice fix).
+        .agg(expr("bottomk_distinct_by(" +
+          "struct(coalesce(-cos, double('Infinity')), b), " +
+          "struct(b, cos), 5)").as("ks"))
         .select(col("a"), posexplode(expr("transform(ks, x -> x.payload)")))
         .select(col("a"), col("col.b").as("b"), col("col.cos").as("cos"),
           (col("pos") + 1).cast(IntegerType).as("rnk"))
@@ -183,8 +190,12 @@ object SimOps {
         .join(broadcast(nr.select(col("vec_id").as("b"), col("nrm").as("nb"))), "b")
         .withColumn("cos", round(col("dotd") / (col("na") * col("nb")), 4))
         .groupBy(col("a"), col("label"))
+        // Same NULLS-LAST sentinel as sim_cosine_topk: a null cos
+        // (zero-norm vector) must lose to every real candidate, as it
+        // did under the window's `cos DESC` ordering.
         .agg(min_by(struct(col("b"), col("cos")),
-          struct((-col("cos")).as("nc"), col("b"))).as("k"))
+          struct(coalesce(-col("cos"), lit(Double.PositiveInfinity))
+            .as("nc"), col("b"))).as("k"))
         .select(col("a"), col("label"), col("k.b").as("b"),
           col("k.cos").as("cos"))
         .orderBy("a", "label")

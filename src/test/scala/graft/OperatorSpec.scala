@@ -614,6 +614,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === want && got.size === 15)
   }
 
+  test("null-ord sentinel: bottomk/min_by with NULL score match the NULLS-LAST window") {
+    import spark.implicits._
+    graft.functions.BottomKDistinctByAgg.register(spark)
+    // The zero-norm-embedding shape from the round-11 advice: cos is
+    // NULL for some candidates (divide-by-zero → null). The window
+    // `ORDER BY score DESC` ranks nulls LAST (Spark + DuckDB default);
+    // a null struct-ord field ranks FIRST ascending, so the shipped
+    // plans coalesce -score to +Inf. Group 1 has plenty of non-null
+    // rows (nulls must never appear); group 2 has only 2 non-null of
+    // k=3 (the null row MUST appear, in last place) — both directions
+    // of the divergence are pinned here.
+    val rows = Seq[(Int, Long, java.lang.Double)](
+      (1, 10L, 0.9), (1, 11L, 0.8), (1, 12L, 0.7), (1, 13L, 0.6),
+      (1, 14L, null), (1, 15L, null),
+      (2, 20L, 0.5), (2, 21L, 0.4), (2, 22L, null), (2, 23L, null))
+    val df = rows.toDF("g", "id", "score").repartition(7)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc_nulls_last, col("id"))
+    val want = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select("g", "rnk", "id", "score")
+      .collect().map(_.toString).sorted.toSeq
+    val gotAgg = df.groupBy("g")
+      .agg(expr("bottomk_distinct_by(" +
+        "struct(coalesce(-score, double('Infinity')), id), " +
+        "struct(id, score), 3)").as("ks"))
+      .select(col("g"), posexplode(expr("transform(ks, x -> x.payload)")))
+      .select(col("g"), (col("pos") + 1).as("rnk"), col("col.id"),
+        col("col.score"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotAgg === want)
+    // null row surfaced for group 2 (3rd slot), never for group 1
+    assert(want.count(_.contains("2,3,22,null")) === 1, want.mkString("|"))
+    // min_by rank-1 with the same sentinel = the window's rank-1 row
+    val want1 = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).select("g", "id", "score")
+      .collect().map(_.toString).sorted.toSeq
+    val got1 = df.groupBy("g")
+      .agg(min_by(struct(col("id"), col("score")),
+        struct(coalesce(-col("score"), lit(Double.PositiveInfinity))
+          .as("nc"), col("id"))).as("k"))
+      .select(col("g"), col("k.id"), col("k.score"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got1 === want1)
+  }
+
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
     assert(q("scan_ndjson_entities").count() === 10L)
     val flat = q("wd_entity_flatten").collect()

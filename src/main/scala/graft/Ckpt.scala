@@ -41,7 +41,25 @@ import org.apache.spark.storage.StorageLevel
   * switch, and concurrent queries in such a double-conf app could
   * race the global pointer. Point both confs at the same base (or
   * set only the engine-wide one) to avoid that; the gate and probes
-  * do.
+  * do — and `ensure` now logs a LOUD warning on every cross-base
+  * re-point so a double-conf app can't drift silently (round-11).
+  *
+  * Checkpoint-file lifecycle (round-11): Spark never deletes reliable
+  * checkpoint files unless `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true` (GC-driven, nondeterministic, and read at
+  * context start), so a durable fixpoint loop used to grow the dir by
+  * one full snapshot per round per run. `Ckpt.chain()` bounds that:
+  * each chained truncation deletes the chain's generation N-2 files
+  * once generation N is materialized. Keep-last-2 (not last-1) is the
+  * safety margin for the loops here, where a sibling frame computed
+  * lazily from round N-1 may still read N-1's files while round N
+  * lands; nothing in any loop reaches two generations back (every
+  * frame referencing N-2 was itself materialized during round N-1).
+  * Frames whose per-round derivatives are LAZILY accumulated into the
+  * final result (BPE's merge rules, greedy decode's steps, k-center's
+  * picks) must NOT be chained — their old files stay referenced until
+  * the query finishes; those sites keep plain `Ckpt.df` (their
+  * per-round frames are 1-row/vocab-sized, so growth is negligible).
   */
 object Ckpt {
   /** The one durable-checkpoint conf. Operators with a historical
@@ -54,15 +72,36 @@ object Ckpt {
   private val baseFor =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Point the context checkpoint dir at `base` if it isn't already
-    * (see header for the change-of-base semantics). */
+    * (see header for the change-of-base semantics). A cross-base
+    * re-point is legal but warned loudly: it means two different
+    * checkpoint bases are configured in one application, which sprays
+    * a UUID subdir per alternation and can race under concurrent
+    * queries. */
   def ensure(s: SparkSession, base: String): Unit = synchronized {
     val k = s.sparkContext.applicationId
-    if (baseFor.get(k) != base || s.sparkContext.getCheckpointDir.isEmpty) {
+    val cur = baseFor.get(k)
+    if (cur != base || s.sparkContext.getCheckpointDir.isEmpty) {
+      if (cur != null && cur != base) {
+        crossBaseRepoints += 1
+        log.warn(
+          s"Ckpt: re-pointing the ONE global checkpoint dir '$cur' -> " +
+            s"'$base'. Two different checkpoint bases are configured in " +
+            "this application (spark.graft.checkpointDir vs a legacy " +
+            "per-key override); each switch creates a fresh UUID subdir " +
+            "and concurrent queries can race the global pointer. Point " +
+            "both confs at the SAME base.")
+      }
       s.sparkContext.setCheckpointDir(base)
       baseFor.put(k, base)
     }
   }
+
+  /** Count of cross-base re-points (test observability for the
+    * double-conf warning path). */
+  @volatile private[graft] var crossBaseRepoints = 0L
 
   /** Truncate `frame`'s lineage: reliable checkpoint under `base`,
     * else eager localCheckpoint. Both branches are eager, so callers
@@ -81,4 +120,41 @@ object Ckpt {
   /** Conf-resolved form — the call every fixpoint site uses. */
   def df(frame: DataFrame): DataFrame =
     df(frame, dir(frame.sparkSession))
+
+  /** Best-effort recursive delete of a superseded checkpoint's files.
+    * Cleanup must never fail the query — a missing path (already
+    * cleaned, or localCheckpoint mode) is simply ignored. */
+  private[graft] def deleteFile(s: SparkSession, file: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    } catch {
+      case e: Exception =>
+        log.warn(s"Ckpt: could not delete superseded checkpoint $file", e)
+    }
+
+  /** A per-loop checkpoint chain: same truncation semantics as
+    * `Ckpt.df`, plus durable-mode file hygiene — generation N-2's
+    * checkpoint files are deleted once generation N is materialized,
+    * so a fixpoint loop holds at most TWO round snapshots on the
+    * checkpoint FS instead of one per round (see header for why
+    * last-2, and which frames must NOT be chained). One Chain per
+    * evolving frame per loop invocation; never share across queries. */
+  final class Chain private[Ckpt] () {
+    private var older: Option[(SparkSession, String)] = None
+    private var prev: Option[(SparkSession, String)] = None
+    def df(frame: DataFrame): DataFrame = {
+      val out = Ckpt.df(frame)
+      if (dir(frame.sparkSession).nonEmpty) {
+        older.foreach { case (s, f) => deleteFile(s, f) }
+        older = prev
+        prev = org.apache.spark.sql.GraftSqlBridge.checkpointFile(out)
+          .map((out.sparkSession, _))
+      }
+      out
+    }
+  }
+
+  def chain(): Chain = new Chain()
 }

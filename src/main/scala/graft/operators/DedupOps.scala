@@ -338,8 +338,16 @@ object DedupOps {
           r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           r.checkpoint()
         } else { r.localCheckpoint(); () }
+      // unck releases BOTH the persisted blocks and the superseded
+      // round's reliable checkpoint FILES (round-11): by the time it
+      // runs, the successor is materialized and the change count — the
+      // last reader of this generation — has completed, so a durable
+      // fixpoint run keeps O(1) checkpoints on the FS, not O(rounds).
       def unck(r: org.apache.spark.rdd.RDD[_]): Unit =
-        if (ckptDir.isDefined) { r.unpersist(false); () }
+        if (ckptDir.isDefined) {
+          r.unpersist(false)
+          r.getCheckpointFile.foreach(f => Ckpt.deleteFile(s, f))
+        }
       // (y, x): keyed by the neighbor whose label flows to x
       val byY = und.rdd.map(r => (r.getLong(1), r.getLong(0))).partitionBy(part)
       ckpt(byY); byY.count()

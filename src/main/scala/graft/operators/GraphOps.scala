@@ -139,6 +139,7 @@ object GraphOps {
   private[graft] def lpaOnUnd(u: DataFrame, init: DataFrame,
       rounds: Int = LpaRounds, checkpoint: Boolean = true): DataFrame = {
     val wN = Window.partitionBy("node").orderBy(col("cnt").desc, col("label"))
+    val ck = Ckpt.chain() // single evolving frame: round N-2 files die
     var lab = init
     for (_ <- 1 to rounds) {
       val next = u.join(lab, col("src") === col("node"))
@@ -150,7 +151,7 @@ object GraphOps {
       // checkpoint=false only for plan inspection in PlanSpec (the
       // composed multi-round plan; production always truncates lineage
       // — durably when spark.graft.checkpointDir is set, see Ckpt)
-      lab = if (checkpoint) Ckpt.df(next) else next
+      lab = if (checkpoint) ck.df(next) else next
     }
     lab
   }
@@ -282,10 +283,14 @@ object GraphOps {
         val tol = s.conf.get("spark.graft.pagerank.tolFx",
           (Qfx / 10000L).toString).toLong
         val cap = s.conf.get("spark.graft.pagerank.maxIters", "50").toInt
+        // chained: run-to-convergence is exactly the unbounded-rounds
+        // case where per-round durable checkpoints pile up (delta
+        // reads generations N and N-1 — both inside keep-last-2)
+        val ck = Ckpt.chain()
         var iters = 0
         var done = false
         while (!done && iters < cap) {
-          val nxt = Ckpt.df(prStep(dg, u, r))
+          val nxt = ck.df(prStep(dg, u, r))
           val delta = nxt.as("n")
             .join(r.select(col("node").as("pn"), col("fx").as("pfx")),
               col("node") === col("pn"))
@@ -379,8 +384,13 @@ object GraphOps {
       val kdf = dg.agg(
         ceil(expr("percentile(degree, 0.5)") * lit(0.7))
           .cast(LongType).as("kth"))
+      // the alive set is one evolving frame (peeling only shrinks it) —
+      // chain the per-round checkpoints so a converge-mode run keeps
+      // two snapshots, not one per peel (the post-loop inducedDeg reads
+      // the LAST generation, which keep-last-2 preserves)
+      val ckS = Ckpt.chain()
       def survivors(deg: DataFrame): DataFrame =
-        Ckpt.df(deg.crossJoin(broadcast(kdf))
+        ckS.df(deg.crossJoin(broadcast(kdf))
           .filter(col("degree") >= col("kth"))
           .select("node"))
       def inducedDeg(alive: DataFrame): DataFrame = {
@@ -646,15 +656,20 @@ object GraphOps {
       // Each hop's (small) frontier and visited set are pinned via
       // Ckpt — durable (spark.graft.checkpointDir) on clusters, eager
       // localCheckpoint locally.
-      var visited = Ckpt.df(seeds.withColumn("dist", lit(0)))
+      // one chain for the alternating visited/next generations: by the
+      // time generation N is materialized, N-2 (the pre-union visited
+      // or the already-expanded frontier) is unreferenced, so its
+      // durable checkpoint files are deleted (Ckpt.Chain keep-last-2)
+      val ck = Ckpt.chain()
+      var visited = ck.df(seeds.withColumn("dist", lit(0)))
       // hop 1 reads the CHECKPOINTED seed blocks — `seeds` itself would
       // re-derive the part-filter ⋈ degrees subplan a second time
       var frontier = visited.select("node")
       for (k <- 1 to 3) {
-        val next = Ckpt.df(u.join(frontier, col("src") === col("node"))
+        val next = ck.df(u.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti"))
-        visited = Ckpt.df(visited.union(next.withColumn("dist", lit(k))))
+        visited = ck.df(visited.union(next.withColumn("dist", lit(k))))
         frontier = next
       }
       // every hop is already materialized (Ckpt is eager), so the edge
@@ -691,7 +706,11 @@ object GraphOps {
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
-      var dist = Ckpt.df(seeds.withColumn("dist", lit(0L)))
+      // shared chain over the dist/improved generations (keep-last-2
+      // file hygiene; see khop) — a durable run holds two round
+      // snapshots on the checkpoint FS instead of one per round
+      val ck = Ckpt.chain()
+      var dist = ck.df(seeds.withColumn("dist", lit(0L)))
       var frontier = dist
       for (_ <- 1 to 3) {
         // candidate labels out of the frontier, combined per node BEFORE
@@ -699,11 +718,11 @@ object GraphOps {
         val relax = wu.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
           .groupBy("node").agg(min(col("dist")).as("dist"))
-        val improved = Ckpt.df(relax.as("r")
+        val improved = ck.df(relax.as("r")
           .join(dist.as("dd"), col("r.node") === col("dd.node"), "left_outer")
           .filter(col("dd.dist").isNull || col("r.dist") < col("dd.dist"))
           .select(col("r.node").as("node"), col("r.dist").as("dist")))
-        dist = Ckpt.df(dist.union(improved)
+        dist = ck.df(dist.union(improved)
           .groupBy("node").agg(min(col("dist")).as("dist")))
         frontier = improved
       }

@@ -657,7 +657,12 @@ object SimOps {
         .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
         .limit(1)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-      var state = Ckpt.df(emb.crossJoin(broadcast(c0))
+      // `state` is the one evolving frame — chained (keep-last-2 file
+      // hygiene). `center` is NOT: each round's center row feeds the
+      // lazily-accumulated `rules` union, so its checkpoint files stay
+      // referenced until the final result is consumed (Ckpt header).
+      val ckS = Ckpt.chain()
+      var state = ckS.df(emb.crossJoin(broadcast(c0))
         .select(col("vec_id"), col("embedding"),
           expr("l2fx(embedding, cemb)").as("mindl")))
       val radius = round(sqrt(col("mindl").cast(DoubleType) / fx), 6)
@@ -670,7 +675,7 @@ object SimOps {
             col("mindl")))
         rules = rules.unionAll(center.select(lit(r).as("rnd"),
           col("cid").as("center_id"), radius.as("radius")))
-        state = Ckpt.df(state
+        state = ckS.df(state
           .crossJoin(broadcast(center.select("cid", "cemb")))
           .select(col("vec_id"), col("embedding"),
             least(col("mindl"), expr("l2fx(embedding, cemb)")).as("mindl")))
@@ -745,6 +750,7 @@ object SimOps {
           .cast(DoubleType) / fx))
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val ckM = Ckpt.chain()
       var state = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qv))
         .withColumn("rel", round((expr("dotfx(embedding, qe)")
@@ -752,7 +758,10 @@ object SimOps {
         .orderBy(col("rel").desc, col("vec_id")).limit(20)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
           lit(0.0).as("red"))
-        .transform(f => Ckpt.df(f))
+        // `state` chained (evolving frame, keep-last-2); `pick` stays
+        // on plain Ckpt.df — each round's rule row is lazily unioned
+        // into the result, keeping old pick files referenced
+        .transform(f => ckM.df(f))
       var rules: DataFrame = null
       for (r <- 1 to 5) {
         val pick = Ckpt.df(state
@@ -772,7 +781,7 @@ object SimOps {
               / (col("nrm") * col("pn")), 4)))
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("rel"), col("red"))
-          .transform(f => Ckpt.df(f))
+          .transform(f => ckM.df(f))
       }
       rules.orderBy("rank")
     })

@@ -15,4 +15,17 @@ object GraftSqlBridge {
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** The reliable-checkpoint directory backing `df`, when `df` is the
+    * frame a `Dataset.checkpoint(eager = true)` returned (its analyzed
+    * plan is a LogicalRDD over the checkpointed RDD). Used by
+    * Ckpt.Chain to delete superseded fixpoint-round checkpoints —
+    * `RDD.getCheckpointFile` is public but the LogicalRDD unwrap needs
+    * this package. */
+  def checkpointFile(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+      case _ => None
+    }
 }

@@ -340,6 +340,52 @@ class OperatorSpec extends AnyFunSuite {
       "text_bpe_train")) // word-repr per-merge-round
   }
 
+  test("Ckpt.Chain: durable fixpoint keeps O(1) checkpoints on disk, not O(rounds)") {
+    // round-11 (advice): durable mode used to leave every round's
+    // reliable checkpoint behind — a cluster sweep over the fixpoint
+    // keys grew the dir unboundedly. Chain deletes generation N-2 once
+    // N is materialized. graph_sssp checkpoints 7 generations through
+    // one chain (seed dist + 3×(improved, dist)); at most 2 may remain.
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    try {
+      spark.conf.set(Ckpt.DirConf, dir)
+      val local = spark.conf.getOption(Ckpt.DirConf) // ensure set
+      assert(local.contains(dir))
+      val rows = q("graph_sssp").collect()
+      assert(rows.nonEmpty)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val rddDirs = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .count(p => p.getFileName.toString.startsWith("rdd-") &&
+            java.nio.file.Files.isDirectory(p))
+      } finally walk.close()
+      assert(rddDirs <= 2, s"expected keep-last-2, found $rddDirs rdd-* dirs")
+      assert(rddDirs >= 1, "no reliable checkpoint written at all")
+    } finally {
+      spark.conf.unset(Ckpt.DirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("Ckpt.ensure: cross-base re-point is counted (double-conf warning path)") {
+    val a = java.nio.file.Files.createTempDirectory("graft-ck-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-ck-b").toString
+    try {
+      Ckpt.ensure(spark, a) // settle (an earlier test may have set another base)
+      val before = Ckpt.crossBaseRepoints
+      Ckpt.ensure(spark, a) // same base: no re-point, no warn
+      assert(Ckpt.crossBaseRepoints === before)
+      Ckpt.ensure(spark, b) // cross-base: warned + counted
+      assert(Ckpt.crossBaseRepoints === before + 1)
+      Ckpt.ensure(spark, b)
+      assert(Ckpt.crossBaseRepoints === before + 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(a))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    }
+  }
+
   test("pack_sequences: chunks fill to the budget and docs pack completely") {
     val rows = q("pack_sequences").collect()
     val perChunk = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)

@@ -152,6 +152,27 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    "win_dedup_latest_native" -> ((s, d) => {
+      // Identical result to win_dedup_latest through a codegen'd
+      // max_by — the scale path for the stream-table keep-latest idiom
+      // (round-11, verdict task 5; the win_topk_native pattern). The
+      // rank window shuffles EVERY event to its user's partition and
+      // sorts per group; max_by folds to one row per user per
+      // partition map-side, so only |users|·partitions rows cross the
+      // shuffle — the difference between "all events move" and
+      // "a user-table moves" at stream scale. ord = (sec, event_id) is
+      // a total order (event_id unique), so the selection is exact;
+      // both ord columns are non-null, so the struct-ord NULLS-FIRST
+      // subtlety (TopKBy header) does not apply here.
+      val ev = Tables.events(s, d).withColumn("sec", secs(col("ts")))
+      ev.groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id"), col("event_type")),
+          struct(col("sec"), col("event_id"))).as("k"))
+        .select(col("user_id"), col("k.event_id").as("event_id"),
+          col("k.event_type").as("event_type"))
+        .orderBy("user_id")
+    }),
+
     "win_lag_lead" -> ((s, d) => {
       // Inter-event gap (seconds) per user via lag over event order.
       val ev = Tables.events(s, d).withColumn("sec_l", epochS(col("ts")))
@@ -1620,6 +1641,16 @@ object Windows {
          ) WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""",
 
     "win_dedup_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+           FROM events
+         ) WHERE rn = 1 ORDER BY user_id""",
+
+    // the native twin shares win_dedup_latest's window oracle verbatim —
+    // the gate proving the bounded aggregate replays the rank window
+    "win_dedup_latest_native" ->
       """SELECT user_id, event_id, event_type FROM (
            SELECT user_id, event_id, event_type,
                   row_number() OVER (PARTITION BY user_id

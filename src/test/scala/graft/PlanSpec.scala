@@ -566,7 +566,8 @@ class PlanSpec extends AnyFunSuite {
     for (k <- Seq("dedup_exact", "dedup_exact_keepbest", "text_line_dedup",
         "text_langid", "sample_stratified", "sample_negative",
         "sim_cosine_topk", "sim_knn_per_label", "agg_assoc_rules",
-        "graph_bipartite_project"))
+        "graph_bipartite_project",
+        "win_dedup_latest_native")) // r11: keep-latest max_by twin
       assert(!plan(k).contains("Window"), s"$k regressed to a rank window")
   }
 

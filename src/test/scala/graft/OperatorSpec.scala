@@ -368,6 +368,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stored adjacency rebuilds when the edge snapshot changes under the SAME path") {
+    // round-11 (verdict 8): graph_random_walk depends on a stored
+    // adjacency index keyed by Stage.inputStamp(lineitem). The staleness
+    // guarantee is STRUCTURAL — a regenerated input (same path, new
+    // mtime/size) resolves to a FRESH artifact path, so a stale
+    // _SUCCESS marker can never serve the old snapshot. Prove the
+    // trigger end-to-end: run on a fixture copy, re-stamp the input in
+    // place, run again, and require a SECOND adjidx artifact (plus
+    // identical rows, since the bytes didn't change).
+    val fix = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft-stalestage").toString
+    try {
+      for (t <- Seq("lineitem", "part")) // part: seed table for q-keys sharing gpath
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"${Spec.sf001}/$t.parquet"),
+          java.nio.file.Paths.get(s"$fix/$t.parquet"))
+      spark.conf.set("spark.graft.stage.dir", stage)
+      def adjDirs() = {
+        val f = new java.io.File(stage)
+        f.listFiles().count(_.getName.startsWith("graft_adjidx_"))
+      }
+      val run1 = SparkEntry.queries("graph_random_walk")(spark, fix)
+        .collect().map(_.toString).sorted
+      assert(adjDirs() === 1, "first run must build exactly one adjacency artifact")
+      // regenerate the input IN PLACE: same path, same bytes, new mtime
+      val li = new java.io.File(s"$fix/lineitem.parquet")
+      assert(li.setLastModified(li.lastModified() + 60000))
+      val run2 = SparkEntry.queries("graph_random_walk")(spark, fix)
+        .collect().map(_.toString).sorted
+      assert(adjDirs() === 2,
+        "re-stamped input must rotate the artifact path and REBUILD (stale _SUCCESS abandoned)")
+      assert(run1 === run2, "identical bytes must give identical walks")
+    } finally {
+      spark.conf.unset("spark.graft.stage.dir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fix))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
+  }
+
   test("Ckpt.ensure: cross-base re-point is counted (double-conf warning path)") {
     val a = java.nio.file.Files.createTempDirectory("graft-ck-a").toString
     val b = java.nio.file.Files.createTempDirectory("graft-ck-b").toString

@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra -D flags for the forked run/test JVM (space-separated), e.g.
+  // spill-forcing Spark confs for the constrained-heap sweep:
+  //   SPARK_GRAFT_EXTRA_OPTS="-Dspark.sql.windowExecBufferSpillThreshold=512 ..."
+  // Spark copies spark.* system properties into every new SparkConf,
+  // so these reach Verify/Bench sessions without per-main plumbing.
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

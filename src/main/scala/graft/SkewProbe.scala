@@ -23,9 +23,22 @@ import org.apache.spark.sql.functions._
   *            plan-time remedy that also covers aggregations AQE
   *            can't split).
   *
-  * All three compute the identical result (asserted). Three passes
-  * each; per-pass seconds and the warm median (min of passes 2..n)
-  * print as one JSON line for SCALE.md.
+  * All three compute the identical result (asserted — including the
+  * AQE run since round 11). Three passes each; per-pass seconds and
+  * the warm median (min of passes 2..n) print as one JSON line for
+  * SCALE.md.
+  *
+  * Round-11 extension (verdict 4): the AQE-blind skewed-AGGREGATION
+  * half. Two shapes on the same hot keys, each as plain / AQE-on /
+  * two-stage-salted, all checksum-asserted equal:
+  *   agg_dc_*   count(DISTINCT v) per key, v near-unique per row —
+  *              tests whether Spark's planAggregateWithOneDistinct
+  *              (partial by (key, v)) already spreads the hot key;
+  *   agg_cset_* size(collect_set(v)) per key (ObjectHashAggregate
+  *              set union, the assoc_rules basket shape) — partial
+  *              sets ship whole to one reducer; the salted split is
+  *              exact for set size because v-hash salts make the
+  *              per-salt sets disjoint.
   *
   * Usage: runMain graft.SkewProbe <srcSfDir> <workDir>
   */
@@ -122,7 +135,11 @@ object SkewProbe {
     def time(name: String, mk: () => DataFrame): (String, Seq[Double]) = {
       val secs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        mk().count()
+        // collect(), NOT count(): count() over a global aggregate lets
+        // column pruning DELETE the aggregate expressions (a 1-row agg
+        // needs no columns to be counted), so the probe would time an
+        // empty plan. All probe results are ≤ priority-count rows.
+        mk().collect()
         (System.nanoTime() - t0) / 1e9
       }
       (name, secs)
@@ -138,14 +155,85 @@ object SkewProbe {
         Tables.orders(aqeS, src))),
       time("salted", () => salted(saltS)))
 
-    // identical results across strategies (order-insensitive compare)
+    // identical results across ALL THREE strategies (round-11 advice:
+    // the AQE run's result was previously timed but never checked — a
+    // skew-split correctness bug would have published its timing)
     val ref = agg(plainS.read.parquet(skewPath), Tables.orders(plainS, src))
+      .orderBy("o_orderpriority").collect().map(_.toString)
+    val aqeRes = agg(aqeS.read.parquet(skewPath), Tables.orders(aqeS, src))
       .orderBy("o_orderpriority").collect().map(_.toString)
     val saltRes = salted(saltS)
       .orderBy("o_orderpriority").collect().map(_.toString)
+    require(ref.sameElements(aqeRes), "AQE skew-join result diverged from plain")
     require(ref.sameElements(saltRes), "salted result diverged from plain")
 
-    val parts = runs.map { case (n, ss) =>
+    // ---- skewed AGGREGATION (round-11, verdict 4): the AQE-blind
+    // half of the skew story. Per-key count(DISTINCT v) with v
+    // near-unique per row: the map-side partial on (key, v) collapses
+    // nothing, and the second stage ships every distinct pair of the
+    // hot key to ONE reducer — AQE's skew machinery only splits JOIN
+    // partitions, so it cannot help here. The remedy is the two-stage
+    // salted rewrite: group by (key, hash(v) % k) first — the v-space
+    // partition makes per-salt distinct sets disjoint, so the per-key
+    // sum of partial distinct counts is EXACT — then sum per key.
+    // All variants reduce to one checksum row (sum/max/count of the
+    // per-key distinct counts) so result compare is exact and O(1).
+    def vExpr = concat_ws(":", col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"))
+    def aggPlain(s2: SparkSession): DataFrame =
+      s2.read.parquet(skewPath)
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(vExpr).as("dc"))
+        .agg(sum(col("dc")).as("sum_dc"), max(col("dc")).as("max_dc"),
+          count(lit(1)).as("n_keys"))
+    def aggSalted(s2: SparkSession): DataFrame =
+      s2.read.parquet(skewPath)
+        .groupBy(col("l_orderkey"),
+          pmod(xxhash64(vExpr), lit(8L)).as("vsalt"))
+        .agg(countDistinct(vExpr).as("pdc"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("pdc")).as("dc"))
+        .agg(sum(col("dc")).as("sum_dc"), max(col("dc")).as("max_dc"),
+          count(lit(1)).as("n_keys"))
+    // Second shape: collect_set per key (ObjectHashAggregate set
+    // union — the assoc_rules basket shape). Here the hot key's
+    // per-partition partial SETS ship whole to one reducer (the
+    // buffers can't collapse below the value cardinality), the
+    // genuinely skew-fragile aggregate; the disjoint-by-v-hash salt
+    // split is exact for set SIZE (sum of disjoint set sizes).
+    def csetPlain(s2: SparkSession): DataFrame =
+      s2.read.parquet(skewPath)
+        .groupBy(col("l_orderkey"))
+        .agg(size(collect_set(vExpr)).as("dc"))
+        .agg(sum(col("dc")).as("sum_dc"), max(col("dc")).as("max_dc"),
+          count(lit(1)).as("n_keys"))
+    def csetSalted(s2: SparkSession): DataFrame =
+      s2.read.parquet(skewPath)
+        .groupBy(col("l_orderkey"),
+          pmod(xxhash64(vExpr), lit(8L)).as("vsalt"))
+        .agg(size(collect_set(vExpr)).as("pdc"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("pdc")).as("dc"))
+        .agg(sum(col("dc")).as("sum_dc"), max(col("dc")).as("max_dc"),
+          count(lit(1)).as("n_keys"))
+    val aggRuns = Seq(
+      time("agg_dc_plain", () => aggPlain(plainS)),
+      time("agg_dc_aqe", () => aggPlain(aqeS)),
+      time("agg_dc_salted", () => aggSalted(saltS)),
+      time("agg_cset_plain", () => csetPlain(plainS)),
+      time("agg_cset_aqe", () => csetPlain(aqeS)),
+      time("agg_cset_salted", () => csetSalted(saltS)))
+    val aggRef = aggPlain(plainS).collect().map(_.toString)
+    require(aggRef.sameElements(aggPlain(aqeS).collect().map(_.toString)),
+      "AQE agg checksum diverged from plain")
+    require(aggRef.sameElements(aggSalted(saltS).collect().map(_.toString)),
+      "salted two-stage agg checksum diverged from plain")
+    require(aggRef.sameElements(csetPlain(plainS).collect().map(_.toString)),
+      "collect_set checksum diverged from count-distinct checksum")
+    require(aggRef.sameElements(csetSalted(saltS).collect().map(_.toString)),
+      "salted collect_set checksum diverged")
+
+    val parts = (runs ++ aggRuns).map { case (n, ss) =>
       val warm = ss.drop(1).min
       s""""$n":{"passes":[${ss.map(x => f"$x%.3f").mkString(",")}],""" +
         s""""warm":${f"$warm%.3f"}}"""

@@ -111,6 +111,38 @@ def fingerprint_moved(key, detail, fps, rel_tol=0.002, abs_tol=64 * 1024):
     return (True, (got_r, got_w), fps[key])
 
 
+def selftest(args):
+    """Negative control: inject a synthetic ×5 regression into the given
+    bench file's slowest banded key and require the classifier to flag
+    it UNEXPLAINED (and the untouched file to classify clean). Guards
+    against the tool drifting into a rubber stamp as slack/floor are
+    tuned."""
+    import copy
+    import subprocess
+    base = json.load(open(args.bench))
+    bands, _ = parse_baseline(args.baseline)
+    qs = base.get("parsed", base)["queries"]
+    victim = max((k for k in qs if k in bands), key=lambda k: qs[k])
+    bad = copy.deepcopy(base)
+    bad["parsed"]["queries"][victim] = qs[victim] * 5.0
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(bad, f)
+        badpath = f.name
+    me = __file__
+    clean = subprocess.run(["python3", me, args.bench,
+                            "--baseline", args.baseline,
+                            "--detail", args.detail]).returncode
+    dirty = subprocess.run(["python3", me, badpath,
+                            "--baseline", args.baseline,
+                            "--detail", args.detail]).returncode
+    ok = clean == 0 and dirty == 1
+    print(f"selftest: clean-run exit {clean} (want 0), "
+          f"injected ×5 on '{victim}' exit {dirty} (want 1) -> "
+          f"{'PASS' if ok else 'FAIL'}")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bench")
@@ -124,7 +156,13 @@ def main():
     ap.add_argument("--abs-floor", type=float, default=0.35,
                     help="seconds a key must exceed its scaled band by "
                          "before it can be UNEXPLAINED")
+    ap.add_argument("--selftest", action="store_true",
+                    help="negative control: verify an injected ×5 "
+                         "regression on the slowest banded key is "
+                         "flagged UNEXPLAINED")
     args = ap.parse_args()
+    if args.selftest:
+        selftest(args)
 
     bench = json.load(open(args.bench))
     parsed = bench.get("parsed", bench)

@@ -53,12 +53,19 @@ def parse_baseline(path):
     warm_bands: {key: (median, lo, hi)} seconds.
     fingerprints: {key: [(shr_mb, shw_mb), ...]} — a list because the
     documented AQE-flicker keys have two accepted values.
+
+    Later sections SUPERSEDE earlier ones per key: a regenerated
+    round-N table (tools/rebaseline.py appends one each round) replaces
+    a key's older band/fingerprint instead of widening the accepted
+    set — a stale expectation must not keep blessing an old plan.
     """
     bands, fps = {}, {}
-    section = None
+    fp_section = {}  # key -> section id that last wrote it
+    section, section_id = None, 0
     for line in open(path, encoding="utf-8"):
         if line.startswith("## "):
             low = line.lower()
+            section_id += 1
             if "warm band" in low:
                 section = "bands"
             elif "shuffle fingerprint" in low:
@@ -90,6 +97,9 @@ def parse_baseline(path):
                 n = max(len(rs), len(ws))
                 rs += [rs[-1]] * (n - len(rs))
                 ws += [ws[-1]] * (n - len(ws))
+                if fp_section.get(key, section_id) != section_id:
+                    fps[key] = []  # newer section supersedes
+                fp_section[key] = section_id
                 fps.setdefault(key, []).extend(zip(rs, ws))
     return bands, fps
 

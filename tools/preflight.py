@@ -231,8 +231,58 @@ def canon(v):
     return v
 
 
+def selftest(sf, out, key="limit_topk"):
+    """Negative control for the gate itself (round-11): rewrite one
+    key's Spark output twice — byte-faithful (must still PASS, proving
+    the rewrite round-trip preserves compare order) and with ONE cell
+    corrupted (must FAIL). Guards against the comparator degrading into
+    a rubber stamp. Usage:
+        python3 tools/preflight.py <sfDir> <verifyOutDir> --selftest [key]
+    """
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+    con = duckdb.connect()
+    cols = con.sql(
+        f"SELECT * FROM read_parquet('{out}/{key}/*.parquet') LIMIT 0").df()
+    num = next((c for c in cols.columns
+                if str(cols[c].dtype) not in ("object", "string")), None)
+    if num is None:
+        sys.exit(f"selftest: {key} has no numeric column to corrupt — "
+                 "pick another key")
+    results = {}
+    for mode in ("faithful", "corrupted"):
+        d = tempfile.mkdtemp(prefix=f"preflight-st-{mode}-")
+        shutil.copy(f"{out}/oracle_sql.json", f"{d}/oracle_sql.json")
+        os.makedirs(f"{d}/{key}")
+        if mode == "corrupted":
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (rowid) REPLACE (CASE WHEN rowid = 0 "
+                f"THEN {num} + 1 ELSE {num} END AS {num}) FROM (SELECT *, "
+                f"row_number() OVER () - 1 AS rowid FROM "
+                f"read_parquet('{out}/{key}/*.parquet'))) "
+                f"TO '{d}/{key}/part0.parquet' (FORMAT parquet)")
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{out}/{key}/*.parquet')) "
+                f"TO '{d}/{key}/part0.parquet' (FORMAT parquet)")
+        rc = subprocess.run(
+            ["python3", __file__, sf, d, key],
+            capture_output=True, text=True).stdout
+        results[mode] = "0 fail" in rc
+        shutil.rmtree(d, ignore_errors=True)
+    ok = results["faithful"] and not results["corrupted"]
+    print(f"selftest({key}): faithful-rewrite pass={results['faithful']} "
+          f"(want True), corrupted pass={results['corrupted']} (want False) "
+          f"-> {'PASS' if ok else 'FAIL'}")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 3 and sys.argv[3] == "--selftest":
+        selftest(sf, out, *(sys.argv[4:5] or ["limit_topk"]))
     only = set(sys.argv[3:])
     con = duckdb.connect()
     import os

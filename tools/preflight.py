@@ -267,10 +267,15 @@ def selftest(sf, out, key="limit_topk"):
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{out}/{key}/*.parquet')) "
                 f"TO '{d}/{key}/part0.parquet' (FORMAT parquet)")
+        # Pass/fail comes from the subprocess RETURN CODE, not a
+        # substring of its stdout: '0 fail' also matches '10 fail'/'20
+        # fail' and silently depends on the summary print format
+        # (round-11 ADVICE). main() already exits nonzero on any
+        # mismatch, so rc==0 is the contract.
         rc = subprocess.run(
             ["python3", __file__, sf, d, key],
-            capture_output=True, text=True).stdout
-        results[mode] = "0 fail" in rc
+            capture_output=True, text=True).returncode
+        results[mode] = rc == 0
         shutil.rmtree(d, ignore_errors=True)
     ok = results["faithful"] and not results["corrupted"]
     print(f"selftest({key}): faithful-rewrite pass={results['faithful']} "

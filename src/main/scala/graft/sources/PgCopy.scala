@@ -35,36 +35,71 @@ import scala.util.Try
   * orphan staging table. Never duplicate or stale target rows.
   */
 final case class PgCopySink(sockDir: String, port: Int, db: String,
-    table: String, perPartition: Boolean = false) extends Sink {
-  override def write(df: DataFrame): Unit =
+    table: String, perPartition: Boolean = false,
+    numPartitions: Int = 0,
+    batchRows: Int = 0,
+    truncate: Boolean = false,
+    isolation: String = "",
+    user: String = "",
+    password: String = "") extends Sink {
+  // JdbcSink option twins, each proven against live Postgres (r11
+  // verdict task 5 — pgjdbc stays unresolvable offline, so the COPY
+  // writer carries the option surface instead):
+  //  * numPartitions (>0) — coalesce before the fan-out: caps
+  //    concurrent COPY connections exactly as JDBC's numPartitions
+  //    caps concurrent INSERT connections.
+  //  * batchRows (>0) — end and re-open the COPY statement every N
+  //    rows inside the partition transaction: rows-per-round-trip, the
+  //    COPY analogue of JDBC batchsize (all batches still commit
+  //    atomically with the staging replace, so retry idempotence is
+  //    unchanged).
+  //  * truncate — overwrite semantics that preserve DDL/grants/indexes:
+  //    the promote transaction TRUNCATEs the target before inserting
+  //    staged rows (atomic swap for readers), matching JDBC
+  //    truncate=true under SaveMode.Overwrite. On the driver-staged
+  //    path the TRUNCATE runs once before the \copy loop (JDBC's
+  //    truncate is equally a separate statement there).
+  //  * isolation — explicit transaction isolation for the promote
+  //    (JDBC isolationLevel); empty = server default (READ COMMITTED).
+  //  * user/password — role-authenticated connection (-U + PGPASSWORD),
+  //    for targets not owned by the OS user.
+  override def write(df: DataFrame): Unit = {
+    val d = if (numPartitions > 0) df.coalesce(numPartitions) else df
     if (perPartition) {
       // close over plain fields, not `this`-heavy structures
       val (sock, p, database, t) = (sockDir, port, db, table)
+      val (br, usr, pw) = (batchRows, user, password)
       // per-run epoch: promote only ever touches THIS run's staging
       // tables, so an old-epoch zombie committing between dropStaging
       // and promote can never be promoted
       val runId = java.util.UUID.randomUUID().toString.take(8)
       // clear staging leftovers (any epoch) of previous runs of this target
-      PgCopySink.dropStaging(sock, p, database, t)
-      df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      PgCopySink.dropStaging(sock, p, database, t, usr, pw)
+      d.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext)
           PgCopySink.copyPartitionStaged(sock, p, database, t, runId,
-            org.apache.spark.TaskContext.getPartitionId(), rows)
+            org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw)
       }
-      PgCopySink.promoteStaged(sock, p, database, t, runId)
+      PgCopySink.lastPromoted = PgCopySink.promoteStaged(
+        sock, p, database, t, runId, truncate, isolation, usr, pw)
     } else {
       val tmp = Files.createTempDirectory("graft_pgcopy").toFile
-      df.write.mode("overwrite")
+      d.write.mode("overwrite")
         .option("header", "false").option("nullValue", "")
         .csv(tmp.getAbsolutePath)
+      if (truncate)
+        PgCopySink.psqlValue(sockDir, port, db, s"""TRUNCATE "$table"""",
+          user, password)
       tmp.listFiles().filter(_.getName.endsWith(".csv")).sortBy(_.getName)
         .foreach { part =>
-          val rc = Seq("psql", "-h", sockDir, "-p", port.toString, "-d", db,
-            "-v", "ON_ERROR_STOP=1",
-            "-c", s"""\\copy "$table" FROM '${part.getAbsolutePath}' WITH (FORMAT csv, NULL '')""").!
+          val rc = scala.sys.process.Process(
+            PgCopySink.psqlBase(sockDir, port, db, user) :+ "-c" :+
+              s"""\\copy "$table" FROM '${part.getAbsolutePath}' WITH (FORMAT csv, NULL '')""",
+            None, PgCopySink.pwEnv(password): _*).!
           require(rc == 0, s"psql \\copy failed (exit $rc) for $part")
         }
     }
+  }
 }
 
 object PgCopySink {
@@ -93,35 +128,51 @@ object PgCopySink {
   private def stagingName(table: String, runId: String, pid: Int) =
     s"${table}__stg_${runId}_p$pid"
 
-  private[sources] def psqlBase(sock: String, port: Int, db: String): Seq[String] =
-    Seq("psql", "-h", sock, "-p", port.toString, "-d", db,
-      "-v", "ON_ERROR_STOP=1")
+  /** Staging-table count of the most recent perPartition promote —
+    * observability hook (also what PgSpec asserts the numPartitions
+    * connection cap through; a metrics sink would read the same). */
+  @volatile var lastPromoted: Int = -1
+
+  private[sources] def pwEnv(password: String): Seq[(String, String)] =
+    if (password.isEmpty) Nil else Seq("PGPASSWORD" -> password)
+
+  private[sources] def psqlBase(sock: String, port: Int, db: String,
+      user: String = ""): Seq[String] =
+    // -w (never prompt): a sink must FAIL on missing credentials, not
+    // block a Spark task forever on an interactive password prompt
+    Seq("psql", "-w", "-h", sock, "-p", port.toString, "-d", db,
+      "-v", "ON_ERROR_STOP=1") ++
+      (if (user.isEmpty) Nil else Seq("-U", user))
 
   private[sources] def psqlValue(sock: String, port: Int, db: String,
-      sql: String): String =
-    (psqlBase(sock, port, db) ++ Seq("-Atc", sql)).!!.trim
+      sql: String, user: String = "", password: String = ""): String =
+    scala.sys.process.Process(
+      psqlBase(sock, port, db, user) ++ Seq("-Atc", sql),
+      None, pwEnv(password): _*).!!.trim
 
   /** Staging tables of `table` present in the database, sorted;
     * `epoch` narrows to one run's tables (None = every epoch).
     * `\_` escapes LIKE's wildcard meaning of the underscores. */
   private def listStaging(sock: String, port: Int, db: String,
-      table: String, epoch: Option[String] = None): Seq[String] = {
+      table: String, epoch: Option[String] = None,
+      user: String = "", password: String = ""): Seq[String] = {
     val pat = epoch match {
       case Some(r) => s"$table\\_\\_stg\\_$r\\_p%"
       case None => s"$table\\_\\_stg\\_%"
     }
     psqlValue(sock, port, db,
       s"""SELECT tablename FROM pg_tables
-          WHERE tablename LIKE '$pat'""")
+          WHERE tablename LIKE '$pat'""", user, password)
       .split("\n").toSeq.filter(_.nonEmpty).sorted
   }
 
   private[sources] def dropStaging(sock: String, port: Int, db: String,
-      table: String): Unit = {
-    val stg = listStaging(sock, port, db, table)
+      table: String, user: String = "", password: String = ""): Unit = {
+    val stg = listStaging(sock, port, db, table, None, user, password)
     if (stg.nonEmpty)
       psqlValue(sock, port, db,
-        stg.map(x => s"""DROP TABLE IF EXISTS "$x"""").mkString("; "))
+        stg.map(x => s"""DROP TABLE IF EXISTS "$x"""").mkString("; "),
+        user, password)
   }
 
   /** Atomically move every staged partition of THIS run's epoch into
@@ -132,13 +183,26 @@ object PgCopySink {
     * — e.g. committed by a zombie task of an aborted earlier run after
     * this run's dropStaging — are never promoted. */
   private[sources] def promoteStaged(sock: String, port: Int, db: String,
-      table: String, runId: String): Unit = {
-    val stg = listStaging(sock, port, db, table, Some(runId))
+      table: String, runId: String, truncate: Boolean = false,
+      isolation: String = "", user: String = "",
+      password: String = ""): Int = {
+    val stg = listStaging(sock, port, db, table, Some(runId), user, password)
     if (stg.nonEmpty) {
+      // truncate participates in the SAME transaction as the inserts:
+      // readers see the old table until commit, then only the new load
+      // — the atomic-overwrite form of JDBC truncate=true.
+      val trunc = if (truncate) Seq(s"""TRUNCATE "$table"""") else Nil
       val inserts = stg.map(x => s"""INSERT INTO "$table" SELECT * FROM "$x"""")
       val drop = s"DROP TABLE ${stg.map(x => s""""$x"""").mkString(", ")}"
-      psqlValue(sock, port, db, (inserts :+ drop).mkString("; "))
+      val body = (trunc ++ inserts :+ drop).mkString("; ")
+      // explicit BEGIN only when an isolation level is requested; the
+      // multi-statement simple query is already one implicit
+      // transaction at the server default otherwise
+      val sql = if (isolation.nonEmpty)
+        s"BEGIN ISOLATION LEVEL $isolation; $body; COMMIT" else body
+      psqlValue(sock, port, db, sql, user, password)
     }
+    stg.size
   }
 
   /** Stream one partition's rows into its staging table. Runs on the
@@ -149,10 +213,12 @@ object PgCopySink {
     */
   private def copyPartitionStaged(sock: String, port: Int, db: String,
       table: String, runId: String, partitionId: Int,
-      rows: Iterator[org.apache.spark.sql.Row]): Unit = {
+      rows: Iterator[org.apache.spark.sql.Row],
+      batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
     val stg = stagingName(table, runId, partitionId)
     val pb = new java.lang.ProcessBuilder(
-      (psqlBase(sock, port, db) ++ Seq("-1", "-f", "-")): _*)
+      (psqlBase(sock, port, db, user) ++ Seq("-1", "-f", "-")): _*)
+    pwEnv(password).foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectOutput(new File("/dev/null"))
     pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
@@ -163,7 +229,18 @@ object PgCopySink {
       out.write(s"""CREATE TABLE "$stg" (LIKE "$table");\n""")
       out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
       val sb = new java.lang.StringBuilder(256)
+      var inBatch = 0
       while (rows.hasNext) {
+        // batchRows: rows-per-statement cap (the JDBC batchsize twin).
+        // Ending + re-opening COPY bounds the server's per-statement
+        // working set; everything stays inside the same psql -1
+        // transaction, so atomicity and retry idempotence are exactly
+        // the unbatched path's.
+        if (batchRows > 0 && inBatch == batchRows) {
+          out.write("\\.\n")
+          out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
+          inBatch = 0
+        }
         val r = rows.next()
         sb.setLength(0)
         var i = 0
@@ -174,6 +251,7 @@ object PgCopySink {
         }
         sb.append('\n')
         out.write(sb.toString)
+        inBatch += 1
       }
       out.write("\\.\n")
     } finally out.close()
@@ -272,5 +350,31 @@ object PgServer {
     }.getOrElse(false)
     known = ok
     ok
+  }
+
+  /** Idempotently create a password-authenticated role for the
+    * user/password leg of the JdbcSink option surface: the role gets a
+    * scram password, CREATE on public (the COPY sink stages tables
+    * there), and an hba rule PREPENDED ahead of the default trust
+    * entries (hba is first-match-wins, so appending would leave the
+    * role on trust and the password untested). Returns false where the
+    * server or su rights are unavailable — callers assume-skip, same
+    * as every other live-Postgres test. */
+  def ensurePasswordRole(name: String, pw: String): Boolean = synchronized {
+    if (!ensure()) return false
+    Try {
+      if (!psql(s"SELECT 1 FROM pg_roles WHERE rolname='$name'").contains("1"))
+        require(psql(s"""CREATE ROLE "$name" LOGIN PASSWORD '$pw'""").isDefined,
+          "create role")
+      require(psql(s"""GRANT CREATE ON SCHEMA public TO "$name"""").isDefined,
+        "grant create")
+      val hba = s"$dataDir/pg_hba.conf"
+      val rule = s"local all $name scram-sha-256"
+      if (su(s"grep -qF '$rule' $hba") != 0) {
+        require(su(s"sed -i '1i $rule' $hba") == 0, "hba prepend")
+        require(psql("SELECT pg_reload_conf()").isDefined, "reload")
+      }
+      true
+    }.getOrElse(false)
   }
 }

@@ -21,6 +21,14 @@ trait Sink {
   * (multi-row INSERT — the JDBC analogue of the reference's batched
   * COPY); `reWriteBatchedInserts=true` is the pgjdbc flag that rewrites
   * batches into multi-VALUES statements (~5-10× ingest speedup).
+  *
+  * Every option here has a live-Postgres twin assertion through
+  * PgCopySink (PgSpec "JdbcSink option surface…"): numPartitions →
+  * connection cap, batchsize → batchRows, truncate → transactional
+  * TRUNCATE-before-promote, isolationLevel → explicit promote
+  * isolation, user/password → scram-authenticated role. The literal
+  * `.format("jdbc")` call below stays jar-gated offline (SURVEY §7.5)
+  * but no option's behavior is untested.
   */
 final case class JdbcSink(
     url: String,

@@ -62,7 +62,14 @@ object Etl {
 
   val queries: Map[String, Q] = Map(
     "etl_wikidata_pg" -> ((s, _) => {
-      val ents = s.read.schema(EntitySchema.entity).json(ensureBz2(s))
+      // Scale override twin of Wd.dumpOverride: a GenWd bz2 dump
+      // (spark.graft.wd.bz2 / SPARK_GRAFT_WD_BZ2) replaces the staged
+      // fixture bz2 for three-point measurement; unset = fixture,
+      // exactly as before.
+      val bz2 = s.conf.getOption("spark.graft.wd.bz2")
+        .orElse(sys.env.get("SPARK_GRAFT_WD_BZ2"))
+        .getOrElse(ensureBz2(s))
+      val ents = s.read.schema(EntitySchema.entity).json(bz2)
       // labels is a MapType: the en lookup is a codegen'd map access,
       // no explode + filter pass over every language
       val enLabels = ents.select(col("id"),

@@ -1,0 +1,220 @@
+package graft.wikidata
+
+/** Dev-tool main: synthesize a Wikidata-shaped entity NDJSON dump at
+  * arbitrary entity count, so the wd_* family's scaling exponents can
+  * be MEASURED like every other family's (r11 verdict task 4 — the
+  * checked-in 10-entity fixture gives the family 0.00 MB fingerprints
+  * and no three-point timing).
+  *
+  * Shape follows the public Wikibase JSON format spec, same as the
+  * hand-written fixture (src/main/resources/wd_entities.ndjson): every
+  * field EntitySchema declares is exercised — multi-language labels /
+  * descriptions / aliases, claims over a long-tail property
+  * distribution (9 hot properties + ~2k tail, like the real dump's
+  * skew), all seven datavalue shapes the typed extractor handles
+  * (wikibase-item, time, quantity, string, globe-coordinate,
+  * monolingualtext, url), somevalue/novalue snaks, the full rank mix,
+  * qualifiers + qualifiers-order, references with multi-snak groups,
+  * sitelinks with badges, and label-less entities (every 97th) for the
+  * fallback paths.
+  *
+  * Determinism rule (SURVEY §7.4): derive, never draw — every field is
+  * a pure function of the entity index via a splitmix64-style mixer
+  * (public-domain constant schedule), so re-generation is
+  * byte-identical and scale points differ only in N. All generated
+  * strings are ASCII-safe by construction (fixed pools + digits), so
+  * JSON assembles by concatenation with no escaping pass.
+  *
+  * Generation is embarrassingly parallel: spark.range(n) partitions
+  * fan the per-entity build across executors, and the writer emits a
+  * plain-text dump plus a bz2 twin (block-splittable, what the etl_*
+  * ingest path reads). ~1.3 KB/entity → 1M entities ≈ 1.3 GB plain.
+  *
+  * Usage: runMain graft.GenWd <outDir> <nEntities> [partitions]
+  *   writes <outDir>/plain (NDJSON) and <outDir>/bz2 (same lines, bz2)
+  * Point the queries at it with spark.graft.wd.path=<outDir>/plain
+  * (or env SPARK_GRAFT_WD_NDJSON) and spark.graft.wd.bz2=<outDir>/bz2
+  * (or SPARK_GRAFT_WD_BZ2); unset, everything uses the checked-in
+  * fixture exactly as before.
+  */
+object GenWd {
+  // splitmix64 finalizer — the standard public-domain mix schedule.
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private def fm(x: Long, m: Int): Int = java.lang.Math.floorMod(x, m.toLong).toInt
+
+  private val langs = Array("en", "de", "fr", "es", "zh", "ru", "ja", "pt")
+  private val sites = Array("enwiki", "dewiki", "frwiki", "eswiki")
+
+  private def langValue(lang: String, value: String): String =
+    s"""{"language":"$lang","value":"$value"}"""
+
+  /** One snak. kind selects the datavalue shape; snaktype != value
+    * omits the datavalue entirely (as the spec does). */
+  private def snak(prop: String, g: Long): String = {
+    val st = if (fm(g, 29) == 0) "somevalue"
+             else if (fm(g, 31) == 0) "novalue" else "value"
+    val kind = fm(g >>> 5, 7)
+    val dt = kind match {
+      case 0 => "wikibase-item"
+      case 1 => "time"
+      case 2 => "quantity"
+      case 3 => "string"
+      case 4 => "globe-coordinate"
+      case 5 => "monolingualtext"
+      case 6 => "url"
+    }
+    if (st != "value")
+      s"""{"snaktype":"$st","property":"$prop","datatype":"$dt"}"""
+    else {
+      val n = fm(g >>> 12, 1000000)
+      val dv = kind match {
+        case 0 =>
+          s"""{"value":{"entity-type":"item","numeric-id":$n,"id":"Q$n"},"type":"wikibase-entityid"}"""
+        case 1 =>
+          val y = 1800 + fm(g >>> 20, 250)
+          val mo = 1 + fm(g >>> 28, 12)
+          s"""{"value":{"time":"+$y-${f"$mo%02d"}-01T00:00:00Z","timezone":0,"before":0,"after":0,"precision":${9 + fm(g >>> 33, 3)},"calendarmodel":"http://www.wikidata.org/entity/Q1985727"},"type":"time"}"""
+        case 2 =>
+          val amt = s"+${fm(g >>> 20, 100000)}.${fm(g >>> 37, 100)}"
+          val bounds = if (fm(g >>> 40, 3) == 0)
+            s""","upperBound":"$amt","lowerBound":"$amt"""" else ""
+          s"""{"value":{"amount":"$amt","unit":"1"$bounds},"type":"quantity"}"""
+        case 3 =>
+          s"""{"value":"sv $n","type":"string"}"""
+        case 4 =>
+          val lat = fm(g >>> 20, 18000) / 100.0 - 90.0
+          val lon = fm(g >>> 36, 36000) / 100.0 - 180.0
+          s"""{"value":{"latitude":$lat,"longitude":$lon,"precision":0.01,"globe":"http://www.wikidata.org/entity/Q2"},"type":"globecoordinate"}"""
+        case 5 =>
+          s"""{"value":{"text":"mono $n","language":"${langs(fm(g >>> 20, langs.length))}"},"type":"monolingualtext"}"""
+        case 6 =>
+          s"""{"value":"http://example.org/e$n","type":"string"}"""
+      }
+      s"""{"snaktype":"value","property":"$prop","datatype":"$dt","datavalue":$dv}"""
+    }
+  }
+
+  /** Long-tail property id: 80% of statements land on 9 hot pids, the
+    * rest spread over ~2k — the real dump's skew shape, which is what
+    * makes wd_property_stats' groupBy(pid) worth measuring. */
+  private def pid(g: Long): String =
+    if (fm(g, 5) < 4) s"P${1 + fm(g >>> 3, 9)}"
+    else s"P${10 + fm(g >>> 3, 1991)}"
+
+  def entityJson(i: Long): String = {
+    val qid = s"Q${i + 1}"
+    val h = mix(i)
+    val sb = new StringBuilder(1536)
+    sb.append(s"""{"type":"item","id":"$qid"""")
+
+    // labels: 1–5 languages starting at a derived offset; every 97th
+    // entity is label-less (fallback/diff coverage)
+    if (i % 97 != 0) {
+      val nL = 1 + fm(h, 5)
+      val off = fm(h >>> 8, langs.length)
+      val ls = (0 until nL).map { j =>
+        val lg = langs((off + j) % langs.length)
+        s""""$lg":${langValue(lg, s"lbl $qid $lg")}"""
+      }
+      sb.append(s""","labels":{${ls.mkString(",")}}""")
+    }
+    val nD = fm(h >>> 11, 3)
+    if (nD > 0) {
+      val ds = (0 until nD).map { j =>
+        val lg = langs(j)
+        s""""$lg":${langValue(lg, s"desc $qid $lg")}"""
+      }
+      sb.append(s""","descriptions":{${ds.mkString(",")}}""")
+    }
+    val nA = fm(h >>> 14, 3)
+    if (nA > 0) {
+      val as = (0 until nA).map { j =>
+        val lg = langs(j)
+        val vals = (0 to fm(h >>> (16 + j), 2)).map(k =>
+          langValue(lg, s"alias $qid $lg $k"))
+        s""""$lg":[${vals.mkString(",")}]"""
+      }
+      sb.append(s""","aliases":{${as.mkString(",")}}""")
+    }
+
+    // claims: 1–12 property slots, 1–3 statements each; slots whose
+    // derived pid collides merge into one map entry (JSON object keys
+    // must be unique)
+    val nP = 1 + fm(h >>> 17, 12)
+    val byPid = new scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]
+    var j = 0
+    while (j < nP) {
+      val gp = mix(i * 31 + j)
+      val p = pid(gp)
+      val nS = 1 + fm(gp >>> 13, 3)
+      var k = 0
+      while (k < nS) {
+        val gs = mix(i * 131 + j * 17 + k)
+        val rank = if (fm(gs, 13) == 0) "deprecated"
+                   else if (fm(gs, 7) == 0) "preferred" else "normal"
+        val extras = new StringBuilder
+        if (fm(gs, 5) == 0) {
+          val q1 = snak("P459", mix(gs + 1))
+          val more = if (fm(gs >>> 9, 2) == 0) "," + snak("P459", mix(gs + 2)) else ""
+          extras.append(s""","qualifiers":{"P459":[$q1$more]},"qualifiers-order":["P459"]""")
+        }
+        if (fm(gs, 4) == 0) {
+          val nR = 1 + fm(gs >>> 11, 2)
+          val refs = (0 until nR).map { r =>
+            val gr = mix(gs + 100 + r)
+            s"""{"hash":"${java.lang.Long.toHexString(gr)}","snaks":{"P854":[${snak("P854", gr)}]}}"""
+          }
+          extras.append(s""","references":[${refs.mkString(",")}]""")
+        }
+        val stJson =
+          s"""{"mainsnak":${snak(p, gs)},"type":"statement","id":"$qid${"$"}st${j}_$k","rank":"$rank"$extras}"""
+        byPid.getOrElseUpdate(p, new scala.collection.mutable.ArrayBuffer[String]) += stJson
+        k += 1
+      }
+      j += 1
+    }
+    val cs = byPid.map { case (p, sts) => s""""$p":[${sts.mkString(",")}]""" }
+    sb.append(s""","claims":{${cs.mkString(",")}}""")
+
+    val nSl = fm(h >>> 21, 4)
+    if (nSl > 0) {
+      val sl = (0 until nSl).map { j =>
+        val site = sites(j)
+        val badges = if (fm(h >>> (24 + j), 5) == 0) """"Q17437796"""" else ""
+        s""""$site":{"site":"$site","title":"T $qid","badges":[$badges]}"""
+      }
+      sb.append(s""","sitelinks":{${sl.mkString(",")}}""")
+    }
+    val mo = 1 + fm(h >>> 26, 12)
+    val dy = 1 + fm(h >>> 31, 28)
+    sb.append(s""","lastrevid":${1000 + i},"modified":"2024-${f"$mo%02d"}-${f"$dy%02d"}T00:00:00Z"}""")
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (out, n, parts) = args match {
+      case Array(o, nn)     => (o, nn.toLong, 32)
+      case Array(o, nn, pp) => (o, nn.toLong, pp.toInt)
+      case _ => sys.error("usage: GenWd <outDir> <nEntities> [partitions]")
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def lines = spark.range(0, n, 1, parts).map(i => entityJson(i))
+    lines.write.mode("overwrite").text(s"$out/plain")
+    lines.write.mode("overwrite").option("compression", "bzip2")
+      .text(s"$out/bz2")
+    println(s"GENWD done n=$n out=$out")
+    spark.stop()
+  }
+}

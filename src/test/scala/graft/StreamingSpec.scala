@@ -389,7 +389,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       val in = MemoryStream[(Long, Long, Long)] // (user, sec, event_id)
       val out = in.toDS().groupByKey(_._1)
-        .transformWithState(new TwsSessionizer(),
+        .transformWithState(new graft.streaming.TwsSessionizer(),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Update())
       val q = out.toDF("user_id", "n_sessions", "n_events", "longest_s")
@@ -486,36 +486,9 @@ class RunningCountProcessor
   }
 }
 
-/** Per-user sessionizer on the Spark 4 StatefulProcessor API: the same
-  * constant-size state tuple and step() fold as the batch key — never a
-  * row list; the only sort is over ONE micro-batch's rows for the key. */
-class TwsSessionizer
-    extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Long, Long), (Long, Int, Long, Long)] {
-  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
-  import org.apache.spark.sql.Encoders
-  import graft.streaming.StatefulSessionizer
-
-  @transient private var st: ValueState[StatefulSessionizer.St] = _
-
-  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    st = getHandle.getValueState[StatefulSessionizer.St]("sess",
-      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
-        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
-      TTLConfig.NONE)
-
-  override def handleInputRows(key: Long,
-      rows: Iterator[(Long, Long, Long)],
-      timerValues: TimerValues): Iterator[(Long, Int, Long, Long)] = {
-    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-    if (sorted.isEmpty) return Iterator.empty
-    var s = if (st.exists()) st.get() else StatefulSessionizer.zero
-    sorted.foreach { r => s = StatefulSessionizer.step(s, r._2) }
-    st.update(s)
-    Iterator.single((key, s._1, s._2, s._5))
-  }
-}
+// TwsSessionizer moved to main (graft.streaming.TwsSessionizer): the
+// StreamRate sustained-throughput probe drives the same processor the
+// parity test here pins.
 
 /** One shared local session for all suites (guide: one per JVM). */
 object Spec {

@@ -45,4 +45,42 @@ class WdTypedSpec extends AnyFunSuite {
     assert(ddl.contains("\"ts\" TIMESTAMP"))
     assert(ddl.contains("PRIMARY KEY (\"id\")"))
   }
+
+  test("GenWd synthesizes deterministic, schema-complete entities") {
+    import org.apache.spark.sql.functions._
+    import graft.wikidata.{EntitySchema, GenWd}
+    // derive-never-draw: the generator is a pure function of the index
+    assert(GenWd.entityJson(42L) === GenWd.entityJson(42L))
+    assert(GenWd.entityJson(0L) !== GenWd.entityJson(1L))
+    // a 500-entity sample parses completely under the explicit schema
+    // (id null would mean a malformed line) and exercises every
+    // structural feature the flatteners consume
+    import spark.implicits._
+    val lines = spark.createDataset((0L until 500L).map(GenWd.entityJson))
+    val df = spark.read.schema(EntitySchema.entity).json(lines)
+    assert(df.count() === 500)
+    assert(df.filter(col("id").isNull).count() === 0)
+    // label-less entities exist (every 97th) — the fallback-path food
+    assert(df.filter(col("labels").isNull).count() === 500L / 97 + 1)
+    val st = df
+      .select(explode(col("claims")).as(Seq("pid", "sts")))
+      .select(explode(col("sts")).as("st"))
+      .select(col("st.rank").as("rank"),
+        col("st.mainsnak.snaktype").as("snaktype"),
+        col("st.mainsnak.datavalue.type").as("dv_type"),
+        col("st.qualifiers").isNotNull.as("has_q"),
+        col("st.references").isNotNull.as("has_r"))
+      .cache()
+    def distinctOf(c: String) =
+      st.select(c).filter(col(c).isNotNull).distinct()
+        .collect().map(_.getString(0)).toSet
+    assert(distinctOf("rank") === Set("normal", "preferred", "deprecated"))
+    assert(distinctOf("snaktype") === Set("value", "somevalue", "novalue"))
+    // url datatype carries a plain string datavalue, so 6 dv shapes
+    assert(distinctOf("dv_type") === Set("wikibase-entityid", "time",
+      "quantity", "string", "globecoordinate", "monolingualtext"))
+    assert(st.filter(col("has_q")).count() > 0)
+    assert(st.filter(col("has_r")).count() > 0)
+    st.unpersist()
+  }
 }

@@ -44,6 +44,16 @@ import java.util.Locale
   * driver-side result accumulation.
   *
   * Usage: runMain graft.StreamRate <mode> [rowsPerBatch] [batches] [ckptDir]
+  * Env knobs:
+  *  - SPARK_GRAFT_SR_CHANGELOG=1 — RocksDB changelog checkpointing
+  *    (per-batch delta upload instead of full snapshots; the knob that
+  *    matters once per-partition state crosses snapshot-copy cost).
+  *    Recorded in the JSON line so runs are self-describing.
+  *  - SPARK_GRAFT_MASTER — run against a cluster master (StreamProbe's
+  *    kill-harness shape): the probe then also writes a B<n> marker
+  *    FILE per batch next to the checkpoint so an external killer can
+  *    aim mid-run, and the per-batch latency array in the JSON shows
+  *    the recovery spike (kill-batch latency vs p50 = recovery cost).
   * Emits one STREAMRATE JSON line; exits nonzero if the state
   * trajectory is NOT bounded (final > 1.5 × half-way high-water).
   */
@@ -54,18 +64,36 @@ object StreamRate {
     val mode = if (args.nonEmpty) args(0) else "session"
     val rowsPerBatch = if (args.length > 1) args(1).toInt else 10000
     val batches = if (args.length > 2) args(2).toInt else 100
-    val ckpt = if (args.length > 3) args(3)
+    val explicitCkpt = args.length > 3
+    val ckpt = if (explicitCkpt) args(3)
       else s"/tmp/graft_streamrate_${mode}_${rowsPerBatch}_$batches"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ckptFile = new java.io.File(ckpt)
+    if (explicitCkpt) {
+      // never silently erase a user-supplied directory: a typo pointing
+      // at real data must fail, not recurse-delete. Only the DERIVED
+      // /tmp default is auto-cleared (it is ours by construction).
+      require(!ckptFile.exists() ||
+        Option(ckptFile.list()).forall(_.isEmpty),
+        s"explicit ckptDir $ckpt exists and is non-empty — " +
+          "remove it yourself or pass a fresh path")
+    } else org.apache.commons.io.FileUtils.deleteQuietly(ckptFile)
+    val changelog = sys.env.get("SPARK_GRAFT_SR_CHANGELOG").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val markerDir =
+      if (master.startsWith("local")) None
+      else Some(java.nio.file.Paths.get(ckpt).toAbsolutePath.getParent)
+    markerDir.foreach(java.nio.file.Files.createDirectories(_))
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", changelog.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     implicit val sqlCtx = spark.sqlContext
@@ -133,6 +161,7 @@ object StreamRate {
     var stateHalf = 0L
     var state10 = 0L
     var stateFinal = 0L
+    var lastSeenBatch = -1L
     val latencies = new Array[Double](batches)
     val t0 = System.nanoTime()
     for (b <- 0 until batches) {
@@ -140,12 +169,27 @@ object StreamRate {
       totalIn += feed(b)
       q.processAllAvailable()
       latencies(b) = (System.nanoTime() - bt) / 1e9
-      val st = Option(q.lastProgress).toSeq
+      // sample the NEWEST progress event newer than the last sample —
+      // not bare lastProgress, which could lag one batch if a mode ever
+      // produced multiple progress events per addData (e.g. an empty
+      // watermark-commit batch emitted after the data batch). State is
+      // a snapshot, so the latest event wins; no summing across events.
+      val fresh = q.recentProgress.filter(_.batchId > lastSeenBatch)
+      val ev = if (fresh.nonEmpty) fresh.maxBy(_.batchId)
+               else q.lastProgress
+      val st = Option(ev).toSeq
         .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      lastSeenBatch = math.max(lastSeenBatch,
+        Option(ev).map(_.batchId).getOrElse(-1L))
       stateMax = math.max(stateMax, st)
       if (b == 9) state10 = st
       if (b == batches / 2 - 1) stateHalf = st
       if (b == batches - 1) stateFinal = st
+      // kill-harness marker (cluster runs only): one file per batch so
+      // the external killer can aim mid-run; file because spark-submit
+      // stdout is block-buffered
+      markerDir.foreach(d => java.nio.file.Files.write(
+        d.resolve(s"B$b"), s"$st\n".getBytes("UTF-8")))
     }
     val wall = (System.nanoTime() - t0) / 1e9
     q.stop()
@@ -163,6 +207,8 @@ object StreamRate {
       s""""batchP95":${fmt(p95)},"batchMax":${fmt(sorted.last)},""" +
       s""""state10":$state10,"stateHalf":$stateHalf,""" +
       s""""stateFinal":$stateFinal,"stateMax":$stateMax,""" +
+      s""""changelog":$changelog,""" +
+      s""""latencies":[${latencies.map(fmt).mkString(",")}],""" +
       s""""bounded":$bounded}""")
     if (!bounded) sys.exit(2)
   }

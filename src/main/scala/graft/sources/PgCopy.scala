@@ -41,7 +41,9 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
     truncate: Boolean = false,
     isolation: String = "",
     user: String = "",
-    password: String = "") extends Sink {
+    password: String = "",
+    shards: Int = 0,
+    shardCol: String = "") extends Sink {
   // JdbcSink option twins, each proven against live Postgres (r11
   // verdict task 5 — pgjdbc stays unresolvable offline, so the COPY
   // writer carries the option surface instead):
@@ -63,9 +65,47 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
   //    (JDBC isolationLevel); empty = server default (READ COMMITTED).
   //  * user/password — role-authenticated connection (-U + PGPASSWORD),
   //    for targets not owned by the OS user.
+  //  * shards/shardCol (shards > 1) — hash-sharded targets, the 100 TB
+  //    fan-out shape (r12 verdict task 1): each row routes to shard
+  //    table "<table>_s<i>" by pmod(xxhash64(shardCol), shards) — a
+  //    pure deterministic function of the key, so routing is stable
+  //    across runs, retries and cluster layouts. The route is computed
+  //    as a Spark column (codegen'd, no shuffle added: the existing
+  //    per-partition COPY streams just MULTIPLEX into one psql per
+  //    (partition, shard-touched) pair), every shard load keeps the
+  //    epoch-keyed staging idempotence, and ALL shards promote in ONE
+  //    transaction — readers see the whole sharded load or none of it.
+  //    Why sharding lifts the ceiling: a single target table serializes
+  //    concurrent COPYs on the relation-extension lock and funnels the
+  //    read-back ORDER BY through one scan; N tables are N independent
+  //    extension locks and N sortable partitions (measured in SCALE.md
+  //    "sharded COPY fan-out").
   override def write(df: DataFrame): Unit = {
     val d = if (numPartitions > 0) df.coalesce(numPartitions) else df
-    if (perPartition) {
+    if (shards > 1) {
+      require(perPartition, "sharded mode rides the per-partition fan-out")
+      require(shardCol.nonEmpty, "sharded mode needs a shardCol to route by")
+      val (sock, p, database, t) = (sockDir, port, db, table)
+      val (br, usr, pw, nSh) = (batchRows, user, password, shards)
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      (0 until nSh).foreach { i =>
+        val st = PgCopySink.shardName(t, i)
+        PgCopySink.psqlValue(sock, p, database,
+          s"""CREATE TABLE IF NOT EXISTS "$st" (LIKE "$t" INCLUDING ALL)""",
+          usr, pw)
+        PgCopySink.dropStaging(sock, p, database, st, usr, pw)
+      }
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val routed = d.withColumn("__graft_shard",
+        pmod(xxhash64(col(shardCol)), lit(nSh)))
+      routed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext)
+          PgCopySink.copyPartitionSharded(sock, p, database, t, nSh, runId,
+            org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw)
+      }
+      PgCopySink.lastPromoted = PgCopySink.promoteStagedSharded(
+        sock, p, database, t, nSh, runId, truncate, isolation, usr, pw)
+    } else if (perPartition) {
       // close over plain fields, not `this`-heavy structures
       val (sock, p, database, t) = (sockDir, port, db, table)
       val (br, usr, pw) = (batchRows, user, password)
@@ -128,6 +168,12 @@ object PgCopySink {
   private def stagingName(table: String, runId: String, pid: Int) =
     s"${table}__stg_${runId}_p$pid"
 
+  /** Shard target i of a sharded load: its own first-class table, so
+    * every per-table mechanism (staging epochs, promote, truncate)
+    * composes unchanged. */
+  private[sources] def shardName(table: String, shard: Int) =
+    s"${table}_s$shard"
+
   /** Staging-table count of the most recent perPartition promote —
     * observability hook (also what PgSpec asserts the numPartitions
     * connection cap through; a metrics sink would read the same). */
@@ -187,6 +233,12 @@ object PgCopySink {
       isolation: String = "", user: String = "",
       password: String = ""): Int = {
     val stg = listStaging(sock, port, db, table, Some(runId), user, password)
+    if (stg.isEmpty && truncate) {
+      // empty input still clears the target: JDBC truncate=true under
+      // SaveMode.Overwrite truncates even when the frame has no rows,
+      // and the staged path must not silently diverge on that edge
+      psqlValue(sock, port, db, s"""TRUNCATE "$table"""", user, password)
+    }
     if (stg.nonEmpty) {
       // truncate participates in the SAME transaction as the inserts:
       // readers see the old table until commit, then only the new load
@@ -205,58 +257,128 @@ object PgCopySink {
     stg.size
   }
 
+  /** One executor-side staged COPY stream: a psql subprocess whose
+    * whole script is one transaction (-1) — replace staging, COPY
+    * inline — so a task retry or speculative duplicate REPLACES the
+    * partition's staging rows rather than appending a second copy.
+    * Factored out so the sharded writer can multiplex several of these
+    * (one per shard touched) inside a single partition pass. */
+  private final class StagedCopy(sock: String, port: Int, db: String,
+      table: String, runId: String, partitionId: Int, batchRows: Int,
+      user: String, password: String) {
+    private val stg = stagingName(table, runId, partitionId)
+    private val proc = {
+      val pb = new java.lang.ProcessBuilder(
+        (psqlBase(sock, port, db, user) ++ Seq("-1", "-f", "-")): _*)
+      pwEnv(password).foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.redirectOutput(new File("/dev/null"))
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      pb.start()
+    }
+    private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    private val sb = new java.lang.StringBuilder(256)
+    private var inBatch = 0
+    out.write(s"""DROP TABLE IF EXISTS "$stg";\n""")
+    out.write(s"""CREATE TABLE "$stg" (LIKE "$table");\n""")
+    out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
+
+    /** Append columns [0, nCols) of the row as one CSV line. */
+    def writeRow(r: org.apache.spark.sql.Row, nCols: Int): Unit = {
+      // batchRows: rows-per-statement cap (the JDBC batchsize twin).
+      // Ending + re-opening COPY bounds the server's per-statement
+      // working set; everything stays inside the same psql -1
+      // transaction, so atomicity and retry idempotence are exactly
+      // the unbatched path's.
+      if (batchRows > 0 && inBatch == batchRows) {
+        out.write("\\.\n")
+        out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
+        inBatch = 0
+      }
+      sb.setLength(0)
+      var i = 0
+      while (i < nCols) {
+        if (i > 0) sb.append(',')
+        sb.append(csvCell(r.get(i)))
+        i += 1
+      }
+      sb.append('\n')
+      out.write(sb.toString)
+      inBatch += 1
+    }
+
+    /** Close the COPY and the transaction; require a clean exit. */
+    def finish(): Unit = {
+      try out.write("\\.\n") finally out.close()
+      val rc = proc.waitFor()
+      require(rc == 0,
+        s"psql staged COPY (partition $partitionId, table $table) failed with exit $rc")
+    }
+  }
+
   /** Stream one partition's rows into its staging table. Runs on the
-    * executor; one psql subprocess per non-empty partition. The whole
-    * script is one transaction (-1): replace staging, COPY inline —
-    * so a task retry or speculative duplicate REPLACES the partition's
-    * staging rows rather than appending a second copy.
-    */
+    * executor; one psql subprocess per non-empty partition. */
   private def copyPartitionStaged(sock: String, port: Int, db: String,
       table: String, runId: String, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row],
       batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
-    val stg = stagingName(table, runId, partitionId)
-    val pb = new java.lang.ProcessBuilder(
-      (psqlBase(sock, port, db, user) ++ Seq("-1", "-f", "-")): _*)
-    pwEnv(password).foreach { case (k, v) => pb.environment().put(k, v) }
-    pb.redirectOutput(new File("/dev/null"))
-    pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    val s = new StagedCopy(sock, port, db, table, runId, partitionId,
+      batchRows, user, password)
+    try while (rows.hasNext) { val r = rows.next(); s.writeRow(r, r.length) }
+    finally s.finish()
+  }
+
+  /** Sharded twin: the row's LAST column is the precomputed shard id
+    * (pmod(xxhash64(shardCol), shards), codegen'd upstream); each row
+    * streams into its shard's staging table, all streams held open for
+    * the single partition pass. Connection budget: a partition opens at
+    * most min(shards, distinct shards present) psql processes — cap the
+    * total with numPartitions exactly as the unsharded fan-out does. */
+  private def copyPartitionSharded(sock: String, port: Int, db: String,
+      table: String, shards: Int, runId: String, partitionId: Int,
+      rows: Iterator[org.apache.spark.sql.Row],
+      batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
+    val streams = new Array[StagedCopy](shards)
     try {
-      out.write(s"""DROP TABLE IF EXISTS "$stg";\n""")
-      out.write(s"""CREATE TABLE "$stg" (LIKE "$table");\n""")
-      out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
-      val sb = new java.lang.StringBuilder(256)
-      var inBatch = 0
       while (rows.hasNext) {
-        // batchRows: rows-per-statement cap (the JDBC batchsize twin).
-        // Ending + re-opening COPY bounds the server's per-statement
-        // working set; everything stays inside the same psql -1
-        // transaction, so atomicity and retry idempotence are exactly
-        // the unbatched path's.
-        if (batchRows > 0 && inBatch == batchRows) {
-          out.write("\\.\n")
-          out.write(s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '');\n""")
-          inBatch = 0
-        }
         val r = rows.next()
-        sb.setLength(0)
-        var i = 0
-        while (i < r.length) {
-          if (i > 0) sb.append(',')
-          sb.append(csvCell(r.get(i)))
-          i += 1
-        }
-        sb.append('\n')
-        out.write(sb.toString)
-        inBatch += 1
+        val sh = r.getLong(r.length - 1).toInt
+        if (streams(sh) == null)
+          streams(sh) = new StagedCopy(sock, port, db, shardName(table, sh),
+            runId, partitionId, batchRows, user, password)
+        streams(sh).writeRow(r, r.length - 1)
       }
-      out.write("\\.\n")
-    } finally out.close()
-    val rc = proc.waitFor()
-    require(rc == 0, s"psql staged COPY (partition $partitionId) failed with exit $rc")
+    } finally streams.foreach(s => if (s != null) s.finish())
+  }
+
+  /** Promote EVERY shard's staged partitions in one transaction:
+    * truncates (if requested), inserts and staging drops for all N
+    * shard tables run as a single multi-statement simple query, so
+    * readers see the complete sharded load or none of it — same
+    * atomicity as the single-table promote, extended across shards. */
+  private[sources] def promoteStagedSharded(sock: String, port: Int,
+      db: String, table: String, shards: Int, runId: String,
+      truncate: Boolean, isolation: String, user: String,
+      password: String): Int = {
+    val perShard = (0 until shards).map { i =>
+      val st = shardName(table, i)
+      (st, listStaging(sock, port, db, st, Some(runId), user, password))
+    }
+    val trunc = if (truncate)
+      perShard.map { case (st, _) => s"""TRUNCATE "$st"""" } else Nil
+    val inserts = perShard.flatMap { case (st, stg) =>
+      stg.map(x => s"""INSERT INTO "$st" SELECT * FROM "$x"""") }
+    val allStg = perShard.flatMap(_._2)
+    val drops = if (allStg.nonEmpty)
+      Seq(s"DROP TABLE ${allStg.map(x => s""""$x"""").mkString(", ")}") else Nil
+    val stmts = trunc ++ inserts ++ drops
+    if (stmts.nonEmpty) {
+      val body = stmts.mkString("; ")
+      val sql = if (isolation.nonEmpty)
+        s"BEGIN ISOLATION LEVEL $isolation; $body; COMMIT" else body
+      psqlValue(sock, port, db, sql, user, password)
+    }
+    allStg.size
   }
 }
 

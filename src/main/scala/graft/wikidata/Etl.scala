@@ -60,24 +60,35 @@ object Etl {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The dump → warehouse-row frame the load writes: bz2 ingest →
+    * explicit-schema parse → claims flatten → typed extraction →
+    * en-label enrichment, in DDL column order. Factored out so the
+    * shard-fan-out probe (PgShardProbe) measures EXACTLY the declared
+    * key's Spark side, not a reconstruction of it. A GenWd bz2 dump
+    * (spark.graft.wd.bz2 / SPARK_GRAFT_WD_BZ2) replaces the staged
+    * fixture bz2 for scale measurement; unset = fixture, as before. */
+  def loadFrame(s: SparkSession): DataFrame = {
+    val bz2 = s.conf.getOption("spark.graft.wd.bz2")
+      .orElse(sys.env.get("SPARK_GRAFT_WD_BZ2"))
+      .getOrElse(ensureBz2(s))
+    val ents = s.read.schema(EntitySchema.entity).json(bz2)
+    // labels is a MapType: the en lookup is a codegen'd map access,
+    // no explode + filter pass over every language
+    val enLabels = ents.select(col("id"),
+      col("labels").getItem("en").getField("value").as("en_label"))
+    val typed = TypedValues.typed(Wd.claimsFlatten(ents))
+    typed
+      .join(enLabels, Seq("id"), "left")
+      .select(statementsSchema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Postgres DDL column schema of the statements target — the probe
+    * creates its target with the same shape as the declared key. */
+  private[wikidata] def targetSchema: StructType = statementsSchema
+
   val queries: Map[String, Q] = Map(
     "etl_wikidata_pg" -> ((s, _) => {
-      // Scale override twin of Wd.dumpOverride: a GenWd bz2 dump
-      // (spark.graft.wd.bz2 / SPARK_GRAFT_WD_BZ2) replaces the staged
-      // fixture bz2 for three-point measurement; unset = fixture,
-      // exactly as before.
-      val bz2 = s.conf.getOption("spark.graft.wd.bz2")
-        .orElse(sys.env.get("SPARK_GRAFT_WD_BZ2"))
-        .getOrElse(ensureBz2(s))
-      val ents = s.read.schema(EntitySchema.entity).json(bz2)
-      // labels is a MapType: the en lookup is a codegen'd map access,
-      // no explode + filter pass over every language
-      val enLabels = ents.select(col("id"),
-        col("labels").getItem("en").getField("value").as("en_label"))
-      val typed = TypedValues.typed(Wd.claimsFlatten(ents))
-      val load = typed
-        .join(enLabels, Seq("id"), "left")
-        .select(statementsSchema.fieldNames.map(col).toSeq: _*)
+      val load = loadFrame(s)
       if (PgServer.ensure()) {
         val t = "graft_wd_statements"
         PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")

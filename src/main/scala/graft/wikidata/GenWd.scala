@@ -30,7 +30,7 @@ package graft.wikidata
   * plain-text dump plus a bz2 twin (block-splittable, what the etl_*
   * ingest path reads). ~1.3 KB/entity → 1M entities ≈ 1.3 GB plain.
   *
-  * Usage: runMain graft.GenWd <outDir> <nEntities> [partitions]
+  * Usage: runMain graft.wikidata.GenWd <outDir> <nEntities> [partitions] [bz2only]
   *   writes <outDir>/plain (NDJSON) and <outDir>/bz2 (same lines, bz2)
   * Point the queries at it with spark.graft.wd.path=<outDir>/plain
   * (or env SPARK_GRAFT_WD_NDJSON) and spark.graft.wd.bz2=<outDir>/bz2
@@ -197,10 +197,16 @@ object GenWd {
   }
 
   def main(args: Array[String]): Unit = {
-    val (out, n, parts) = args match {
-      case Array(o, nn)     => (o, nn.toLong, 32)
-      case Array(o, nn, pp) => (o, nn.toLong, pp.toInt)
-      case _ => sys.error("usage: GenWd <outDir> <nEntities> [partitions]")
+    // bz2only (arg 4, literal "bz2only"): skip the plain twin. The
+    // 10M-entity point would be ~17 GB plain — the bz2 (~2.5 GB) is
+    // what the measured keys read anyway (Spark's text reader
+    // decompresses .bz2 transparently, so SPARK_GRAFT_WD_NDJSON can
+    // point at the bz2 dir too), and the disk budget is real.
+    val (out, n, parts, bz2only) = args match {
+      case Array(o, nn)         => (o, nn.toLong, 32, false)
+      case Array(o, nn, pp)     => (o, nn.toLong, pp.toInt, false)
+      case Array(o, nn, pp, m)  => (o, nn.toLong, pp.toInt, m == "bz2only")
+      case _ => sys.error("usage: GenWd <outDir> <nEntities> [partitions] [bz2only]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -211,7 +217,7 @@ object GenWd {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     def lines = spark.range(0, n, 1, parts).map(i => entityJson(i))
-    lines.write.mode("overwrite").text(s"$out/plain")
+    if (!bz2only) lines.write.mode("overwrite").text(s"$out/plain")
     lines.write.mode("overwrite").option("compression", "bzip2")
       .text(s"$out/bz2")
     println(s"GENWD done n=$n out=$out")

@@ -166,6 +166,88 @@ class PgSpec extends AnyFunSuite {
     assert(count() === n)
   }
 
+  test("truncate=true on EMPTY input still clears the target " +
+       "(JDBC SaveMode.Overwrite parity)") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    val t = "graft_pgspec_empty_trunc"
+    PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+    PgServer.psql(s"""CREATE TABLE "$t" (n_nationkey BIGINT, n_name TEXT)""")
+    PgServer.psql(s"""INSERT INTO "$t" VALUES (1, 'stale')""")
+    val empty = Tables.nation(spark, Spec.sf001)
+      .select(col("n_nationkey"), col("n_name")).filter(lit(false))
+    // perPartition path: no partition stages rows, the promote still
+    // TRUNCATEs — JDBC truncate=true clears the table even on empty input
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+      perPartition = true, truncate = true).write(empty)
+    assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === 0L)
+    // and the driver-staged path agrees
+    PgServer.psql(s"""INSERT INTO "$t" VALUES (2, 'stale2')""")
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+      truncate = true).write(empty)
+    assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === 0L)
+    PgServer.psql(s"""DROP TABLE "$t"""")
+  }
+
+  test("sharded COPY fan-out: deterministic routing, total rows " +
+       "preserved, atomic cross-shard promote") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    import org.apache.spark.sql.types._
+    val t = "graft_pgspec_sharded"
+    val nSh = 3
+    val df = Tables.orders(spark, Spec.sf001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .repartition(4)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType)))
+    (Seq(t) ++ (0 until nSh).map(i => s"${t}_s$i")).foreach { x =>
+      PgServer.psql(s"""DROP TABLE IF EXISTS "$x"""")
+    }
+    PgServer.psql(PgDdl.createTable(t, schema))
+    def shardCount(i: Int) =
+      PgServer.psql(s"""SELECT count(*) FROM "${t}_s$i"""").get.toLong
+    def shardDigest(i: Int) = PgServer.psql(
+      s"""SELECT md5(string_agg(o_orderkey || '|' || o_custkey || '|' ||
+          o_orderstatus, ',' ORDER BY o_orderkey)) FROM "${t}_s$i"""").get
+
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+      perPartition = true, shards = nSh, shardCol = "o_custkey").write(df)
+    val counts = (0 until nSh).map(shardCount)
+    // every input row lands in exactly one shard
+    assert(counts.sum === df.count())
+    // the base table is the DDL template, never a data target here
+    assert(PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong === 0L)
+    // routing IS the declared pure function of the key: per-shard counts
+    // equal pmod(xxhash64(o_custkey), N) computed independently in Spark
+    val expected = df
+      .withColumn("sh", pmod(xxhash64(col("o_custkey")), lit(nSh)))
+      .groupBy("sh").count().collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until nSh).foreach(i => assert(counts(i) === expected.getOrElse(i, 0L)))
+    // all rows of one key share one shard (co-location, the production
+    // contract: an entity's statements never split across targets)
+    val k = df.select(min(col("o_custkey"))).head().getLong(0)
+    val hits = (0 until nSh).count(i => PgServer.psql(
+      s"""SELECT count(*) FROM "${t}_s$i" WHERE o_custkey = $k""").get.toLong > 0)
+    assert(hits === 1)
+    // deterministic across runs: a truncate reload reproduces identical
+    // per-shard CONTENT (md5 over the sorted rows), and promote leaves
+    // no staging behind on any shard
+    val digests = (0 until nSh).map(shardDigest)
+    PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+      perPartition = true, shards = nSh, shardCol = "o_custkey",
+      truncate = true).write(df)
+    assert((0 until nSh).map(shardCount) === counts)
+    assert((0 until nSh).map(shardDigest) === digests)
+    assert(PgServer.psql(
+      s"""SELECT count(*) FROM pg_tables
+          WHERE tablename LIKE '$t\\_s%\\_\\_stg\\_%'""").get.toLong === 0L)
+    (Seq(t) ++ (0 until nSh).map(i => s"${t}_s$i")).foreach { x =>
+      PgServer.psql(s"""DROP TABLE IF EXISTS "$x"""")
+    }
+  }
+
   test("JdbcSink user/password leg: scram-authenticated role through " +
        "the COPY twin") {
     import scala.sys.process._

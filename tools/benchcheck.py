@@ -242,8 +242,15 @@ def selftest(args):
     okpath = tmpjson({victim: "selftest: forged move, justified leg"})
 
     me = __file__
+    # Cases A-D must run with an EXPLICIT empty justification file: the
+    # default --fingerprints-ok resolves against CWD, so a repo-committed
+    # fingerprints_ok.json that happens to name the victim key would turn
+    # C/D's expected exit 1 into 0 and fail the selftest on a healthy
+    # tree. Only case E exercises the justification path, with its own
+    # purpose-built file.
+    emptyok = tmpjson({})
 
-    def run(bench, detail, extra=()):
+    def run(bench, detail, extra=("--fingerprints-ok", emptyok)):
         return subprocess.run(
             ["python3", me, bench, "--baseline", args.baseline,
              "--detail", detail, *extra],
@@ -263,7 +270,7 @@ def selftest(args):
         ok = ok and good
         print(f"selftest {name} (victim '{victim}'): exit {got} "
               f"(want {want}) -> {'ok' if good else 'FAIL'}")
-    for p in (badpath, fdetpath, okpath):
+    for p in (badpath, fdetpath, okpath, emptyok):
         try:
             os.unlink(p)
         except OSError:
@@ -314,6 +321,14 @@ def main():
         detail_doc, detail = {}, {}
     detail_config = {f: detail_doc[f] for f in ("cpus", "shuffle")
                      if isinstance(detail_doc, dict) and f in detail_doc}
+    # The RUN's config, for band gating: the driver stamps cpus at the
+    # BENCH doc's top level; shuffle isn't stamped there, so only cpus
+    # gates (an unstamped field never mismatches — legacy behavior).
+    # Bands are cpus/shuffle-sensitive just like fingerprints; comparing
+    # a 4-cpu run against 32-cpu bands would let the drift median absorb
+    # a real 8x skew, so a config-mismatched band is SKIPPED, not used.
+    run_cfg = {f: bench[f] for f in ("cpus", "shuffle")
+               if isinstance(bench, dict) and f in bench}
     justified = {}
     if os.path.exists(args.fingerprints_ok):
         justified = json.load(open(args.fingerprints_ok))
@@ -340,13 +355,15 @@ def main():
 
     # Global drift: median driver/warm ratio over banded keys. Uniform
     # drift is the box (container, cpu steal); per-key residuals are us.
-    ratios = {k: times[k] / bands[k][0] for k in times if k in bands and bands[k][0] > 0}
+    ratios = {k: times[k] / bands[k][0] for k in times
+              if k in bands and bands[k][0] > 0
+              and not config_mismatch(run_cfg, band_cfg.get(k, {}))}
     drift = statistics.median(ratios.values()) if ratios else 1.0
 
     classes = {"inside-warm-band": [], "faster-than-band": [],
                "cold-attributable": [], "fingerprint-changed": [],
                "UNEXPLAINED": [], "no-yardstick": []}
-    fp_moves, fp_skipped = [], []
+    fp_moves, fp_skipped, band_skipped = [], [], []
     for k in sorted(times, key=lambda x: -times[x]):
         t = times[k]
         if config_mismatch(detail_config, fp_cfg.get(k, {})):
@@ -356,7 +373,11 @@ def main():
             fp = fingerprint_moved(k, detail, fps)
         if fp and fp[0]:
             fp_moves.append((k, fp[1], fp[2]))
-        if k in bands:
+        band_usable = k in bands and not config_mismatch(
+            run_cfg, band_cfg.get(k, {}))
+        if k in bands and not band_usable:
+            band_skipped.append((k, run_cfg, band_cfg.get(k, {})))
+        if band_usable:
             med, lo, hi = bands[k]
             ceil = hi * drift * (1 + args.slack) + args.abs_floor
             floor = lo * drift / (1 + args.slack) - args.abs_floor
@@ -379,8 +400,15 @@ def main():
         if fp and fp[0]:
             classes["fingerprint-changed"].append((k, t, fp[1]))
             continue
-        if k not in bands and k not in detail:
+        if not band_usable and k not in detail:
             classes["no-yardstick"].append((k, t, None))
+            continue
+        if k in bands and not band_usable:
+            # a config-mismatched band is NO yardstick, not a stale one:
+            # don't let the key fall through to UNEXPLAINED against a
+            # band measured at a different cpus/shuffle shape
+            classes["no-yardstick"].append(
+                (k, t, f"band config-mismatch {band_cfg.get(k, {})}"))
             continue
         classes["UNEXPLAINED"].append((k, t, bands.get(k, (0, 0, 0))[0] * drift))
 
@@ -412,6 +440,14 @@ def main():
                     "fingerprint-changed", "no-yardstick", "UNEXPLAINED"):
             for k, t, extra in rows:
                 print(f"    {k}: driver {t:.2f}s  ({'expected~%.2fs' % extra if isinstance(extra, float) else extra})")
+    if band_skipped:
+        cfgs = {(json.dumps(r, sort_keys=True), json.dumps(b, sort_keys=True))
+                for _, r, b in band_skipped}
+        print(f"  warm-band compare SKIPPED for {len(band_skipped)} keys — "
+              f"CONFIG MISMATCH between this run and the BASELINE band "
+              f"section ({'; '.join(f'run {r} vs baseline {b}' for r, b in cfgs)}). "
+              f"Re-run at the baseline config or rebaseline; these keys "
+              f"have NO timing gate this run.")
     if fp_skipped:
         cfgs = {(json.dumps(d, sort_keys=True), json.dumps(b, sort_keys=True))
                 for _, d, b in fp_skipped}

@@ -43,7 +43,8 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
     user: String = "",
     password: String = "",
     shards: Int = 0,
-    shardCol: String = "") extends Sink {
+    shardCol: String = "",
+    attachPromote: Boolean = false) extends Sink {
   // JdbcSink option twins, each proven against live Postgres (r11
   // verdict task 5 — pgjdbc stays unresolvable offline, so the COPY
   // writer carries the option surface instead):
@@ -73,13 +74,26 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
   //    as a Spark column (codegen'd, no shuffle added: the existing
   //    per-partition COPY streams just MULTIPLEX into one psql per
   //    (partition, shard-touched) pair), every shard load keeps the
-  //    epoch-keyed staging idempotence, and ALL shards promote in ONE
-  //    transaction — readers see the whole sharded load or none of it.
-  //    Why sharding lifts the ceiling: a single target table serializes
-  //    concurrent COPYs on the relation-extension lock and funnels the
-  //    read-back ORDER BY through one scan; N tables are N independent
-  //    extension locks and N sortable partitions (measured in SCALE.md
-  //    "sharded COPY fan-out").
+  //    epoch-keyed staging idempotence, and the N shards promote
+  //    CONCURRENTLY — each shard's promote is one atomic transaction
+  //    (never a torn shard); shards commit independently, the same
+  //    contract as JDBC's parallel INSERT connections.
+  //    What the sharded sweep actually measured (SCALE.md round-13):
+  //    the COPY stage pipelines entirely under the Spark compute (stage
+  //    wall ≈ the no-sink floor), so the writer ceiling is the PROMOTE —
+  //    a second full write pass (INSERT INTO target SELECT FROM
+  //    staging) that is WAL/disk-bound and does not parallelize on one
+  //    box. Hence:
+  //  * attachPromote — promote by ATTACHING each staged table as an
+  //    inheritance child of the target (ALTER TABLE … INHERIT + a
+  //    rename out of the staging namespace, one transaction per
+  //    target): O(1) metadata, zero data rewrite — the COPY'd pages ARE
+  //    the table. SELECT/ORDER BY/TRUNCATE on the target include
+  //    children (TRUNCATE cascades to descendants), so read-back
+  //    semantics are unchanged; DROP of the target needs CASCADE; many
+  //    appended loads accumulate segment children (compaction is the
+  //    production answer, same as any LSM-ish layout). Default stays
+  //    the rewrite promote — the declared keys keep one physical table.
   override def write(df: DataFrame): Unit = {
     val d = if (numPartitions > 0) df.coalesce(numPartitions) else df
     if (shards > 1) {
@@ -98,13 +112,18 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
       import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
       val routed = d.withColumn("__graft_shard",
         pmod(xxhash64(col(shardCol)), lit(nSh)))
+      val t0 = System.nanoTime()
       routed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext)
           PgCopySink.copyPartitionSharded(sock, p, database, t, nSh, runId,
             org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw)
       }
+      val t1 = System.nanoTime()
       PgCopySink.lastPromoted = PgCopySink.promoteStagedSharded(
-        sock, p, database, t, nSh, runId, truncate, isolation, usr, pw)
+        sock, p, database, t, nSh, runId, truncate, isolation, usr, pw,
+        attachPromote)
+      PgCopySink.lastStageSec = (t1 - t0) / 1e9
+      PgCopySink.lastPromoteSec = (System.nanoTime() - t1) / 1e9
     } else if (perPartition) {
       // close over plain fields, not `this`-heavy structures
       val (sock, p, database, t) = (sockDir, port, db, table)
@@ -115,13 +134,18 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
       val runId = java.util.UUID.randomUUID().toString.take(8)
       // clear staging leftovers (any epoch) of previous runs of this target
       PgCopySink.dropStaging(sock, p, database, t, usr, pw)
+      val t0 = System.nanoTime()
       d.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext)
           PgCopySink.copyPartitionStaged(sock, p, database, t, runId,
             org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw)
       }
+      val t1 = System.nanoTime()
       PgCopySink.lastPromoted = PgCopySink.promoteStaged(
-        sock, p, database, t, runId, truncate, isolation, usr, pw)
+        sock, p, database, t, runId, truncate, isolation, usr, pw,
+        attachPromote)
+      PgCopySink.lastStageSec = (t1 - t0) / 1e9
+      PgCopySink.lastPromoteSec = (System.nanoTime() - t1) / 1e9
     } else {
       val tmp = Files.createTempDirectory("graft_pgcopy").toFile
       d.write.mode("overwrite")
@@ -179,6 +203,14 @@ object PgCopySink {
     * connection cap through; a metrics sink would read the same). */
   @volatile var lastPromoted: Int = -1
 
+  /** Phase timing of the most recent perPartition/sharded write:
+    * executor COPY fan-out seconds vs promote seconds. The split is
+    * what the shard-scaling analysis reads — a flat total with a
+    * growing stage share means the promote, not the COPY, is the
+    * ceiling (measured in SCALE.md round-13). */
+  @volatile var lastStageSec: Double = -1
+  @volatile var lastPromoteSec: Double = -1
+
   private[sources] def pwEnv(password: String): Seq[(String, String)] =
     if (password.isEmpty) Nil else Seq("PGPASSWORD" -> password)
 
@@ -231,7 +263,7 @@ object PgCopySink {
   private[sources] def promoteStaged(sock: String, port: Int, db: String,
       table: String, runId: String, truncate: Boolean = false,
       isolation: String = "", user: String = "",
-      password: String = ""): Int = {
+      password: String = "", attach: Boolean = false): Int = {
     val stg = listStaging(sock, port, db, table, Some(runId), user, password)
     if (stg.isEmpty && truncate) {
       // empty input still clears the target: JDBC truncate=true under
@@ -240,13 +272,28 @@ object PgCopySink {
       psqlValue(sock, port, db, s"""TRUNCATE "$table"""", user, password)
     }
     if (stg.nonEmpty) {
-      // truncate participates in the SAME transaction as the inserts:
+      // truncate participates in the SAME transaction as the promote:
       // readers see the old table until commit, then only the new load
-      // — the atomic-overwrite form of JDBC truncate=true.
+      // — the atomic-overwrite form of JDBC truncate=true. (On the
+      // attach path TRUNCATE cascades to existing inheritance children,
+      // clearing prior segment loads too.)
       val trunc = if (truncate) Seq(s"""TRUNCATE "$table"""") else Nil
-      val inserts = stg.map(x => s"""INSERT INTO "$table" SELECT * FROM "$x"""")
-      val drop = s"DROP TABLE ${stg.map(x => s""""$x"""").mkString(", ")}"
-      val body = (trunc ++ inserts :+ drop).mkString("; ")
+      val body = if (attach) {
+        // zero-rewrite promote: each staged table becomes an
+        // inheritance child of the target (O(1) metadata — the COPY'd
+        // pages ARE the segment) and leaves the __stg_ namespace so the
+        // next run's dropStaging cannot reap it. Same one-transaction
+        // atomicity as the rewrite promote.
+        val attaches = stg.map { x =>
+          val seg = x.replace("__stg_", "__seg_")
+          s"""ALTER TABLE "$x" INHERIT "$table"; ALTER TABLE "$x" RENAME TO "$seg""""
+        }
+        (trunc ++ attaches).mkString("; ")
+      } else {
+        val inserts = stg.map(x => s"""INSERT INTO "$table" SELECT * FROM "$x"""")
+        val drop = s"DROP TABLE ${stg.map(x => s""""$x"""").mkString(", ")}"
+        (trunc ++ inserts :+ drop).mkString("; ")
+      }
       // explicit BEGIN only when an isolation level is requested; the
       // multi-statement simple query is already one implicit
       // transaction at the server default otherwise
@@ -351,34 +398,33 @@ object PgCopySink {
     } finally streams.foreach(s => if (s != null) s.finish())
   }
 
-  /** Promote EVERY shard's staged partitions in one transaction:
-    * truncates (if requested), inserts and staging drops for all N
-    * shard tables run as a single multi-statement simple query, so
-    * readers see the complete sharded load or none of it — same
-    * atomicity as the single-table promote, extended across shards. */
+  /** Promote every shard's staged partitions — N CONCURRENT per-shard
+    * promotes, each one atomic (its shard's truncate + inserts +
+    * staging drops are one transaction, so no shard is ever torn).
+    * Shards commit independently, exactly like JDBC's parallel INSERT
+    * connections commit independently: the promote is a second full
+    * write pass through one backend per target, and serializing all N
+    * through a single transaction made the promote THE single-writer
+    * bottleneck sharding exists to remove (measured: the 3M-entity
+    * N=4 sweep ran 2× slower than N=1 under the one-transaction
+    * promote; SCALE.md round-13 has the phase split). */
   private[sources] def promoteStagedSharded(sock: String, port: Int,
       db: String, table: String, shards: Int, runId: String,
       truncate: Boolean, isolation: String, user: String,
-      password: String): Int = {
-    val perShard = (0 until shards).map { i =>
-      val st = shardName(table, i)
-      (st, listStaging(sock, port, db, st, Some(runId), user, password))
+      password: String, attach: Boolean = false): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until shards).map { i =>
+      val th = new Thread(() => {
+        try n.addAndGet(promoteStaged(sock, port, db, shardName(table, i),
+          runId, truncate, isolation, user, password, attach))
+        catch { case e: Throwable => errs.add(e) }
+      }, s"graft-pg-promote-s$i")
+      th.start(); th
     }
-    val trunc = if (truncate)
-      perShard.map { case (st, _) => s"""TRUNCATE "$st"""" } else Nil
-    val inserts = perShard.flatMap { case (st, stg) =>
-      stg.map(x => s"""INSERT INTO "$st" SELECT * FROM "$x"""") }
-    val allStg = perShard.flatMap(_._2)
-    val drops = if (allStg.nonEmpty)
-      Seq(s"DROP TABLE ${allStg.map(x => s""""$x"""").mkString(", ")}") else Nil
-    val stmts = trunc ++ inserts ++ drops
-    if (stmts.nonEmpty) {
-      val body = stmts.mkString("; ")
-      val sql = if (isolation.nonEmpty)
-        s"BEGIN ISOLATION LEVEL $isolation; $body; COMMIT" else body
-      psqlValue(sock, port, db, sql, user, password)
-    }
-    allStg.size
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    n.get()
   }
 }
 

@@ -22,8 +22,14 @@ import graft.sources.{PgCopySink, PgDdl, PgServer}
   * shard-per-server layout keeps each entity's statements co-located
   * (the access pattern wikidata consumers join on).
   *
-  * Usage: runMain graft.wikidata.PgShardProbe <shards> [numPartitions]
-  *   (shards = 1 runs the unsharded single-table baseline path)
+  * Usage: runMain graft.wikidata.PgShardProbe <shards> [numPartitions] [promote]
+  *   shards = 1 runs the unsharded single-table baseline path;
+  *   shards = 0 runs NO sink at all (consume the frame row-by-row on
+  *   the executors) — the Spark-side floor, so writerSec(N) =
+  *   loadSec(N) − loadSec(0) isolates pure COPY+promote cost.
+  *   promote = rewrite (default) | attach — attach promotes staged
+  *   tables as inheritance children (zero data rewrite), the measured
+  *   answer to the rewrite promote being WAL/disk-bound.
   * Env: SPARK_GRAFT_WD_BZ2 points at a GenWd dump (unset = KB fixture),
   *   SPARK_GRAFT_CPUS, SPARK_GRAFT_KEEP_TABLES=1 to skip the drop.
   * Emits one PGSHARD JSON line with per-shard row counts (the
@@ -35,6 +41,7 @@ object PgShardProbe {
   def main(args: Array[String]): Unit = {
     val shards = if (args.nonEmpty) args(0).toInt else 2
     val parts = if (args.length > 1) args(1).toInt else 16
+    val attach = args.length > 2 && args(2) == "attach"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,31 +54,48 @@ object PgShardProbe {
 
     val t = "graft_wd_shardprobe"
     val tables =
-      if (shards > 1) (0 until shards).map(i => s"${t}_s$i") else Seq(t)
+      if (shards > 1) (0 until shards).map(i => s"${t}_s$i")
+      else if (shards == 1) Seq(t) else Seq.empty
     // fresh slate: base + shard tables of any earlier probe run
+    // (CASCADE reaps attach-mode segment children along with parents)
     (Seq(t) ++ (0 until 8).map(i => s"${t}_s$i")).foreach { x =>
-      PgServer.psql(s"""DROP TABLE IF EXISTS "$x"""")
+      PgServer.psql(s"""DROP TABLE IF EXISTS "$x" CASCADE""")
     }
     PgServer.psql(PgDdl.createTable(t, Etl.targetSchema))
 
     val load = Etl.loadFrame(spark)
-    val sink = PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
-      perPartition = true, numPartitions = parts,
-      shards = shards, shardCol = if (shards > 1) "id" else "")
+    val counted = spark.sparkContext.longAccumulator("probe_rows")
     val t0 = System.nanoTime()
-    sink.write(load)
+    if (shards == 0) {
+      // Spark-side floor: same frame, same coalesce, rows consumed on
+      // the executors, zero psql — what the writer math subtracts
+      val d = if (parts > 0) load.coalesce(parts) else load
+      d.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        var n = 0L
+        while (rows.hasNext) { rows.next(); n += 1 }
+        counted.add(n)
+      }
+    } else {
+      PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+        perPartition = true, numPartitions = parts,
+        shards = shards, shardCol = if (shards > 1) "id" else "",
+        attachPromote = attach).write(load)
+    }
     val sec = (System.nanoTime() - t0) / 1e9
 
     val perShard = tables.map(x =>
       PgServer.psql(s"""SELECT count(*) FROM "$x"""").get.toLong)
-    val rows = perShard.sum
-    println(s"""PGSHARD {"shards":$shards,"parts":$parts,"rows":$rows,""" +
+    val rows = if (shards == 0) counted.value.toLong else perShard.sum
+    println(s"""PGSHARD {"shards":$shards,"parts":$parts,""" +
+      s""""promote":"${if (attach) "attach" else "rewrite"}","rows":$rows,""" +
       s""""loadSec":${fmt(sec)},"rowsPerSec":${fmt(rows / sec)},""" +
+      s""""stageSec":${fmt(PgCopySink.lastStageSec)},""" +
+      s""""promoteSec":${fmt(PgCopySink.lastPromoteSec)},""" +
       s""""perShard":[${perShard.mkString(",")}]}""")
 
     if (!sys.env.get("SPARK_GRAFT_KEEP_TABLES").contains("1"))
       (Seq(t) ++ tables).distinct.foreach { x =>
-        PgServer.psql(s"""DROP TABLE IF EXISTS "$x"""")
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$x" CASCADE""")
       }
     spark.stop()
   }

@@ -189,7 +189,7 @@ class PgSpec extends AnyFunSuite {
   }
 
   test("sharded COPY fan-out: deterministic routing, total rows " +
-       "preserved, atomic cross-shard promote") {
+       "preserved, per-shard-atomic concurrent promote") {
     assume(PgServer.ensure(), "local Postgres unavailable")
     import org.apache.spark.sql.types._
     val t = "graft_pgspec_sharded"
@@ -232,8 +232,8 @@ class PgSpec extends AnyFunSuite {
       s"""SELECT count(*) FROM "${t}_s$i" WHERE o_custkey = $k""").get.toLong > 0)
     assert(hits === 1)
     // deterministic across runs: a truncate reload reproduces identical
-    // per-shard CONTENT (md5 over the sorted rows), and promote leaves
-    // no staging behind on any shard
+    // per-shard CONTENT (md5 over the sorted rows), and the concurrent
+    // per-shard promotes leave no staging behind on any shard
     val digests = (0 until nSh).map(shardDigest)
     PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
       perPartition = true, shards = nSh, shardCol = "o_custkey",
@@ -246,6 +246,49 @@ class PgSpec extends AnyFunSuite {
     (Seq(t) ++ (0 until nSh).map(i => s"${t}_s$i")).foreach { x =>
       PgServer.psql(s"""DROP TABLE IF EXISTS "$x"""")
     }
+  }
+
+  test("attach promote: zero-rewrite segment children read, truncate " +
+       "and append like one table") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    import org.apache.spark.sql.types._
+    val t = "graft_pgspec_attach"
+    val df = Tables.nation(spark, Spec.sf001)
+      .select(col("n_nationkey"), col("n_name")).repartition(4)
+    val n = df.count()
+    val names = df.orderBy("n_nationkey").collect()
+      .map(_.getString(1)).mkString(",")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType)))
+    PgServer.psql(s"""DROP TABLE IF EXISTS "$t" CASCADE""")
+    PgServer.psql(PgDdl.createTable(t, schema))
+    def count() = PgServer.psql(s"""SELECT count(*) FROM "$t"""").get.toLong
+    val sink = PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+      perPartition = true, attachPromote = true)
+    sink.write(df)
+    // reads see every row through the parent, content-identical...
+    assert(count() === n)
+    assert(PgServer.psql(
+      s"""SELECT string_agg(n_name, ',' ORDER BY n_nationkey) FROM "$t"""").get
+      === names)
+    // ...but the parent itself holds ZERO pages — the COPY'd staging
+    // tables became the segments, nothing was rewritten
+    assert(PgServer.psql(
+      s"""SELECT count(*) FROM ONLY "$t"""").get.toLong === 0L)
+    val segs = PgServer.psql(
+      s"""SELECT count(*) FROM pg_tables
+          WHERE tablename LIKE '$t\\_\\_seg\\_%'""").get.toLong
+    assert(segs > 0)
+    assert(PgServer.psql(
+      s"""SELECT count(*) FROM pg_tables
+          WHERE tablename LIKE '$t\\_\\_stg\\_%'""").get.toLong === 0L)
+    // truncate=true cascades to prior segments (overwrite), append appends
+    sink.copy(truncate = true).write(df)
+    assert(count() === n)
+    sink.write(df)
+    assert(count() === 2 * n)
+    PgServer.psql(s"""DROP TABLE "$t" CASCADE""")
   }
 
   test("JdbcSink user/password leg: scram-authenticated role through " +

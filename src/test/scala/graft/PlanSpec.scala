@@ -238,6 +238,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("dedup_incremental").contains("BroadcastHashJoin"))
   }
 
+  test("minhash band joins are equi and hot-band capped (clique→star)") {
+    // The LSH candidate joins must be band-equi (never a cross
+    // product), and both must carry the hot-band cap: one shared
+    // Window pass computes (bn, rep) and the cap literal gates the
+    // clique arm. An uncapped plan is quadratic under mass
+    // duplication — the 100 TB scale-killer the cap removes.
+    for (k <- Seq("dedup_near_minhash", "dedup_incremental")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$k: non-equi candidate join")
+      assert(p.contains("Window"), s"$k: hot-band annotation window missing")
+      assert(p.contains("1000"), s"$k: bucket cap literal missing from plan")
+    }
+  }
+
   test("dot_f resolves through GraftExtensions without manual registration") {
     import spark.implicits._
     val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")

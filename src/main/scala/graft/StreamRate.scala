@@ -80,10 +80,19 @@ object StreamRate {
     val changelog = sys.env.get("SPARK_GRAFT_SR_CHANGELOG").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Markers live in a RUN-SCOPED sibling dir (<ckpt>.markers), never
+    // the ckpt parent: with a user-supplied ckptDir like /tmp/foo,
+    // parent-dir markers would litter /tmp, collide between concurrent
+    // cluster runs, and a stale B<k> from a previous run could trigger
+    // the killer early. Cleared at startup so only THIS run's batches
+    // exist.
     val markerDir =
       if (master.startsWith("local")) None
-      else Some(java.nio.file.Paths.get(ckpt).toAbsolutePath.getParent)
-    markerDir.foreach(java.nio.file.Files.createDirectories(_))
+      else Some(java.nio.file.Paths.get(s"$ckpt.markers").toAbsolutePath)
+    markerDir.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+      java.nio.file.Files.createDirectories(d)
+    }
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)

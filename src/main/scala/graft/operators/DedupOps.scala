@@ -229,6 +229,51 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** Incremental corpus dedup — the production shape for a growing
+    * corpus: only the new DELTA is checked, against the BASE's
+    * persisted band index; base-vs-base never recomputes. Sides split
+    * by the same md5 bucket rule as split_train_test (delta = buckets
+    * 8-9, ~20%) so the split is deterministic and SF-independent. At
+    * 100 TB the base index is the stored table and the per-day cost is
+    * O(delta), not O(corpus).
+    *
+    * The broadcast hint reflects the REAL workload's invariant — a
+    * daily delta is orders of magnitude smaller than the corpus — not
+    * this fixture's 20% slice; if a delta outgrows the broadcast
+    * limit, drop the hint and the band-equi join degrades gracefully
+    * to a shuffle on the band keys (AQE re-picks from runtime sizes).
+    *
+    * Hot-band cap on the BASE side (the same clique→star rule as
+    * minhashPairs): a hot base bucket × a duplicated delta is the
+    * same quadratic shape as the self-join — D_delta × D_base rows
+    * through one bucket. Capping base membership to (cold buckets ∪
+    * hot-bucket representative) bounds any bucket's join cost to
+    * O(delta_bucket · cap). The rep is the bucket's MIN doc_id, so
+    * first_base_match is preserved for every delta doc that matched
+    * the hot bucket at all; n_base_matches undercounts only the
+    * non-rep members of hot buckets not reachable via a cold band —
+    * for a mega-duplicate base cluster (the case that makes buckets
+    * hot) the rep-match is exactly what the pipeline needs. */
+  def incrementalMatches(allDocs: DataFrame,
+      bucketCap: Int = MinhashBandCap): DataFrame = {
+    val docs = allDocs.withColumn("b", SampleOps.hashBucket)
+    val wBucket = Window.partitionBy("band", "bh")
+    val base = minhashBanded(docs.filter(col("b") < 8))
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .withColumn("rep", first(col("doc_id")).over(wBucket.orderBy("doc_id")))
+      .filter(col("bn") <= bucketCap || col("doc_id") === col("rep"))
+      .select(col("doc_id").as("base_id"),
+        col("band").as("band2"), col("bh").as("bh2"))
+    val delta = minhashBanded(docs.filter(col("b") >= 8))
+      .select(col("doc_id"), col("band"), col("bh"))
+    broadcast(delta)
+      .join(base, col("band") === col("band2") && col("bh") === col("bh2"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("base_id")).as("n_base_matches"),
+        min(col("base_id")).as("first_base_match"))
+      .orderBy("doc_id")
+  }
+
   /** Stored component labels — built ONCE per corpus snapshot from the
     * dedup_components fixpoint (path carries Stage.inputStamp so a
     * regenerated fixture rotates the cache), read by every consumer
@@ -296,49 +341,8 @@ object DedupOps {
       // with dedup_incremental via minhashBanded).
       minhashPairs(Tables.documents(s, d))),
 
-    "dedup_incremental" -> ((s, d) => {
-      // Incremental corpus dedup — the production shape for a growing
-      // corpus: only the new DELTA is checked, against the BASE's
-      // persisted band index; base-vs-base never recomputes. Sides
-      // split by the same md5 bucket rule as split_train_test (delta =
-      // buckets 8-9, ~20%) so the split is deterministic and
-      // SF-independent. At 100 TB the base index is the stored table
-      // and the per-day cost is O(delta), not O(corpus).
-      // The broadcast hint reflects the REAL workload's invariant — a
-      // daily delta is orders of magnitude smaller than the corpus —
-      // not this fixture's 20% slice; if a delta outgrows the
-      // broadcast limit, drop the hint and the band-equi join degrades
-      // gracefully to a shuffle on the band keys (AQE re-picks from
-      // runtime sizes).
-      // Hot-band cap on the BASE side (the same clique→star rule as
-      // minhashPairs): a hot base bucket × a duplicated delta is the
-      // same quadratic shape as the self-join — D_delta × D_base rows
-      // through one bucket. Capping base membership to (cold buckets ∪
-      // hot-bucket representative) bounds any bucket's join cost to
-      // O(delta_bucket · cap). The rep is the bucket's MIN doc_id, so
-      // first_base_match is preserved for every delta doc that matched
-      // the hot bucket at all; n_base_matches undercounts only the
-      // non-rep members of hot buckets not reachable via a cold band —
-      // for a mega-duplicate base cluster (the case that makes buckets
-      // hot) the rep-match is exactly what the pipeline needs.
-      val docs = Tables.documents(s, d)
-        .withColumn("b", SampleOps.hashBucket)
-      val wBucket = Window.partitionBy("band", "bh")
-      val base = minhashBanded(docs.filter(col("b") < 8))
-        .withColumn("bn", count(lit(1)).over(wBucket))
-        .withColumn("rep", first(col("doc_id")).over(wBucket.orderBy("doc_id")))
-        .filter(col("bn") <= MinhashBandCap || col("doc_id") === col("rep"))
-        .select(col("doc_id").as("base_id"),
-          col("band").as("band2"), col("bh").as("bh2"))
-      val delta = minhashBanded(docs.filter(col("b") >= 8))
-        .select(col("doc_id"), col("band"), col("bh"))
-      broadcast(delta)
-        .join(base, col("band") === col("band2") && col("bh") === col("bh2"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("base_id")).as("n_base_matches"),
-          min(col("base_id")).as("first_base_match"))
-        .orderBy("doc_id")
-    }),
+    "dedup_incremental" -> ((s, d) =>
+      incrementalMatches(Tables.documents(s, d))),
 
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d))),

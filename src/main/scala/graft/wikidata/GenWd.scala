@@ -30,7 +30,10 @@ package graft.wikidata
   * plain-text dump plus a bz2 twin (block-splittable, what the etl_*
   * ingest path reads). ~1.3 KB/entity → 1M entities ≈ 1.3 GB plain.
   *
-  * Usage: runMain graft.wikidata.GenWd <outDir> <nEntities> [partitions] [bz2only]
+  * Usage: runMain graft.wikidata.GenWd <outDir> <nEntities> [partitions] [flags]
+  *   flags: comma list of `bz2only` (skip the plain twin) and `zipf`
+  *   (power-law property + label-count skew instead of the default
+  *   80/20 two-band split — the realistic-dump twin for skew honesty)
   *   writes <outDir>/plain (NDJSON) and <outDir>/bz2 (same lines, bz2)
   * Point the queries at it with spark.graft.wd.path=<outDir>/plain
   * (or env SPARK_GRAFT_WD_NDJSON) and spark.graft.wd.bz2=<outDir>/bz2
@@ -106,7 +109,52 @@ object GenWd {
     if (fm(g, 5) < 4) s"P${1 + fm(g >>> 3, 9)}"
     else s"P${10 + fm(g >>> 3, 1991)}"
 
-  def entityJson(i: Long): String = {
+  // ---- zipf mode (round-14 verdict 2): the default two-band 80/20
+  // split understates the real dump's skew — property frequencies are
+  // a POWER LAW (P31-like ids on a large share of ALL statements, a
+  // long thin tail), and label counts are power-law too. The tables
+  // below are pure functions of (s, N): derive, never draw — the same
+  // entity index always produces the same dump line.
+
+  /** Zipf(s=1.1) CDF over the 2000-property id space. */
+  private val zipfCdf: Array[Double] = {
+    val n = 2000
+    val w = Array.tabulate(n)(r => math.pow(r + 1.0, -1.1))
+    val total = w.sum
+    val c = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += w(i) / total; c(i) = acc; i += 1 }
+    c(n - 1) = 1.0
+    c
+  }
+
+  /** Power-law extra-label-count CDF: p(k) ∝ (k+1)⁻² over 0..7 — most
+    * entities one label, a thin many-language tail (capped by the
+    * fixed lang pool; the real dump's hubs reach hundreds). */
+  private val labelCdf: Array[Double] = {
+    val w = Array.tabulate(8)(k => math.pow(k + 1.0, -2.0))
+    val total = w.sum
+    val c = new Array[Double](8)
+    var acc = 0.0
+    var i = 0
+    while (i < 8) { acc += w(i) / total; c(i) = acc; i += 1 }
+    c(7) = 1.0
+    c
+  }
+
+  /** 53-bit uniform in [0,1) from the mixed bits, then inverse CDF. */
+  private def invCdf(cdf: Array[Double], g: Long): Int = {
+    val u = (g >>> 11).toDouble / (1L << 53).toDouble
+    val i = java.util.Arrays.binarySearch(cdf, u)
+    if (i < 0) -i - 1 else i
+  }
+
+  private def pidZipf(g: Long): String = s"P${1 + invCdf(zipfCdf, g)}"
+
+  def entityJson(i: Long): String = entityJson(i, zipf = false)
+
+  def entityJson(i: Long, zipf: Boolean): String = {
     val qid = s"Q${i + 1}"
     val h = mix(i)
     val sb = new StringBuilder(1536)
@@ -115,7 +163,7 @@ object GenWd {
     // labels: 1–5 languages starting at a derived offset; every 97th
     // entity is label-less (fallback/diff coverage)
     if (i % 97 != 0) {
-      val nL = 1 + fm(h, 5)
+      val nL = if (zipf) 1 + invCdf(labelCdf, mix(h)) else 1 + fm(h, 5)
       val off = fm(h >>> 8, langs.length)
       val ls = (0 until nL).map { j =>
         val lg = langs((off + j) % langs.length)
@@ -150,7 +198,7 @@ object GenWd {
     var j = 0
     while (j < nP) {
       val gp = mix(i * 31 + j)
-      val p = pid(gp)
+      val p = if (zipf) pidZipf(gp) else pid(gp)
       val nS = 1 + fm(gp >>> 13, 3)
       var k = 0
       while (k < nS) {
@@ -202,12 +250,21 @@ object GenWd {
     // what the measured keys read anyway (Spark's text reader
     // decompresses .bz2 transparently, so SPARK_GRAFT_WD_NDJSON can
     // point at the bz2 dir too), and the disk budget is real.
-    val (out, n, parts, bz2only) = args match {
-      case Array(o, nn)         => (o, nn.toLong, 32, false)
-      case Array(o, nn, pp)     => (o, nn.toLong, pp.toInt, false)
-      case Array(o, nn, pp, m)  => (o, nn.toLong, pp.toInt, m == "bz2only")
-      case _ => sys.error("usage: GenWd <outDir> <nEntities> [partitions] [bz2only]")
+    // arg 4 is a comma-separated flag list: "bz2only" (skip the plain
+    // twin), "zipf" (power-law property + label-count skew — the
+    // realistic-dump twin; round-14 verdict 2). "bz2only,zipf" combines.
+    val (out, n, parts, flags) = args match {
+      case Array(o, nn)         => (o, nn.toLong, 32, Set.empty[String])
+      case Array(o, nn, pp)     => (o, nn.toLong, pp.toInt, Set.empty[String])
+      case Array(o, nn, pp, m)  => (o, nn.toLong, pp.toInt,
+        m.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      case _ => sys.error(
+        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf]]")
     }
+    val unknown = flags -- Set("bz2only", "zipf")
+    require(unknown.isEmpty, s"unknown GenWd flags: ${unknown.mkString(",")}")
+    val bz2only = flags("bz2only")
+    val zipf = flags("zipf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -216,11 +273,11 @@ object GenWd {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    def lines = spark.range(0, n, 1, parts).map(i => entityJson(i))
+    def lines = spark.range(0, n, 1, parts).map(i => entityJson(i, zipf))
     if (!bz2only) lines.write.mode("overwrite").text(s"$out/plain")
     lines.write.mode("overwrite").option("compression", "bzip2")
       .text(s"$out/bz2")
-    println(s"GENWD done n=$n out=$out")
+    println(s"GENWD done n=$n out=$out zipf=$zipf")
     spark.stop()
   }
 }

@@ -83,4 +83,29 @@ class WdTypedSpec extends AnyFunSuite {
     assert(st.filter(col("has_r")).count() > 0)
     st.unpersist()
   }
+
+  test("GenWd zipf mode: deterministic power-law property skew") {
+    import org.apache.spark.sql.functions._
+    import graft.wikidata.{EntitySchema, GenWd}
+    // still derive-never-draw, and a distinct dump from the default mode
+    assert(GenWd.entityJson(42L, zipf = true) === GenWd.entityJson(42L, zipf = true))
+    assert(GenWd.entityJson(42L, zipf = true) !== GenWd.entityJson(42L))
+    import spark.implicits._
+    val lines = spark.createDataset(
+      (0L until 2000L).map(i => GenWd.entityJson(i, zipf = true)))
+    val freq = spark.read.schema(EntitySchema.entity).json(lines)
+      .select(explode(col("claims")).as(Seq("pid", "sts")))
+      .select(col("pid"), size(col("sts")).as("n"))
+      .groupBy("pid").agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = freq.values.sum.toDouble
+    // Zipf(1.1, 2000): p(P1) ≈ 0.13 — the head property rides a large
+    // share of ALL statements (vs ~8.9% for each of the default mode's
+    // 9 hot pids), and the ranks decay monotonically in expectation
+    assert(freq("P1") / total > 0.10, s"P1 share ${freq("P1") / total}")
+    assert(freq("P1") > freq.getOrElse("P5", 0L))
+    assert(freq.getOrElse("P2", 0L) > freq.getOrElse("P50", 0L))
+    // the tail is still long — hundreds of distinct pids at 2k entities
+    assert(freq.size > 200, s"only ${freq.size} distinct pids")
+  }
 }

@@ -101,9 +101,11 @@ object StreamCrash {
           // 20 min apart — each batch's watermark closes the previous
           // burst's sessions
           val t0 = base + b * 20L * 60 * 1000
+          // div (integer) and timestamp_millis: `/` on longs is DOUBLE
+          // and a bigint→timestamp cast reads SECONDS, not millis
           spark.range(users.toLong * 10).select(
-            ((col("id") % 10) * 20000L + t0).cast("timestamp").as("ts"),
-            (col("id") / 10).as("user_id"))
+            timestamp_millis((col("id") % 10) * lit(20000L) + lit(t0)).as("ts"),
+            expr("id div 10").as("user_id"))
         case other => sys.error(s"unknown mode $other")
       }
       val stg = s"$inDir/_stg"

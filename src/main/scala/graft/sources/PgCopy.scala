@@ -44,7 +44,8 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
     password: String = "",
     shards: Int = 0,
     shardCol: String = "",
-    attachPromote: Boolean = false) extends Sink {
+    attachPromote: Boolean = false,
+    wire: Boolean = false) extends Sink {
   // JdbcSink option twins, each proven against live Postgres (r11
   // verdict task 5 — pgjdbc stays unresolvable offline, so the COPY
   // writer carries the option surface instead):
@@ -94,13 +95,19 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
   //    appended loads accumulate segment children (compaction is the
   //    production answer, same as any LSM-ish layout). Default stays
   //    the rewrite promote — the declared keys keep one physical table.
+  //  * wire — stream the executor-side COPY through the pure-JVM v3
+  //    wire client (PgWire) instead of a psql subprocess: drops the
+  //    psql-binary dependency on executor hosts (a real constraint on
+  //    container clusters); unix-socket/TCP reach is all that's
+  //    needed. Same staging/epoch/transaction semantics — PgSpec
+  //    asserts the two writers produce byte-identical tables.
   override def write(df: DataFrame): Unit = {
     val d = if (numPartitions > 0) df.coalesce(numPartitions) else df
     if (shards > 1) {
       require(perPartition, "sharded mode rides the per-partition fan-out")
       require(shardCol.nonEmpty, "sharded mode needs a shardCol to route by")
       val (sock, p, database, t) = (sockDir, port, db, table)
-      val (br, usr, pw, nSh) = (batchRows, user, password, shards)
+      val (br, usr, pw, nSh, wr) = (batchRows, user, password, shards, wire)
       val runId = java.util.UUID.randomUUID().toString.take(8)
       (0 until nSh).foreach { i =>
         val st = PgCopySink.shardName(t, i)
@@ -122,7 +129,7 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
       routed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext)
           PgCopySink.copyPartitionSharded(sock, p, database, t, nSh, runId,
-            org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw)
+            org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw, wr)
       }
       val t1 = System.nanoTime()
       PgCopySink.lastPromoted = PgCopySink.promoteStagedSharded(
@@ -133,7 +140,7 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
     } else if (perPartition) {
       // close over plain fields, not `this`-heavy structures
       val (sock, p, database, t) = (sockDir, port, db, table)
-      val (br, usr, pw) = (batchRows, user, password)
+      val (br, usr, pw, wr) = (batchRows, user, password, wire)
       // per-run epoch: promote only ever touches THIS run's staging
       // tables, so an old-epoch zombie committing between dropStaging
       // and promote can never be promoted
@@ -144,7 +151,7 @@ final case class PgCopySink(sockDir: String, port: Int, db: String,
       d.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext)
           PgCopySink.copyPartitionStaged(sock, p, database, t, runId,
-            org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw)
+            org.apache.spark.TaskContext.getPartitionId(), rows, br, usr, pw, wr)
       }
       val t1 = System.nanoTime()
       PgCopySink.lastPromoted = PgCopySink.promoteStaged(
@@ -310,15 +317,74 @@ object PgCopySink {
     stg.size
   }
 
-  /** One executor-side staged COPY stream: a psql subprocess whose
-    * whole script is one transaction (-1) — replace staging, COPY
-    * inline — so a task retry or speculative duplicate REPLACES the
-    * partition's staging rows rather than appending a second copy.
+  /** One executor-side staged COPY stream, two interchangeable
+    * transports (psql subprocess / pure-JVM wire client), one
+    * contract: the whole stream is one transaction that first replaces
+    * the partition's staging table, so a task retry or speculative
+    * duplicate REPLACES rather than appends; finish() commits and
+    * requires success; abort() guarantees nothing commits and nothing
+    * (process or socket) outlives the task. */
+  private sealed trait CopyStream {
+    def writeRow(r: org.apache.spark.sql.Row, nCols: Int): Unit
+    def finish(): Unit
+    def abort(): Unit
+  }
+
+  private def mkStream(wire: Boolean, sock: String, port: Int, db: String,
+      table: String, runId: String, partitionId: Int, batchRows: Int,
+      user: String, password: String): CopyStream =
+    if (wire) new WireStagedCopy(sock, port, db, table, runId, partitionId,
+      batchRows, user, password)
+    else new StagedCopy(sock, port, db, table, runId, partitionId,
+      batchRows, user, password)
+
+  /** Wire-transport staged COPY stream: BEGIN + staging replace + COPY
+    * FROM STDIN over one PgWire connection. batchRows ends and
+    * re-opens the COPY statement inside the same transaction, exactly
+    * like the psql twin. */
+  private final class WireStagedCopy(sock: String, port: Int, db: String,
+      table: String, runId: String, partitionId: Int, batchRows: Int,
+      user: String, password: String) extends CopyStream {
+    private val stg = stagingName(table, runId, partitionId)
+    private val copySql = s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '')"""
+    private val w = new PgWire(sock, port, db, user, password)
+    w.exec("BEGIN")
+    w.exec(s"""DROP TABLE IF EXISTS "$stg"; CREATE TABLE "$stg" (LIKE "$table")""")
+    w.copyInBegin(copySql)
+    private val sb = new java.lang.StringBuilder(256)
+    private var inBatch = 0
+
+    def writeRow(r: org.apache.spark.sql.Row, nCols: Int): Unit = {
+      if (batchRows > 0 && inBatch == batchRows) {
+        w.copyEnd(); w.copyInBegin(copySql); inBatch = 0
+      }
+      sb.setLength(0)
+      var i = 0
+      while (i < nCols) {
+        if (i > 0) sb.append(',')
+        sb.append(csvCell(r.get(i)))
+        i += 1
+      }
+      sb.append('\n')
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      w.copyData(bytes, 0, bytes.length)
+      inBatch += 1
+    }
+
+    def finish(): Unit =
+      try { w.copyEnd(); w.exec("COMMIT"); w.close() }
+      catch { case e: Throwable => w.closeAbort(); throw e }
+
+    def abort(): Unit = w.closeAbort()
+  }
+
+  /** psql-transport staged COPY stream: a subprocess whose whole
+    * script is one transaction (-1) — replace staging, COPY inline.
     * Factored out so the sharded writer can multiplex several of these
     * (one per shard touched) inside a single partition pass. */
   private final class StagedCopy(sock: String, port: Int, db: String,
       table: String, runId: String, partitionId: Int, batchRows: Int,
-      user: String, password: String) {
+      user: String, password: String) extends CopyStream {
     private val stg = stagingName(table, runId, partitionId)
     private val proc = {
       val pb = new java.lang.ProcessBuilder(
@@ -390,8 +456,9 @@ object PgCopySink {
   private def copyPartitionStaged(sock: String, port: Int, db: String,
       table: String, runId: String, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row],
-      batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
-    val s = new StagedCopy(sock, port, db, table, runId, partitionId,
+      batchRows: Int = 0, user: String = "", password: String = "",
+      wire: Boolean = false): Unit = {
+    val s = mkStream(wire, sock, port, db, table, runId, partitionId,
       batchRows, user, password)
     var failed = false
     try while (rows.hasNext) { val r = rows.next(); s.writeRow(r, r.length) }
@@ -408,15 +475,16 @@ object PgCopySink {
   private def copyPartitionSharded(sock: String, port: Int, db: String,
       table: String, shards: Int, runId: String, partitionId: Int,
       rows: Iterator[org.apache.spark.sql.Row],
-      batchRows: Int = 0, user: String = "", password: String = ""): Unit = {
-    val streams = new Array[StagedCopy](shards)
+      batchRows: Int = 0, user: String = "", password: String = "",
+      wire: Boolean = false): Unit = {
+    val streams = new Array[CopyStream](shards)
     var failed = false
     try {
       while (rows.hasNext) {
         val r = rows.next()
         val sh = r.getLong(r.length - 1).toInt
         if (streams(sh) == null)
-          streams(sh) = new StagedCopy(sock, port, db, shardName(table, sh),
+          streams(sh) = mkStream(wire, sock, port, db, shardName(table, sh),
             runId, partitionId, batchRows, user, password)
         streams(sh).writeRow(r, r.length - 1)
       }

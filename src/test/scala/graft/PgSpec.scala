@@ -327,4 +327,58 @@ class PgSpec extends AnyFunSuite {
     assert(asRole(s"""SELECT tableowner FROM pg_tables
         WHERE tablename = '$t'""") === "graft_pw")
   }
+
+  test("pure-JVM wire COPY writer twins the psql writer byte-identically") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    import org.apache.spark.sql.types._
+    // every CSV edge the writers must agree on: NULL vs empty string,
+    // embedded comma/quote/newline, the literal end-of-data marker \.
+    val df = Tables.part(spark, Spec.sf001)
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 7 === 0, null)
+          .when(col("p_partkey") % 13 === 0, lit(""))
+          .otherwise(col("p_name")).as("p_name"),
+        when(col("p_partkey") % 11 === 0, lit("\\."))
+          .otherwise(concat(col("p_brand"), lit(",\"x\"\nnl"))).as("tricky"))
+      .repartition(4)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("tricky", StringType)))
+    def digest(t: String) = PgServer.psql(
+      s"""SELECT count(*) || ':' || md5(string_agg(
+            p_partkey || '|' || coalesce(p_name, '<N>') || '|' || tricky,
+            ',' ORDER BY p_partkey)) FROM "$t"""").get
+    val digests = Seq(false, true).map { w =>
+      val t = if (w) "graft_pgspec_wire_jvm" else "graft_pgspec_wire_psql"
+      PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+      PgServer.psql(PgDdl.createTable(t, schema))
+      // batchRows exercises the COPY end/re-open inside one transaction
+      PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+        perPartition = true, batchRows = 100, wire = w).write(df)
+      digest(t)
+    }
+    assert(digests.head === digests(1))
+    assert(digests.head.startsWith(df.count().toString + ":"))
+    // sharded fan-out through the wire multiplexer matches psql too
+    val nSh = 2
+    val shardDigests = Seq(false, true).map { w =>
+      val t = if (w) "graft_pgspec_wire_sh_jvm" else "graft_pgspec_wire_sh_psql"
+      (Seq(t) ++ (0 until nSh).map(i => s"${t}_s$i")).foreach { x =>
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$x" CASCADE""")
+      }
+      PgServer.psql(PgDdl.createTable(t, schema))
+      PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+        perPartition = true, shards = nSh, shardCol = "p_partkey",
+        wire = w).write(df)
+      (0 until nSh).map(i => digest(s"${t}_s$i"))
+    }
+    assert(shardDigests.head === shardDigests(1))
+    Seq("graft_pgspec_wire_jvm", "graft_pgspec_wire_psql",
+      "graft_pgspec_wire_sh_jvm", "graft_pgspec_wire_sh_psql").foreach { t =>
+      PgServer.psql(s"""DROP TABLE IF EXISTS "$t" CASCADE""")
+      (0 until nSh).foreach(i =>
+        PgServer.psql(s"""DROP TABLE IF EXISTS "${t}_s$i" CASCADE"""))
+    }
+  }
 }

@@ -72,6 +72,15 @@ object Bench {
     // Optional comma-separated key filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Same guard as Verify (round 14): a typo'd or stale key list must
+    // fail loudly — a filter selecting zero keys "benches" nothing in
+    // 20 s and prints a clean-looking empty total.
+    only.foreach { ks =>
+      require(ks.nonEmpty, "SPARK_GRAFT_ONLY is set but selects no keys")
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(ks) => SparkEntry.queries.filter { case (k, _) => ks(k) }
       case None => SparkEntry.queries

@@ -373,58 +373,75 @@ object GraphOps {
       // the degeneracy-based community/quality filter (spam rings and
       // boilerplate farms survive deep cores; long-tail content does
       // not). Each round drops nodes whose CURRENT induced degree < k
-      // and recomputes degrees on the induced subgraph: one pair of
-      // node-keyed equi-joins + one degree aggregation per round, the
-      // threshold rides along as a broadcast 1-row scalar. Rounds are
+      // and recomputes degrees on the induced subgraph. Rounds are
       // FIXED (like PageRank's Iters) so the oracle replays the exact
-      // peel depth; full convergence at 100 TB = loop with the
-      // components fixpoint's change-count + checkpoint discipline.
+      // peel depth; full convergence at 100 TB = the converge gate
+      // below with the components fixpoint's change-count discipline.
+      //
+      // Round-14 restructure (found by the sf10 decade sweep): DELTA
+      // peeling — degrees are MAINTAINED, never recomputed. The old
+      // shape re-joined the FULL stored edge list against the alive
+      // set and re-aggregated all degrees every round; at sf10 (120M
+      // edges, the pinned 8g/32-task bench config) those repeated
+      // full-E sort-merge joins ran memory-bound (allocation stalls,
+      // 104-240 s bimodal walls, e(3→10) ≈ 1.9). The textbook
+      // distributed formulation instead subtracts, per round, each
+      // survivor's edges INTO the newly-dead set: deg_r(v) =
+      // deg_{r-1}(v) − |edges v→dead_{r-1}| restricted to survivors —
+      // identical by induction to the induced-subgraph recompute. Per
+      // round the edge list is only SCANNED (columnar parquet) and
+      // joined against the dead set — which AQE broadcasts once
+      // peeling converges (dead sets shrink fast; a huge first-round
+      // dead set degrades gracefully to one shuffle join, exactly the
+      // dedup_incremental doctrine) — and the evolving checkpointed
+      // frame is the NODE-sized degree table, never an edge-sized
+      // intermediate. An edge whose endpoints die in the same round
+      // needs no correction: both rows leave the degree frame before
+      // the subtraction joins back. The threshold is ONE driver-side
+      // scalar read (the documented per-round-scalar exception, like
+      // the components convergence count) instead of a per-round
+      // broadcast crossJoin re-running the percentile job.
       val e = edges(s, d)
       val dg = degrees(s, d)
-      val kdf = dg.agg(
+      val kth = dg.agg(
         ceil(expr("percentile(degree, 0.5)") * lit(0.7))
-          .cast(LongType).as("kth"))
-      // the alive set is one evolving frame (peeling only shrinks it) —
-      // chain the per-round checkpoints so a converge-mode run keeps
-      // two snapshots, not one per peel (the post-loop inducedDeg reads
-      // the LAST generation, which keep-last-2 preserves)
-      val ckS = Ckpt.chain()
-      def survivors(deg: DataFrame): DataFrame =
-        ckS.df(deg.crossJoin(broadcast(kdf))
-          .filter(col("degree") >= col("kth"))
-          .select("node"))
-      def inducedDeg(alive: DataFrame): DataFrame = {
-        val induced = e
-          .join(alive.select(col("node").as("a")), "a")
-          .join(alive.select(col("node").as("b")), "b")
-        induced.select(col("a").as("node"))
-          .union(induced.select(col("b").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("degree"))
+          .cast(LongType).as("kth")).head().getLong(0)
+      val ck = Ckpt.chain()
+      var deg = ck.df(dg)
+      def dead: DataFrame = deg.filter(col("degree") < kth).select("node")
+      // one peel step: survivors lose their edges into the dead set
+      def step(): Unit = {
+        val dd = dead
+        val delta = e.join(dd.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"))
+          .union(e.join(dd.withColumnRenamed("node", "b"), "b")
+            .select(col("a").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("minus"))
+        deg = ck.df(deg.filter(col("degree") >= kth)
+          .join(delta, Seq("node"), "left")
+          .select(col("node"),
+            (col("degree") - coalesce(col("minus"), lit(0L))).as("degree")))
       }
       // Config gate (spark.graft.kcore.converge=true): peel to the true
       // k-core fixed point instead of the oracle-replayable 3 rounds.
-      // Peeling is monotone (the alive set only shrinks), so an exact
-      // integer survivor-count equality IS set equality — the same
-      // change-count discipline as the components fixpoint; survivors()
-      // localCheckpoints each round, bounding lineage.
-      var alive = survivors(dg)
+      // Peeling is monotone, so an empty dead set IS the fixed point —
+      // the same exact-integer discipline as the components fixpoint.
       if (s.conf.get("spark.graft.kcore.converge", "false").toBoolean) {
         val cap = s.conf.get("spark.graft.kcore.maxRounds", "50").toInt
-        var n = alive.count()
         var rounds = 0
-        var done = false
-        while (!done && rounds < cap) {
-          val next = survivors(inducedDeg(alive))
-          val m = next.count()
-          done = m == n
-          alive = next
-          n = m
+        while (dead.limit(1).count() > 0 && rounds < cap) {
+          step()
           rounds += 1
         }
       } else {
-        for (_ <- 1 to KCoreRounds) alive = survivors(inducedDeg(alive))
+        for (_ <- 1 to KCoreRounds) step()
       }
-      inducedDeg(alive)
+      // final induction by the last survivor set (the old shape's
+      // trailing inducedDeg): drop the last dead generation's edges;
+      // nodes isolated by it leave the output (degree 0 never appears
+      // in an induced-degree aggregation)
+      step()
+      deg.filter(col("degree") > 0)
         .select(col("node"), col("degree").as("core_degree"))
         .orderBy("node")
     }),

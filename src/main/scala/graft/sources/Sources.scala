@@ -480,6 +480,39 @@ object Sources {
       }
     }),
 
+    "sink_pg_wire" -> ((s, d) => {
+      // The SAME round trip as sink_pg_copy, but every executor-side
+      // COPY stream speaks the v3 wire protocol directly (PgWire —
+      // no psql subprocess on executors), declared as its own
+      // oracle-gated key so the hash gate proves the transport is a
+      // pure mechanism choice: identical logical content either way.
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("n_orders", LongType),
+        StructField("total_price", DoubleType)))
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumMoney(col("o_totalprice")).as("total_price"))
+      if (PgServer.ensure()) {
+        val t = "graft_order_stats_wire"
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+        PgServer.psql(PgDdl.createTable(t, schema))
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+          perPartition = true, wire = true).write(agg)
+        val out = Stage.p(s, "graft_pg_wire_roundtrip.csv")
+        PgServer.psql(
+          s"""\\copy (SELECT * FROM "$t" ORDER BY o_orderstatus) TO '$out' WITH (FORMAT csv)""")
+        s.read.schema(schema).option("header", "false").csv(out)
+          .orderBy("o_orderstatus")
+      } else {
+        val out = Stage.p(s, "graft_sink_pg_wire_twin")
+        ParquetSink(out).write(agg)
+        s.read.parquet(out).orderBy("o_orderstatus")
+      }
+    }),
+
     "sink_pg_sharded" -> ((s, d) => {
       // Hash-sharded COPY fan-out as DECLARED surface (r12 verdict
       // task 1): the same load routed across 3 shard tables by
@@ -697,6 +730,13 @@ object Sources {
          GROUP BY n_name ORDER BY n_name""",
 
     "sink_pg_copy" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // transport choice, not a semantics choice: the wire-protocol
+    // writer must hash-match the psql writer's aggregate exactly
+    "sink_pg_wire" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
              CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

@@ -36,15 +36,90 @@ import org.apache.spark.sql.functions._
   *    rotation (copy dims and 0 coincide directionally) — acceptable
   *    for scale measurement, noted rather than hidden.
   *
-  * Usage: runMain graft.GenScale <srcDir> <dstDir> [k]
+  * `zipfdocs` flag (round-15 verdict 5 — the GenWd-zipf precedent
+  * applied to documents): the scaled corpus's text is REPLACED with a
+  * realistic crawl shape instead of key-shifted copies —
+  *  - token frequencies Zipf(s=1.1) over a 30k vocab (the default
+  *    corpus's near-uniform tokens understate tf-idf/BPE hot-token
+  *    skew);
+  *  - duplicate-cluster sizes power-law: 20% of docs are near-dups of
+  *    a head doc chosen by Zipf popularity over N/100 heads, so a few
+  *    boilerplate clusters are huge and the tail is single-copy —
+  *    exactly the mass-duplication shape the hot-band cap exists for;
+  *  - doc lengths power-law-ish (30–800 tokens);
+  *  - everything derived from the output doc index via the same
+  *    splitmix64 mixer (derive, never draw); lang/source/doc_id keep
+  *    the base fixture's distributions.
+  *
+  * Usage: runMain graft.GenScale <srcDir> <dstDir> [k] [zipfdocs]
   */
 object GenScale {
-  def main(args: Array[String]): Unit = {
-    val (src, dst, k) = args match {
-      case Array(s, d)     => (s, d, 10)
-      case Array(s, d, kk) => (s, d, kk.toInt)
-      case _ => sys.error("usage: GenScale <srcDir> <dstDir> [k]")
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private def fm(x: Long, m: Int): Int = java.lang.Math.floorMod(x, m.toLong).toInt
+
+  /** Zipf(s=1.1) CDF over the 30k-token vocab. */
+  private lazy val vocabCdf: Array[Double] = {
+    val n = 30000
+    val w = Array.tabulate(n)(r => math.pow(r + 1.0, -1.1))
+    val total = w.sum
+    val c = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += w(i) / total; c(i) = acc; i += 1 }
+    c(n - 1) = 1.0
+    c
+  }
+  private def invCdf(cdf: Array[Double], g: Long): Int = {
+    val u = (g >>> 11).toDouble / (1L << 53).toDouble
+    val i = java.util.Arrays.binarySearch(cdf, u)
+    if (i < 0) -i - 1 else i
+  }
+
+  /** Zipf-token body for one doc: power-law-ish length, every token an
+    * independent inverse-CDF draw off the mixed (seed, position). */
+  private def zipfBody(seed: Long): String = {
+    val g0 = mix(seed)
+    // length: u^-0.5 scaling gives a heavy-ish tail, clamped 30..800
+    val u = math.max(1e-6, (g0 >>> 11).toDouble / (1L << 53).toDouble)
+    val len = math.min(800, (30 * math.pow(u, -0.35)).toInt)
+    val sb = new StringBuilder(len * 6)
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(' ')
+      sb.append('w').append(invCdf(vocabCdf, mix(seed * 1315423911L + i)))
+      i += 1
     }
+    sb.toString
+  }
+
+  /** Doc text under zipfdocs: 20% of docs join a duplicate cluster
+    * whose head is Zipf-popular over nHeads — head text plus a tiny
+    * per-member suffix (near-dup, not exact), the rest are singleton
+    * zipf bodies. Cluster sizes inherit the head-popularity power law. */
+  private def zipfDocText(idx: Long, nHeads: Int, headCdf: Array[Double]): String = {
+    val g = mix(idx * 2654435761L)
+    if (fm(g, 5) == 0 && nHeads > 0) {
+      val head = invCdf(headCdf, mix(g))
+      zipfBody(0x5EED0000L + head) + " d" + (idx % 1000)
+    } else zipfBody(0x0D0C0000L + idx)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst, k, flags) = args match {
+      case Array(s, d)         => (s, d, 10, Set.empty[String])
+      case Array(s, d, kk)     => (s, d, kk.toInt, Set.empty[String])
+      case Array(s, d, kk, ff) => (s, d, kk.toInt,
+        ff.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      case _ => sys.error("usage: GenScale <srcDir> <dstDir> [k] [zipfdocs]")
+    }
+    val unknown = flags -- Set("zipfdocs")
+    require(unknown.isEmpty, s"unknown GenScale flags: ${unknown.mkString(",")}")
+    val zipfDocs = flags("zipfdocs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,6 +183,34 @@ object GenScale {
       .withColumn("event_id", shift("event_id"))
       .withColumn("user_id", shift("user_id")),
       "events", k)
+    if (zipfDocs) {
+      // zipf twin: same ids/lang/source population, realistic text
+      val nBase = t("documents").count()
+      val nTotal = nBase * k
+      val nHeads = math.max(1, (nTotal / 100).toInt)
+      val headCdf = {
+        val w = Array.tabulate(nHeads)(r => math.pow(r + 1.0, -1.1))
+        val total = w.sum
+        val c = new Array[Double](nHeads)
+        var acc = 0.0
+        var i = 0
+        while (i < nHeads) { acc += w(i) / total; c(i) = acc; i += 1 }
+        c(nHeads - 1) = 1.0
+        c
+      }
+      import spark.implicits._
+      val base = copies(t("documents"))
+        .withColumn("doc_id", shift("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[(Long, String, String)]
+      val docs = base.map { case (id, lang, source) =>
+        val text = zipfDocText(id, nHeads, headCdf)
+        (id, text, lang, source, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      docs.repartition(math.max(1, k / 2))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"GENSCALE documents done (zipfdocs, heads=$nHeads)")
+    } else
     write(copies(t("documents"))
       .withColumn("doc_id", shift("doc_id"))
       .withColumn("text",

@@ -40,6 +40,22 @@ object Stage {
   /** An engine-managed artifact path under the configured base. */
   def p(s: SparkSession, rel: String): String = s"${dir(s)}/$rel"
 
+  /** Like [[p]], but for scratch files written by an OS process
+    * (psql's `\copy TO` writes through the C library, not Hadoop): a
+    * schemeful stage dir (`hdfs://`, `s3a://`) would make psql write a
+    * literal `hdfs:/...` LOCAL path while the executor read looks in
+    * HDFS — silent divergence (round-15 advice). Fail fast instead;
+    * on clusters point the stage dir at a shared POSIX mount (NFS)
+    * for the pg round-trip keys, or leave it default. */
+  def posixP(s: SparkSession, rel: String): String = {
+    val base = dir(s)
+    require(!base.contains("://") && base.startsWith("/"),
+      s"$DirConf=$base is not a plain POSIX path; psql-written scratch " +
+      "files need a filesystem path visible to both the driver-host " +
+      "psql process and the executors (e.g. a shared NFS mount)")
+    s"$base/$rel"
+  }
+
   def fs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -21,7 +21,12 @@ import java.util.Locale
   *             in-horizon duplicate ids, event time +5 min/batch,
   *             10-min watermark;
   *  - session: session_window(5 min) MERGING state, per-user 10-event
-  *             bursts 20 min apart, 10-min watermark.
+  *             bursts 20 min apart, 10-min watermark;
+  *  - join / leftjoin (round-15 verdict 7): stream-stream
+  *             time-interval join over a FILE PAIR (left + right
+  *             source, batch-aligned via maxFilesPerTrigger=1) —
+  *             two-sided watermark state; leftjoin's null-padded rows
+  *             emit only when the watermark passes the join bound.
   *
   * Crash protocol (tools/streamcrash.sh drives it):
   *  1. CONTROL run: fresh work dir, runs all batches to completion.
@@ -82,9 +87,51 @@ object StreamCrash {
     val fs = Stage.fs(spark, inDir)
     val ready = new org.apache.hadoop.fs.Path(s"$inDir/_READY")
     if (fs.exists(ready)) return
+    // No _READY ⇒ either first run or a previous run died mid-gen.
+    // Regenerating over leftover bNNN.parquet files would make the
+    // renames below fail (rename onto an existing local-fs path
+    // returns false), silently keeping stale batches and breaking the
+    // control/crash input-identity assumption (round-15 advice) —
+    // start from an empty dir instead.
+    fs.delete(new org.apache.hadoop.fs.Path(inDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(inDir + "_right"), true)
     val users = math.max(100, rowsPerBatch / 10)
     fs.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+    def writeBatch(df: DataFrame, dir: String, b: Int): Unit = {
+      val stg = s"$dir/_stg"
+      df.coalesce(1).write.mode("overwrite").parquet(stg)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$stg/part-*"))
+        .head.getPath
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(f"$dir/b$b%03d.parquet")),
+        s"rename of batch $b input failed — stale file in $dir?")
+      fs.delete(new org.apache.hadoop.fs.Path(stg), true)
+    }
     (0 until batches).foreach { b =>
+      // join modes write a FILE PAIR per batch (left + right source);
+      // maxFilesPerTrigger=1 on each source keeps the two streams
+      // batch-aligned through control, crash, and resume alike
+      if (mode == "join" || mode == "leftjoin") {
+        val t0 = base + b * 10L * 60 * 1000
+        // left: fresh keys per batch, event times spread over 10 min
+        val left = spark.range(rowsPerBatch.toLong).select(
+          timestamp_millis(lit(t0) + (col("id") % 600) * lit(1000L)).as("ts"),
+          (col("id") + b.toLong * rowsPerBatch).as("k"),
+          (col("id") * 7 % 1000).as("lval"))
+        // right: 80% of left keys matched IN the 5-min join bound
+        // (rts = ts + ≤4 min); the id%5==0 keys have no right row —
+        // the outer-null arm the left_outer mode must emit once the
+        // watermark closes their window
+        val right = spark.range(rowsPerBatch.toLong)
+          .filter(col("id") % 5 =!= 0)
+          .select(
+            timestamp_millis(lit(t0) + (col("id") % 600) * lit(1000L)
+              + (col("id") % 240) * lit(1000L)).as("rts"),
+            (col("id") + b.toLong * rowsPerBatch).as("rk"),
+            (col("id") * 13 % 1000).as("rval"))
+        writeBatch(left, inDir, b)
+        writeBatch(right, inDir + "_right", b)
+      } else {
       val df = mode match {
         case "dedup" =>
           val t = new Timestamp(base + b * 5L * 60 * 1000)
@@ -108,12 +155,8 @@ object StreamCrash {
             expr("id div 10").as("user_id"))
         case other => sys.error(s"unknown mode $other")
       }
-      val stg = s"$inDir/_stg"
-      df.coalesce(1).write.mode("overwrite").parquet(stg)
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$stg/part-*"))
-        .head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(f"$inDir/b$b%03d.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(stg), true)
+      writeBatch(df, inDir, b)
+      }
     }
     fs.create(ready).close()
   }
@@ -144,8 +187,9 @@ object StreamCrash {
     })
     val in = spark.readStream
       .schema(mode match {
-        case "dedup" => "ts timestamp, event_id bigint"
-        case _       => "ts timestamp, user_id bigint"
+        case "dedup"             => "ts timestamp, event_id bigint"
+        case "join" | "leftjoin" => "ts timestamp, k bigint, lval bigint"
+        case _                   => "ts timestamp, user_id bigint"
       })
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/input")
@@ -153,6 +197,22 @@ object StreamCrash {
       case "dedup" =>
         in.withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("event_id")
+      case "join" | "leftjoin" =>
+        // stream-stream time-interval join — TWO-SIDED watermark state
+        // (each side buffers rows until the other side's watermark
+        // clears the 5-min bound), the one stateful shape the crash
+        // battery had not covered (round-15 verdict 7). left_outer
+        // additionally emits null-padded rows only when the watermark
+        // PASSES the bound — state-timeout-driven output, the hardest
+        // thing to replay exactly-once across a driver kill.
+        val right = spark.readStream
+          .schema("rts timestamp, rk bigint, rval bigint")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$dir/input_right")
+        in.withWatermark("ts", "10 minutes")
+          .join(right.withWatermark("rts", "10 minutes"),
+            expr("k = rk AND rts >= ts AND rts <= ts + interval 5 minutes"),
+            if (mode == "join") "inner" else "left_outer")
       case _ =>
         in.withWatermark("ts", "10 minutes")
           .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))

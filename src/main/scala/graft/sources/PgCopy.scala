@@ -348,9 +348,16 @@ object PgCopySink {
     private val stg = stagingName(table, runId, partitionId)
     private val copySql = s"""COPY "$stg" FROM STDIN WITH (FORMAT csv, NULL '')"""
     private val w = new PgWire(sock, port, db, user, password)
-    w.exec("BEGIN")
-    w.exec(s"""DROP TABLE IF EXISTS "$stg"; CREATE TABLE "$stg" (LIKE "$table")""")
-    w.copyInBegin(copySql)
+    // Setup runs in the constructor, BEFORE the stream is handed to the
+    // caller — a throw here (bad table name, permission) would escape
+    // mkStream with no owner to abort() it, leaking the socket and its
+    // Postgres backend on a long-lived executor (round-15 advice). Drop
+    // the connection ourselves and let the original exception win.
+    try {
+      w.exec("BEGIN")
+      w.exec(s"""DROP TABLE IF EXISTS "$stg"; CREATE TABLE "$stg" (LIKE "$table")""")
+      w.copyInBegin(copySql)
+    } catch { case e: Throwable => w.closeAbort(); throw e }
     private val sb = new java.lang.StringBuilder(256)
     private var inBatch = 0
 
@@ -668,6 +675,37 @@ object PgServer {
       if (su(s"grep -qF '$rule' $hba") != 0) {
         require(su(s"sed -i '1i $rule' $hba") == 0, "hba prepend")
         require(psql("SELECT pg_reload_conf()").isDefined, "reload")
+      }
+      true
+    }.getOrElse(false)
+  }
+
+  /** Round-15 verdict 2: expose the server on 127.0.0.1 with the
+    * password role forced through scram-sha-256 over TCP — the
+    * default-configured-remote-server shape the pure-JVM wire client
+    * must reach. listen_addresses needs a restart (not a reload), so
+    * this restarts the instance once if it is socket-only; tests run
+    * sequentially against this server, so the bounce is safe. */
+  def ensureTcpScram(name: String, pw: String): Boolean = synchronized {
+    if (!ensurePasswordRole(name, pw)) return false
+    Try {
+      val hba = s"$dataDir/pg_hba.conf"
+      val rule = s"host all $name 127.0.0.1/32 scram-sha-256"
+      if (su(s"grep -qF '$rule' $hba") != 0) {
+        require(su(s"sed -i '1i $rule' $hba") == 0, "hba prepend")
+        require(psql("SELECT pg_reload_conf()").isDefined, "reload")
+      }
+      val listening = Try {
+        val s = new java.net.Socket()
+        try { s.connect(new java.net.InetSocketAddress("127.0.0.1", port), 500); true }
+        finally s.close()
+      }.getOrElse(false)
+      if (!listening) {
+        require(su(s"pg_ctl -D $dataDir stop -m fast >/dev/null") == 0, "stop")
+        require(su(s"pg_ctl -D $dataDir -o '-p $port -k $sockDir " +
+          s"-c listen_addresses=127.0.0.1' -l /tmp/graft_pg.log start " +
+          ">/dev/null") == 0, "restart with tcp")
+        require(psql("SELECT 1").contains("1"), "post-restart psql")
       }
       true
     }.getOrElse(false)

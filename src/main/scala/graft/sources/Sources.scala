@@ -468,7 +468,7 @@ object Sources {
         // set spark.graft.stage.dir to a POSIX path shared by driver
         // and executors (NFS; an HDFS URI won't work here — psql
         // writes through the OS filesystem, not Hadoop).
-        val out = Stage.p(s, "graft_pg_roundtrip.csv")
+        val out = Stage.posixP(s, "graft_pg_roundtrip.csv")
         PgServer.psql(
           s"""\\copy (SELECT * FROM "$t" ORDER BY o_orderstatus) TO '$out' WITH (FORMAT csv)""")
         s.read.schema(schema).option("header", "false").csv(out)
@@ -501,7 +501,7 @@ object Sources {
         PgServer.psql(PgDdl.createTable(t, schema))
         PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
           perPartition = true, wire = true).write(agg)
-        val out = Stage.p(s, "graft_pg_wire_roundtrip.csv")
+        val out = Stage.posixP(s, "graft_pg_wire_roundtrip.csv")
         PgServer.psql(
           s"""\\copy (SELECT * FROM "$t" ORDER BY o_orderstatus) TO '$out' WITH (FORMAT csv)""")
         s.read.schema(schema).option("header", "false").csv(out)
@@ -542,7 +542,7 @@ object Sources {
           shards = 3, shardCol = "o_custkey").write(agg)
         // driver-host psql writes, executors read: Stage.p + shared
         // POSIX dir on multi-host clusters (see sink_pg_copy)
-        val out = Stage.p(s, "graft_pg_sharded_roundtrip.csv")
+        val out = Stage.posixP(s, "graft_pg_sharded_roundtrip.csv")
         val union = (0 until 3)
           .map(i => s"""SELECT * FROM "${t}_s$i"""").mkString(" UNION ALL ")
         PgServer.psql(
@@ -581,7 +581,7 @@ object Sources {
           attachPromote = true).write(agg)
         // driver-host psql writes, executors read: Stage.p + shared
         // POSIX dir on multi-host clusters (see sink_pg_copy)
-        val out = Stage.p(s, "graft_pg_attach_roundtrip.csv")
+        val out = Stage.posixP(s, "graft_pg_attach_roundtrip.csv")
         PgServer.psql(
           s"""\\copy (SELECT * FROM "$t" ORDER BY o_custkey) TO '$out' WITH (FORMAT csv)""")
         s.read.schema(schema).option("header", "false").csv(out)

@@ -49,5 +49,12 @@ object EntitySchema {
       StructField("title", StringType),
       StructField("badges", ArrayType(StringType)))))),
     StructField("lastrevid", LongType),
-    StructField("modified", StringType)))
+    StructField("modified", StringType),
+    // Redirect stubs (round-15 verdict 3): the public dump carries
+    // redirected entities as {"id":"Q…","redirect":"Q…"} lines with no
+    // labels/claims. Parsing the field lets the family surface a
+    // (from, to) relation (wd_redirects) and route stubs OUT of the
+    // entity surface instead of silently loading them as empty
+    // entities — an importer needs the mapping for id resolution.
+    StructField("redirect", StringType)))
 }

@@ -157,6 +157,12 @@ object GenWd {
   def entityJson(i: Long, zipf: Boolean): String = {
     val qid = s"Q${i + 1}"
     val h = mix(i)
+    // every 23rd entity is a redirect stub (~4.3%, the real dump's
+    // order of magnitude): no labels/claims, just the (from, to)
+    // relation. Target is derived < i+1 so it always names an earlier,
+    // existing, non-self entity — deterministic like everything else.
+    if (i % 23 == 7)
+      return s"""{"type":"item","id":"$qid","redirect":"Q${fm(h, i.toInt) + 1}","lastrevid":${1000 + i},"modified":"2024-01-01T00:00:00Z"}"""
     val sb = new StringBuilder(1536)
     sb.append(s"""{"type":"item","id":"$qid"""")
 

@@ -40,10 +40,48 @@ object Wd {
     s.conf.getOption("spark.graft.wd.path")
       .orElse(sys.env.get("SPARK_GRAFT_WD_NDJSON"))
 
-  /** Parse the NDJSON with the explicit entity schema. */
+  /** Conf-gated split-size autoscaling (round-15 verdict 6; OFF by
+    * default so the driver gate's plans are untouched). The zipf probe
+    * measured wd_property_stats' residual e≈1.2 as partly PER-TASK
+    * VOLUME at the fixture's fixed bz2 split count: Spark packs the
+    * whole dump into ~(bytes / maxPartitionBytes) read tasks, so a
+    * dump much smaller than cpus×128 MB under-parallelizes the parse —
+    * shrinking maxPartitionBytes recovered ~12% in the probe. With
+    * `spark.graft.wd.autosplit=true` (or SPARK_GRAFT_WD_AUTOSPLIT=1)
+    * the session's maxPartitionBytes is set to input/(4×parallelism),
+    * clamped to [4 MiB, 128 MiB] — at 100 TB the clamp leaves the
+    * default untouched; on probe-sized dumps every core gets work.
+    * Session-wide side effect by design: the SQL conf is the only
+    * per-scan split control Spark exposes. */
+  private[wikidata] def autosplit(s: SparkSession, path: String): Unit = {
+    val on = s.conf.getOption("spark.graft.wd.autosplit")
+      .orElse(sys.env.get("SPARK_GRAFT_WD_AUTOSPLIT"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (!on) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val target = math.min(128L << 20, math.max(4L << 20, bytes / (4L * par)))
+    s.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+  }
+
+  /** Parse the NDJSON with the explicit entity schema — EVERY dump
+    * line, including redirect stubs. Use [[entities]] for the entity
+    * surface; this raw frame exists for the redirect relation. */
+  def entitiesRaw(s: SparkSession): DataFrame = {
+    val path = dumpOverride(s).getOrElse(ensureFixture(s))
+    autosplit(s, path)
+    s.read.schema(EntitySchema.entity).json(path)
+  }
+
+  /** The entity surface: redirect stubs routed OUT (they carry no
+    * labels/claims and must not appear as empty entities — round-15
+    * verdict 3). The filter is a codegen'd null check on the scan,
+    * free at any scale; explode-based keys were already stub-blind
+    * (null maps produce no rows), per-entity keys now agree. */
   def entities(s: SparkSession): DataFrame =
-    s.read.schema(EntitySchema.entity)
-      .json(dumpOverride(s).getOrElse(ensureFixture(s)))
+    entitiesRaw(s).filter(col("redirect").isNull)
 
   /** Claims flatten core (unsorted): one row per statement mainsnak,
     * raw JSON payload preserved. Parameterized on the entity frame so
@@ -92,6 +130,16 @@ object Wd {
     // mainsnak as one row, with the raw JSON payload preserved.
     "wd_claims_flatten" -> ((s, _) =>
       claimsFlatten(entities(s)).orderBy("id", "pid", "statement_id")),
+
+    // Redirect relation (round-15 verdict 3): the (from, to) mapping an
+    // importer resolves ids through. One filtered projection of the raw
+    // dump scan — no shuffle but the output sort; at 100 TB this is the
+    // cheapest key in the family (redirects are ~5% of dump lines).
+    "wd_redirects" -> ((s, _) =>
+      entitiesRaw(s)
+        .filter(col("redirect").isNotNull)
+        .select(col("id"), col("redirect").as("target"), col("lastrevid"))
+        .orderBy("id")),
 
     "wd_property_stats" -> ((s, _) => {
       // Per-property dump profile — the warehouse stats page a Wikidata
@@ -327,7 +375,18 @@ object Wd {
                         format='newline_delimited',
                         columns={id: 'VARCHAR', type: 'VARCHAR',
                                  labels: 'JSON', claims: 'JSON',
-                                 sitelinks: 'JSON', lastrevid: 'BIGINT'})
+                                 sitelinks: 'JSON', lastrevid: 'BIGINT',
+                                 redirect: 'VARCHAR'})
+         WHERE redirect IS NULL
+         ORDER BY id""",
+
+    "wd_redirects" ->
+      """SELECT id, redirect AS target, lastrevid
+         FROM read_json('/tmp/graft_wd_entities.ndjson',
+                        format='newline_delimited',
+                        columns={id: 'VARCHAR', redirect: 'VARCHAR',
+                                 lastrevid: 'BIGINT'})
+         WHERE redirect IS NOT NULL
          ORDER BY id""",
 
     "wd_claims_widen" ->
@@ -361,8 +420,9 @@ object Wd {
          FROM read_json('/tmp/graft_wd_entities.ndjson',
                         format='newline_delimited',
                         columns={id: 'VARCHAR', labels: 'JSON',
-                                 lastrevid: 'BIGINT'})
-         WHERE lastrevid % 7 <> 0
+                                 lastrevid: 'BIGINT',
+                                 redirect: 'VARCHAR'})
+         WHERE lastrevid % 7 <> 0 AND redirect IS NULL
          ORDER BY id""",
 
     // Same sorted lang:value signature built through DuckDB's JSON
@@ -378,7 +438,9 @@ object Wd {
            FROM read_json('/tmp/graft_wd_entities.ndjson',
                           format='newline_delimited',
                           columns={id: 'VARCHAR', labels: 'JSON',
-                                   lastrevid: 'BIGINT'})),
+                                   lastrevid: 'BIGINT',
+                                   redirect: 'VARCHAR'})
+           WHERE redirect IS NULL),
          v1 AS (SELECT id, sig AS sig1 FROM base WHERE lastrevid % 3 <> 0),
          v2 AS (SELECT id, sig || (CASE WHEN lastrevid % 2 = 0
                                         THEN '|r2' ELSE '' END) AS sig2
@@ -488,7 +550,8 @@ object Wd {
       """WITH ent AS (
            SELECT id, labels FROM read_json('/tmp/graft_wd_entities.ndjson',
              format='newline_delimited',
-             columns={id: 'VARCHAR', labels: 'JSON'})),
+             columns={id: 'VARCHAR', labels: 'JSON', redirect: 'VARCHAR'})
+           WHERE redirect IS NULL),
          ranked AS (
            SELECT id, lang,
                   json_extract_string(labels, '$.' || lang || '.value') AS label,

@@ -763,7 +763,14 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("wd fixture goldens: 10 entities, 21 label rows, claim profile") {
+    // redirect stubs (Q8→Q2, Q9→Q42) surface ONLY in wd_redirects —
+    // the entity scan stays at 10, stubs never load as empty entities
     assert(q("scan_ndjson_entities").count() === 10L)
+    val redir = q("wd_redirects").collect()
+    assert(redir.map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("Q8", "Q2"), ("Q9", "Q42")))
+    assert(!q("wd_labels_fallback").collect()
+      .exists(r => Set("Q8", "Q9")(r.getString(0))))
     val flat = q("wd_entity_flatten").collect()
     assert(flat.length === 21)
     // Q6 has no labels → absent from flatten but present in scan

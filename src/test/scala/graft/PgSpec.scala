@@ -105,6 +105,15 @@ class PgSpec extends AnyFunSuite {
     // the >38-digit quantity stayed NULL after try_cast, raw preserved
     val q4amt = rows.filter(r => r.getString(0) == "Q4" && r.getString(2) == "P1114")
     assert(q4amt.forall(_.isNullAt(9)))
+    // redirect split: stubs (Q8, Q9) never appear as statement rows...
+    assert(!rows.exists(r => Set("Q8", "Q9")(r.getString(0))))
+    // ...and when the live server ran, they landed in the redirects
+    // side-table with their targets intact
+    if (graft.sources.PgServer.ensure()) {
+      assert(graft.sources.PgServer.psql(
+        """SELECT id || '>' || target FROM graft_wd_redirects
+           ORDER BY id""").get.linesIterator.toSeq === Seq("Q8>Q2", "Q9>Q42"))
+    }
   }
 
   test("sink_pg_copy query round-trips through Postgres (or its twin)") {
@@ -376,6 +385,91 @@ class PgSpec extends AnyFunSuite {
     assert(shardDigests.head === shardDigests(1))
     Seq("graft_pgspec_wire_jvm", "graft_pgspec_wire_psql",
       "graft_pgspec_wire_sh_jvm", "graft_pgspec_wire_sh_psql").foreach { t =>
+      PgServer.psql(s"""DROP TABLE IF EXISTS "$t" CASCADE""")
+      (0 until nSh).foreach(i =>
+        PgServer.psql(s"""DROP TABLE IF EXISTS "${t}_s$i" CASCADE"""))
+    }
+  }
+
+  test("wire client authenticates via SCRAM-SHA-256 over TCP and the " +
+       "full sink works through it (flat + sharded)") {
+    assume(PgServer.ensure(), "local Postgres unavailable")
+    assume(PgServer.ensureTcpScram("graft_pw", "graft-secret"),
+      "tcp+scram setup unavailable")
+    import graft.sources.PgWire
+    // the hba rule actually bites over TCP: a wrong password must fail
+    // the SASL exchange, not fall through to trust
+    intercept[Exception] {
+      new PgWire("127.0.0.1", PgServer.port, PgServer.db,
+        "graft_pw", "wrong-secret").close()
+    }
+    // right password: the full RFC 7677 exchange (SASL → continue →
+    // final with server-signature verification) completes and the
+    // connection is usable for DDL/DML
+    val w = new PgWire("127.0.0.1", PgServer.port, PgServer.db,
+      "graft_pw", "graft-secret")
+    w.exec("SELECT 1")
+    w.close()
+    // the unix-socket leg hits the same scram rule (local hba entry
+    // from ensurePasswordRole) — same exchange, different transport
+    val wl = new PgWire(PgServer.sockDir, PgServer.port, PgServer.db,
+      "graft_pw", "graft-secret")
+    wl.exec("SELECT 1")
+    wl.close()
+    // end-to-end: the pure-JVM wire sink over TCP+scram twins the
+    // psql writer byte-identically, flat and sharded — the
+    // default-configured-remote-server deployment the client exists for
+    val df = Tables.nation(spark, Spec.sf001)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    def digest(t: String) = PgServer.psql(
+      s"""SELECT count(*) || ':' || md5(string_agg(
+            n_nationkey || '|' || n_name || '|' || n_regionkey,
+            ',' ORDER BY n_nationkey)) FROM "$t"""").get
+    // flat: wire/TCP/scram vs psql/socket/trust
+    val flatDigests = Seq(
+      ("graft_pgspec_scram_wire", true), ("graft_pgspec_scram_psql", false))
+      .map { case (t, wire) =>
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+        PgServer.psql(PgDdl.createTable(t, schema))
+        PgServer.psql(s"""GRANT ALL ON TABLE "$t" TO graft_pw""")
+        if (wire)
+          PgCopySink("127.0.0.1", PgServer.port, PgServer.db, t,
+            perPartition = true, wire = true, user = "graft_pw",
+            password = "graft-secret").write(df)
+        else
+          PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+            perPartition = true).write(df)
+        digest(t)
+      }
+    assert(flatDigests.head === flatDigests(1))
+    assert(flatDigests.head.startsWith(df.count().toString + ":"))
+    // sharded fan-out through the scram-authenticated wire multiplexer
+    val nSh = 2
+    val shardDigests = Seq(
+      ("graft_pgspec_scram_sh_wire", true),
+      ("graft_pgspec_scram_sh_psql", false)).map { case (t, wire) =>
+      (Seq(t) ++ (0 until nSh).map(i => s"${t}_s$i")).foreach { x =>
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$x" CASCADE""")
+      }
+      PgServer.psql(PgDdl.createTable(t, schema))
+      PgServer.psql(s"""GRANT ALL ON TABLE "$t" TO graft_pw""")
+      if (wire)
+        PgCopySink("127.0.0.1", PgServer.port, PgServer.db, t,
+          perPartition = true, shards = nSh, shardCol = "n_nationkey",
+          wire = true, user = "graft_pw", password = "graft-secret").write(df)
+      else
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+          perPartition = true, shards = nSh, shardCol = "n_nationkey").write(df)
+      (0 until nSh).map(i => digest(s"${t}_s$i"))
+    }
+    assert(shardDigests.head === shardDigests(1))
+    Seq("graft_pgspec_scram_wire", "graft_pgspec_scram_psql",
+      "graft_pgspec_scram_sh_wire", "graft_pgspec_scram_sh_psql").foreach { t =>
       PgServer.psql(s"""DROP TABLE IF EXISTS "$t" CASCADE""")
       (0 until nSh).foreach(i =>
         PgServer.psql(s"""DROP TABLE IF EXISTS "${t}_s$i" CASCADE"""))

@@ -249,7 +249,17 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), s"$k: non-equi candidate join")
       assert(p.contains("Window"), s"$k: hot-band annotation window missing")
-      assert(p.contains("1000"), s"$k: bucket cap literal missing from plan")
+      // anchor to the cap PREDICATE, not a bare "1000" (which any
+      // stray literal/statistic could satisfy — round-15 advice):
+      // near_minhash splits into a cold arm (bn <= cap) and a hot arm
+      // (bn > cap ∧ doc ≠ rep); incremental folds both into one
+      // base-side filter (bn <= cap) OR (doc = rep). Check the exact
+      // shape each key plans.
+      assert(p.contains("<= 1000"), s"$k: cold-arm cap filter missing")
+      if (k == "dedup_near_minhash")
+        assert(p.contains("> 1000"), s"$k: hot-arm cap filter missing")
+      else
+        assert(p.contains("= rep#"), s"$k: hot-band rep retention missing")
     }
   }
 

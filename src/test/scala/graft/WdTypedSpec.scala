@@ -60,8 +60,21 @@ class WdTypedSpec extends AnyFunSuite {
     val df = spark.read.schema(EntitySchema.entity).json(lines)
     assert(df.count() === 500)
     assert(df.filter(col("id").isNull).count() === 0)
-    // label-less entities exist (every 97th) — the fallback-path food
-    assert(df.filter(col("labels").isNull).count() === 500L / 97 + 1)
+    // label-less entities exist (every 97th) — the fallback-path food.
+    // Redirect stubs (every 23rd, round-15) are also label-less by
+    // construction, so count them separately from the real entities.
+    assert(df.filter(col("labels").isNull && col("redirect").isNull)
+      .count() === 500L / 97 + 1)
+    // redirect stubs: deterministic fraction, targets always earlier
+    // (numerically smaller) entities — never self, never dangling
+    val redir = df.filter(col("redirect").isNotNull)
+      .select(col("id"), col("redirect")).collect()
+    assert(redir.length === 22) // |{i in [0,500) : i % 23 == 7}|
+    assert(redir.forall { r =>
+      val from = r.getString(0).drop(1).toLong
+      val to = r.getString(1).drop(1).toLong
+      to >= 1 && to < from
+    })
     val st = df
       .select(explode(col("claims")).as(Seq("pid", "sts")))
       .select(explode(col("sts")).as("st"))

@@ -9,6 +9,9 @@
 #
 # Usage: tools/streamcrash.sh [rowsPerBatch] [batches] [crashAfter]
 #   defaults: 1000000 10 4
+#   SPARK_GRAFT_SC_MODES overrides the mode list (default
+#   "dedup session join leftjoin" — join/leftjoin are the round-15
+#   stream-stream two-sided-watermark shapes)
 # Output: /tmp/graft_streamcrash/<mode>_cl<N>/{ctl,crash}/; one
 # STREAMCRASH line per completed run/check prints to stdout.
 set -e
@@ -36,7 +39,7 @@ submit() { # submit <logfile> <extra-env...> -- <args...>
 }
 
 overall=0
-for MODE in dedup session; do
+for MODE in ${SPARK_GRAFT_SC_MODES:-dedup session join leftjoin}; do
   for CL in 0 1; do
     D="$BASE/${MODE}_cl$CL"
     echo "=== $MODE changelog=$CL ==="

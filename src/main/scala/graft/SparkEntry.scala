@@ -20,6 +20,7 @@ object SparkEntry {
       graft.functions.Udfs.queries ++
       graft.sources.Sources.queries ++
       graft.wikidata.Wd.queries ++
+      graft.wikidata.Lexemes.queries ++
       graft.wikidata.TypedValues.queries ++
       graft.wikidata.Etl.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.functions.Udfs.oracles ++
       graft.sources.Sources.oracles ++
       graft.wikidata.Wd.oracles ++
+      graft.wikidata.Lexemes.oracles ++
       graft.wikidata.TypedValues.oracles ++
       graft.wikidata.Etl.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++

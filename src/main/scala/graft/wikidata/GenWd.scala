@@ -250,6 +250,54 @@ object GenWd {
     sb.toString
   }
 
+  /** One deterministic lexeme dump line (round-15: the L-entity twin
+    * of entityJson, public Wikibase lexeme JSON format). Same
+    * derive-never-draw rule: every field is a pure function of i. */
+  def lexemeJson(i: Long): String = {
+    val lid = s"L${i + 1}"
+    val h = mix(i ^ 0x1E1EAE5EL)
+    val sb = new StringBuilder(768)
+    val nLem = 1 + fm(h, 3)
+    val off = fm(h >>> 4, langs.length)
+    val lems = (0 until nLem).map { j =>
+      val lg = langs((off + j) % langs.length)
+      s""""$lg":${langValue(lg, s"lem $lid $lg")}"""
+    }
+    sb.append(s"""{"type":"lexeme","id":"$lid","lemmas":{${lems.mkString(",")}}""")
+    sb.append(s""","lexicalCategory":"Q${Array(24905, 1084, 34698)(fm(h >>> 7, 3))}"""")
+    sb.append(s""","language":"Q${Array(1860, 188, 150, 5146)(fm(h >>> 9, 4))}"""")
+    // occasional claims, reusing the statement generator
+    if (fm(h >>> 11, 3) == 0)
+      sb.append(s""","claims":{"P5402":[{"mainsnak":${snak("P5402", mix(h + 7))},"type":"statement","id":"$lid${"$"}st0","rank":"normal"}]}""")
+    else sb.append(""","claims":{}""")
+    val nF = fm(h >>> 13, 6) // 0..5 forms
+    val fs = (0 until nF).map { j =>
+      val gf = mix(i * 53 + j)
+      val nRep = 1 + fm(gf, 2)
+      val reps = (0 until nRep).map { r =>
+        val lg = langs((off + j + r) % langs.length)
+        s""""$lg":${langValue(lg, s"rep $lid F${j + 1} $lg")}"""
+      }
+      val nFeat = fm(gf >>> 4, 4)
+      val feats = (0 until nFeat).map(f => s""""Q${3910000 + fm(mix(gf + f), 9000)}"""")
+      s"""{"id":"$lid-F${j + 1}","representations":{${reps.mkString(",")}},"grammaticalFeatures":[${feats.mkString(",")}],"claims":{}}"""
+    }
+    sb.append(s""","forms":[${fs.mkString(",")}]""")
+    val nS = fm(h >>> 17, 4) // 0..3 senses
+    val ss = (0 until nS).map { j =>
+      val gs = mix(i * 97 + j)
+      val nG = 1 + fm(gs, 2)
+      val gls = (0 until nG).map { r =>
+        val lg = langs((off + j + r) % langs.length)
+        s""""$lg":${langValue(lg, s"gloss $lid S${j + 1} $lg")}"""
+      }
+      s"""{"id":"$lid-S${j + 1}","glosses":{${gls.mkString(",")}},"claims":{}}"""
+    }
+    sb.append(s""","senses":[${ss.mkString(",")}]""")
+    sb.append(s""","lastrevid":${3000 + i},"modified":"2024-02-01T00:00:00Z"}""")
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     // bz2only (arg 4, literal "bz2only"): skip the plain twin. The
     // 10M-entity point would be ~17 GB plain — the bz2 (~2.5 GB) is
@@ -265,12 +313,13 @@ object GenWd {
       case Array(o, nn, pp, m)  => (o, nn.toLong, pp.toInt,
         m.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       case _ => sys.error(
-        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf]]")
+        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf[,lexemes]]]")
     }
-    val unknown = flags -- Set("bz2only", "zipf")
+    val unknown = flags -- Set("bz2only", "zipf", "lexemes")
     require(unknown.isEmpty, s"unknown GenWd flags: ${unknown.mkString(",")}")
     val bz2only = flags("bz2only")
     val zipf = flags("zipf")
+    val lexemes = flags("lexemes") // emit a lexeme dump instead of entities
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -279,7 +328,8 @@ object GenWd {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    def lines = spark.range(0, n, 1, parts).map(i => entityJson(i, zipf))
+    def lines = spark.range(0, n, 1, parts).map(i =>
+      if (lexemes) lexemeJson(i) else entityJson(i, zipf))
     if (!bz2only) lines.write.mode("overwrite").text(s"$out/plain")
     lines.write.mode("overwrite").option("compression", "bzip2")
       .text(s"$out/bz2")

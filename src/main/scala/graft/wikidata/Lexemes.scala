@@ -1,0 +1,145 @@
+package graft.wikidata
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexeme (L-) entity support — the lexemes dump's lemmas / forms /
+  * senses surfaces (round-15 verdict missing-item 3; shapes from the
+  * public Wikibase lexeme JSON format). A separate dump file from the
+  * item/property dump, so it gets its own fixture, override, and
+  * flatten keys; the relational outputs are what a dictionary-building
+  * consumer loads (one row per lemma, per form representation, per
+  * sense gloss).
+  *
+  * At 100 TB (the lexeme dump is actually ~1 GB, but the plan shape is
+  * the family's): explicit-schema json scan, codegen'd posexplode
+  * chains, no shuffle until the output sort — identical scaling
+  * posture to the entity flatteners, which carry the measured
+  * evidence.
+  */
+object Lexemes {
+  /** Fixed path so the DuckDB oracle reads the same bytes. */
+  val fixturePath = "/tmp/graft_wd_lexemes.ndjson"
+
+  def ensureFixture(s: SparkSession): String = synchronized {
+    val in = getClass.getResourceAsStream("/wd_lexemes.ndjson")
+    require(in != null, "wd_lexemes.ndjson missing from classpath")
+    try graft.Stage.write(s, fixturePath, in.readAllBytes())
+    finally in.close()
+    fixturePath
+  }
+
+  /** Scale-measurement override, same contract as Wd.dumpOverride. */
+  def dumpOverride(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.wd.lexemes")
+      .orElse(sys.env.get("SPARK_GRAFT_WD_LEXEMES"))
+
+  def lexemes(s: SparkSession): DataFrame = {
+    val path = dumpOverride(s).getOrElse(ensureFixture(s))
+    Wd.autosplit(s, path)
+    s.read.schema(EntitySchema.lexeme).json(path)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // One row per (lexeme, lemma language) — the headword surface,
+    // with the structural counts a consumer filters on.
+    "wd_lexemes_flatten" -> ((s, _) =>
+      lexemes(s)
+        .select(col("id"),
+          col("lexicalCategory").as("lex_cat"),
+          col("language").as("lex_lang"),
+          coalesce(size(col("forms")), lit(0)).as("n_forms"),
+          coalesce(size(col("senses")), lit(0)).as("n_senses"),
+          explode(col("lemmas")).as(Seq("lang", "lv")))
+        .select(col("id"), col("lex_cat"), col("lex_lang"), col("lang"),
+          col("lv.value").as("lemma"), col("n_forms"), col("n_senses"))
+        .orderBy("id", "lang")),
+
+    // One row per (form, representation language): form position kept
+    // (posexplode), grammatical features as a SORTED join (set
+    // semantics — dump order of features is not a contract).
+    "wd_lexeme_forms" -> ((s, _) =>
+      lexemes(s)
+        .select(col("id"), posexplode(col("forms")).as(Seq("fpos", "f")))
+        .select(col("id"), col("f.id").as("form_id"), col("fpos"),
+          coalesce(size(col("f.grammaticalFeatures")), lit(0)).as("n_features"),
+          coalesce(array_join(array_sort(col("f.grammaticalFeatures")), ","),
+            lit("")).as("features"),
+          explode(col("f.representations")).as(Seq("lang", "rv")))
+        .select(col("id"), col("form_id"), col("fpos"), col("lang"),
+          col("rv.value").as("representation"),
+          col("n_features"), col("features"))
+        .orderBy("id", "fpos", "lang")),
+
+    // One row per (sense, gloss language), sense position kept.
+    "wd_lexeme_senses" -> ((s, _) =>
+      lexemes(s)
+        .select(col("id"), posexplode(col("senses")).as(Seq("spos", "sn")))
+        .select(col("id"), col("sn.id").as("sense_id"), col("spos"),
+          explode(col("sn.glosses")).as(Seq("lang", "gv")))
+        .select(col("id"), col("sense_id"), col("spos"), col("lang"),
+          col("gv.value").as("gloss"))
+        .orderBy("id", "spos", "lang"))
+  )
+
+  // Language codes can carry hyphens (en-gb, de-at), so every json
+  // path interpolation quotes the key: '$."' || lang || '".value'.
+  val oracles: Map[String, String] = Map(
+    "wd_lexemes_flatten" ->
+      """SELECT id, lexicalCategory AS lex_cat, language AS lex_lang, lang,
+             json_extract_string(lemmas, '$."' || lang || '".value') AS lemma,
+             CAST(coalesce(json_array_length(forms), 0) AS INTEGER) AS n_forms,
+             CAST(coalesce(json_array_length(senses), 0) AS INTEGER) AS n_senses
+         FROM (
+           SELECT id, lexicalCategory, language, lemmas, forms, senses,
+                  unnest(json_keys(lemmas)) AS lang
+           FROM read_json('/tmp/graft_wd_lexemes.ndjson',
+                          format='newline_delimited',
+                          columns={id: 'VARCHAR', lexicalCategory: 'VARCHAR',
+                                   language: 'VARCHAR', lemmas: 'JSON',
+                                   forms: 'JSON', senses: 'JSON'})
+         ) ORDER BY id, lang""",
+
+    "wd_lexeme_forms" ->
+      """WITH lex AS (
+           SELECT id, forms FROM read_json('/tmp/graft_wd_lexemes.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', forms: 'JSON'})),
+         f AS (SELECT id,
+                 unnest(CAST(forms AS JSON[])) AS fj,
+                 unnest(range(0, CAST(coalesce(json_array_length(forms), 0) AS BIGINT))) AS fpos
+               FROM lex),
+         r AS (SELECT id, fpos,
+                 json_extract_string(fj, '$.id') AS form_id, fj,
+                 unnest(json_keys(json_extract(fj, '$.representations'))) AS lang
+               FROM f)
+         SELECT id, form_id, CAST(fpos AS INTEGER) AS fpos, lang,
+             json_extract_string(fj, '$.representations."' || lang || '".value')
+               AS representation,
+             CAST(coalesce(json_array_length(fj, '$.grammaticalFeatures'), 0)
+               AS INTEGER) AS n_features,
+             coalesce(array_to_string(list_sort(
+               CAST(json_extract(fj, '$.grammaticalFeatures') AS VARCHAR[])), ','), '')
+               AS features
+         FROM r ORDER BY id, fpos, lang""",
+
+    "wd_lexeme_senses" ->
+      """WITH lex AS (
+           SELECT id, senses FROM read_json('/tmp/graft_wd_lexemes.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', senses: 'JSON'})),
+         sn AS (SELECT id,
+                  unnest(CAST(senses AS JSON[])) AS sj,
+                  unnest(range(0, CAST(coalesce(json_array_length(senses), 0) AS BIGINT))) AS spos
+                FROM lex),
+         g AS (SELECT id, spos,
+                 json_extract_string(sj, '$.id') AS sense_id, sj,
+                 unnest(json_keys(json_extract(sj, '$.glosses'))) AS lang
+               FROM sn)
+         SELECT id, sense_id, CAST(spos AS INTEGER) AS spos, lang,
+             json_extract_string(sj, '$.glosses."' || lang || '".value') AS gloss
+         FROM g ORDER BY id, spos, lang"""
+  )
+}

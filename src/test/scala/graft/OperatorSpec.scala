@@ -874,6 +874,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("wd lexeme goldens: lemmas, forms (sorted features), senses") {
+    // fixture: L1..L5 — 6 lemma rows (L3 is de + de-at), 8 form-rep
+    // rows (L2-F1 has en + en-gb; L3 has no forms), 8 gloss rows
+    val lem = q("wd_lexemes_flatten").collect()
+    assert(lem.length === 6)
+    val l3 = lem.filter(_.getString(0) == "L3")
+    assert(l3.map(_.getString(3)).toSeq === Seq("de", "de-at"))
+    assert(l3.forall(r => r.getInt(5) === 0 && r.getInt(6) === 1)) // no forms, 1 sense
+    val forms = q("wd_lexeme_forms").collect()
+    assert(forms.length === 8)
+    // multi-feature form joins SORTED (set semantics, not dump order)
+    val f2 = forms.filter(_.getString(1) == "L1-F2")
+    assert(f2.length === 1 && f2.head.getString(6) === "Q3910936,Q51929074")
+    // hyphenated language codes survive both engines' json paths
+    assert(forms.exists(r => r.getString(1) == "L2-F1" && r.getString(3) == "en-gb"))
+    assert(forms.filter(_.getString(0) == "L3").isEmpty)
+    val senses = q("wd_lexeme_senses").collect()
+    assert(senses.length === 8)
+    assert(senses.filter(_.getString(0) == "L4").isEmpty) // senseless lexeme
+    assert(senses.count(_.getString(1) == "L1-S1") === 2) // en + de glosses
+  }
+
   test("wd_labels_fallback: one row per entity, en wins when present") {
     val rows = q("wd_labels_fallback").collect()
     val perEntity = q("scan_ndjson_entities").collect()

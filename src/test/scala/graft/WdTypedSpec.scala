@@ -75,6 +75,17 @@ class WdTypedSpec extends AnyFunSuite {
       val to = r.getString(1).drop(1).toLong
       to >= 1 && to < from
     })
+    // lexeme twin: deterministic, parses completely under the lexeme
+    // schema, exercises forms/senses presence and absence
+    assert(GenWd.lexemeJson(42L) === GenWd.lexemeJson(42L))
+    val lexLines = spark.createDataset((0L until 300L).map(GenWd.lexemeJson))
+    val ldf = spark.read.schema(EntitySchema.lexeme).json(lexLines)
+    assert(ldf.count() === 300)
+    assert(ldf.filter(col("id").isNull).count() === 0)
+    assert(ldf.filter(col("lemmas").isNull).count() === 0) // every lexeme has a lemma
+    assert(ldf.filter(size(col("forms")) > 0).count() > 0)
+    assert(ldf.filter(size(col("forms")) === 0).count() > 0)
+    assert(ldf.filter(size(col("senses")) > 0).count() > 0)
     val st = df
       .select(explode(col("claims")).as(Seq("pid", "sts")))
       .select(explode(col("sts")).as("st"))

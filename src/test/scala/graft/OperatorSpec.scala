@@ -771,12 +771,19 @@ class OperatorSpec extends AnyFunSuite {
       === Seq(("Q8", "Q2"), ("Q9", "Q42")))
     assert(!q("wd_labels_fallback").collect()
       .exists(r => Set("Q8", "Q9")(r.getString(0))))
+    // resolution: Q5's P361 -> Q8 rewrites to Q2; direct targets pass
+    val res = q("wd_statements_resolved").collect()
+    val q5 = res.filter(_.getString(0) == "Q5")
+    assert(q5.length === 1 && q5.head.getString(3) === "Q8"
+      && q5.head.getString(4) === "Q2" && q5.head.getBoolean(5))
+    assert(res.filter(!_.getBoolean(5))
+      .forall(r => r.getString(3) == r.getString(4)))
     val flat = q("wd_entity_flatten").collect()
     assert(flat.length === 21)
     // Q6 has no labels → absent from flatten but present in scan
     assert(!flat.map(_.getString(0)).contains("Q6"))
     val claims = q("wd_claims_flatten").collect()
-    assert(claims.length === 16)
+    assert(claims.length === 17)
     // truthy: preferred shadows normal per (id,pid); deprecated never shows
     val truthy = q("wd_statements_truthy").collect()
     val q1p580 = truthy.filter(r => r.getString(0) == "Q1" && r.getString(1) == "P580")

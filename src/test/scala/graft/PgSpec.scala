@@ -94,7 +94,7 @@ class PgSpec extends AnyFunSuite {
   test("etl_wikidata_pg composes the full dump->Postgres pipeline") {
     val rows = SparkEntry.queries("etl_wikidata_pg")(spark, Spec.sf001).collect()
     // one row per statement in the fixture (incl. somevalue/novalue snaks)
-    assert(rows.length === 16)
+    assert(rows.length === 17)
     val byId = rows.groupBy(_.getString(0))
     assert(byId("Q42").forall(_.getString(1) === "Douglas Adams"))
     // entity without labels: en_label survives as NULL through the load

@@ -33,6 +33,12 @@ object Multimodal {
     "img_0002.bin" -> Array.tabulate(777)(i => ((i * 31 + 5) % 253).toByte),
     "aud_0001.bin" -> Array.tabulate(2048)(i => ((i * 17 + 99) % 249).toByte))
 
+  /** Hot-bucket cap for the pHash LSH self-join — same clique→star
+    * threshold as the minhash/simhash family (DedupOps.MinhashBandCap):
+    * a (band, key) bucket beyond this degrades to a star around its
+    * min-doc_id representative, O(bucket) not O(bucket²). */
+  private val PhashBandCap = 1000
+
   private def sha256Hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
       .map(x => f"${x & 0xff}%02x").mkString
@@ -184,8 +190,18 @@ object Multimodal {
       // derive the IDENTICAL candidate set from the same bands, so the
       // probabilistic recall never touches the hash gate. At 100 TB
       // the band join shuffles (band, key) buckets of ~N/2¹⁰ docs;
-      // hot buckets (giant near-dup clusters) get the dedup_simhash
-      // star-capping discipline.
+      // hot buckets (giant near-dup clusters — one logo, 10⁶ copies)
+      // get the dedup_near_minhash clique→star cap (round-16): a
+      // (band, key) bucket over the cap pairs members only with the
+      // bucket's min-doc_id representative, bounding its join cost to
+      // O(bucket) instead of O(bucket²). Exact copies share an
+      // identical pHash, so every member still pairs with the rep at
+      // hamming 0 and the radius-5 drop set multimodal_dedup consumes
+      // stays complete for them; a genuinely-near-but-unequal pair
+      // inside a hot bucket survives iff any of its 5 other bands is
+      // cold — the same bounded recall loss the minhash family
+      // documents. One (bd, key) shuffle feeds both window passes AND
+      // the cold self-join.
       import s.implicits._
       val media = Tables.documents(s, d)
         .filter(length(col("text")) > 0)
@@ -197,13 +213,28 @@ object Multimodal {
           explode(sequence(lit(0), lit(5))).as("bd"))
         .withColumn("key",
           expr("shiftright(phash, bd * 10)").bitwiseAND(lit(1023L)))
-      val l = bands.select(col("bd"), col("key"),
+      val wBucket = Window.partitionBy("bd", "key")
+      val wOrd = wBucket.orderBy("doc_id")
+      val annotated = bands
+        .withColumn("bn", count(lit(1)).over(wBucket))
+        .withColumn("rep", first(col("doc_id")).over(wOrd))
+        .withColumn("rephash", first(col("phash")).over(wOrd))
+      val cold = annotated.filter(col("bn") <= PhashBandCap)
+      val l = cold.select(col("bd"), col("key"),
         col("doc_id").as("a"), col("phash").as("ha"))
-      val r = bands.select(col("bd").as("bd2"), col("key").as("key2"),
+      val r = cold.select(col("bd").as("bd2"), col("key").as("key2"),
         col("doc_id").as("bid"), col("phash").as("hb"))
-      l.join(r, col("bd") === col("bd2") && col("key") === col("key2") &&
-          col("a") < col("bid"))
-        .select(col("a"), col("bid"), col("ha"), col("hb")).distinct()
+      val coldPairs = l.join(r,
+          col("bd") === col("bd2") && col("key") === col("key2") &&
+            col("a") < col("bid"))
+        .select(col("a"), col("bid"), col("ha"), col("hb"))
+      // hot band → star around the min-doc_id rep; rep < member by
+      // construction, so a < b holds without a join
+      val hotPairs = annotated
+        .filter(col("bn") > PhashBandCap && col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("bid"),
+          col("rephash").as("ha"), col("phash").as("hb"))
+      coldPairs.union(hotPairs).distinct()
         .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(IntegerType))
         .filter(col("hamming") <= 14)
         .select(col("a"), col("bid").as("b"), col("hamming"))
@@ -215,9 +246,13 @@ object Multimodal {
       // near-duplicates: every doc that is the higher-id side of a
       // pair within Hamming radius 5, where the 6×10-bit banding's
       // recall is 1.0 BY CONSTRUCTION (≤5 dirty bits can dirty at
-      // most 5 of 6 bands) — so unlike the radius-14 reporting tail,
-      // the drop set is complete and deterministic, which is what
-      // lets an apply step (and its oracle) exist at all. One
+      // most 5 of 6 bands). The hot-bucket star cap composes with
+      // this: an exact-copy mega-cluster keeps every member paired
+      // with its rep at hamming 0, so all non-rep members still drop;
+      // a near-but-unequal pair inside a hot bucket drops via any of
+      // its cold bands (the minhash family's documented bounded loss).
+      // Deterministic either way — the oracle replays the identical
+      // cap — which is what lets an apply step exist at all. One
       // broadcast-able anti-join against the rare-duplicate slice —
       // the dedup_apply / dedup_semantic_apply production shape.
       val drop = queries("multimodal_phash")(s, d)
@@ -345,9 +380,21 @@ object Multimodal {
                           bd
                    FROM (SELECT doc_id, phash,
                                 unnest(range(0, 6)) AS bd FROM ph)),
-         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         ann AS (SELECT doc_id, phash, key, bd,
+                        count(*) OVER (PARTITION BY bd, key) AS bn,
+                        min(doc_id) OVER (PARTITION BY bd, key) AS rep,
+                        first_value(phash) OVER (PARTITION BY bd, key
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS rephash
+                 FROM bands),
+         cold AS (SELECT x.doc_id AS a, y.doc_id AS b,
                          x.phash AS ha, y.phash AS hb
-                  FROM bands x JOIN bands y
+                  FROM ann x JOIN ann y
                     ON x.bd = y.bd AND x.key = y.key
-                   AND x.doc_id < y.doc_id)"""
+                   AND x.doc_id < y.doc_id
+                  WHERE x.bn <= 1000 AND y.bn <= 1000),
+         hot AS (SELECT rep AS a, doc_id AS b, rephash AS ha, phash AS hb
+                 FROM ann WHERE bn > 1000 AND doc_id <> rep),
+         cand AS (SELECT DISTINCT a, b, ha, hb FROM
+                  (SELECT * FROM cold UNION ALL SELECT * FROM hot))"""
 }

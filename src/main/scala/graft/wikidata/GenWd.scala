@@ -49,6 +49,7 @@ object GenWd {
     x ^ (x >>> 31)
   }
   private def fm(x: Long, m: Int): Int = java.lang.Math.floorMod(x, m.toLong).toInt
+  private def fmL(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
 
   private val langs = Array("en", "de", "fr", "es", "zh", "ru", "ja", "pt")
   private val sites = Array("enwiki", "dewiki", "frwiki", "eswiki")
@@ -161,8 +162,16 @@ object GenWd {
     // order of magnitude): no labels/claims, just the (from, to)
     // relation. Target is derived < i+1 so it always names an earlier,
     // existing, non-self entity — deterministic like everything else.
-    if (i % 23 == 7)
-      return s"""{"type":"item","id":"$qid","redirect":"Q${fm(h, i.toInt) + 1}","lastrevid":${1000 + i},"modified":"2024-01-01T00:00:00Z"}"""
+    // Long modulus (never i.toInt — a >2³¹-entity dump would flip the
+    // modulus negative), and a target landing on a stub index steps
+    // back one: Wikibase forbids double redirects, so generated dumps
+    // must honor the single-hop invariant wd_statements_resolved
+    // documents (round-15 advice 2+3).
+    if (i % 23 == 7) {
+      var t = fmL(h, i)
+      if (t % 23 == 7) t -= 1 // first stub index is 7, so t-1 >= 6 stays valid
+      return s"""{"type":"item","id":"$qid","redirect":"Q${t + 1}","lastrevid":${1000 + i},"modified":"2024-01-01T00:00:00Z"}"""
+    }
     val sb = new StringBuilder(1536)
     sb.append(s"""{"type":"item","id":"$qid"""")
 

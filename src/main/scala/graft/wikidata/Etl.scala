@@ -71,8 +71,10 @@ object Etl {
     val bz2 = s.conf.getOption("spark.graft.wd.bz2")
       .orElse(sys.env.get("SPARK_GRAFT_WD_BZ2"))
       .getOrElse(ensureBz2(s))
-    Wd.autosplit(s, bz2)
-    s.read.schema(EntitySchema.entity).json(bz2)
+    // shared dump reader (round-16): the composed ETL accepts the
+    // array-wrapped public dump layout too — format auto-detected
+    // from the first decompressed byte, autosplit stays per-scan
+    Wd.readDump(s, bz2, EntitySchema.entity)
   }
 
   def loadFrame(s: SparkSession): DataFrame = {

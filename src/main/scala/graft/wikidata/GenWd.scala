@@ -307,6 +307,17 @@ object GenWd {
     sb.toString
   }
 
+  /** Wrap one dump line into the published array layout: entity i of n
+    * gets a trailing `,` (except the last), the first is preceded by a
+    * `[` line, the last followed by a `]` line. Emitted inline from the
+    * ordered range partitions, so concatenating the part files in name
+    * order yields ONE strict JSON array — byte-layout-identical to the
+    * real latest-all.json (round-16 verdict 1). */
+  private[graft] def wrapLine(body: String, i: Long, n: Long): String = {
+    val core = if (i == n - 1) body else body + ","
+    (if (i == 0) "[\n" else "") + core + (if (i == n - 1) "\n]" else "")
+  }
+
   def main(args: Array[String]): Unit = {
     // bz2only (arg 4, literal "bz2only"): skip the plain twin. The
     // 10M-entity point would be ~17 GB plain — the bz2 (~2.5 GB) is
@@ -322,13 +333,14 @@ object GenWd {
       case Array(o, nn, pp, m)  => (o, nn.toLong, pp.toInt,
         m.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       case _ => sys.error(
-        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf[,lexemes]]]")
+        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf[,lexemes[,arraywrap]]]]")
     }
-    val unknown = flags -- Set("bz2only", "zipf", "lexemes")
+    val unknown = flags -- Set("bz2only", "zipf", "lexemes", "arraywrap")
     require(unknown.isEmpty, s"unknown GenWd flags: ${unknown.mkString(",")}")
     val bz2only = flags("bz2only")
     val zipf = flags("zipf")
     val lexemes = flags("lexemes") // emit a lexeme dump instead of entities
+    val arraywrap = flags("arraywrap") // published latest-all.json array layout
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -337,8 +349,10 @@ object GenWd {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    def lines = spark.range(0, n, 1, parts).map(i =>
-      if (lexemes) lexemeJson(i) else entityJson(i, zipf))
+    def lines = spark.range(0, n, 1, parts).map { i =>
+      val body = if (lexemes) lexemeJson(i) else entityJson(i, zipf)
+      if (arraywrap) wrapLine(body, i, n) else body
+    }
     if (!bz2only) lines.write.mode("overwrite").text(s"$out/plain")
     lines.write.mode("overwrite").option("compression", "bzip2")
       .text(s"$out/bz2")

@@ -36,8 +36,9 @@ object Lexemes {
 
   def lexemes(s: SparkSession): DataFrame = {
     val path = dumpOverride(s).getOrElse(ensureFixture(s))
-    Wd.autosplit(s, path)
-    s.read.schema(EntitySchema.lexeme).json(path)
+    // shared dump reader: array-wrapper auto-detect + per-scan
+    // autosplit, same as the entity dump (round-16)
+    Wd.readDump(s, path, EntitySchema.lexeme)
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -1,6 +1,6 @@
 package graft.wikidata
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -31,6 +31,46 @@ object Wd {
     fixturePath
   }
 
+  /** Array-wrapped twin of the fixture (round-16 verdict 1): the SAME
+    * entity bytes reshaped into the published `latest-all.json` layout
+    * — `[` line, one entity per line each terminated by `,` (none on
+    * the last), `]` line. Strict JSON, so the DuckDB oracle parses the
+    * whole file with format='array' while Spark goes through the
+    * wrapper-strip path: a hash match proves strip+parse ≡ strict
+    * whole-array parse. */
+  val arrayFixturePath = "/tmp/graft_wd_entities_array.json"
+
+  /** Dirty wrapped twin for the malformed-line accounting key: two
+    * broken lines injected between valid entities — what a truncated
+    * download or a mid-line split corruption looks like. */
+  val dirtyArrayFixturePath = "/tmp/graft_wd_entities_array_dirty.json"
+
+  private def fixtureLines: Array[String] = {
+    val in = getClass.getResourceAsStream("/wd_entities.ndjson")
+    require(in != null, "wd_entities.ndjson missing from classpath")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.trim.nonEmpty)
+    finally in.close()
+  }
+
+  def ensureArrayFixture(s: SparkSession): String = synchronized {
+    val body = "[\n" + fixtureLines.mkString(",\n") + "\n]\n"
+    graft.Stage.write(s, arrayFixturePath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    arrayFixturePath
+  }
+
+  def ensureDirtyArrayFixture(s: SparkSession): String = synchronized {
+    val ls = fixtureLines.toBuffer
+    // two malformed shapes: a mid-object truncation and plain garbage
+    ls.insert(3, """{"type":"item","id":"Q9001","labels":{"en":{"langu""")
+    ls.insert(7, """!!! not json at all""")
+    val body = "[\n" + ls.mkString(",\n") + "\n]\n"
+    graft.Stage.write(s, dirtyArrayFixturePath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dirtyArrayFixturePath
+  }
+
   /** Scale-measurement override (r11 verdict task 4): point the whole
     * wd_* family at a GenWd-synthesized dump instead of the checked-in
     * 10-entity fixture. Conf wins over env; unset means fixture, so
@@ -43,36 +83,117 @@ object Wd {
   /** Conf-gated split-size autoscaling (round-15 verdict 6; OFF by
     * default so the driver gate's plans are untouched). The zipf probe
     * measured wd_property_stats' residual e≈1.2 as partly PER-TASK
-    * VOLUME at the fixture's fixed bz2 split count: Spark packs the
-    * whole dump into ~(bytes / maxPartitionBytes) read tasks, so a
-    * dump much smaller than cpus×128 MB under-parallelizes the parse —
-    * shrinking maxPartitionBytes recovered ~12% in the probe. With
+    * VOLUME at the fixture's fixed bz2 split count: a dump much
+    * smaller than cpus×128 MB under-parallelizes the parse. With
     * `spark.graft.wd.autosplit=true` (or SPARK_GRAFT_WD_AUTOSPLIT=1)
-    * the session's maxPartitionBytes is set to input/(4×parallelism),
+    * the dump read targets input/(4×parallelism) bytes per split,
     * clamped to [4 MiB, 128 MiB] — at 100 TB the clamp leaves the
     * default untouched; on probe-sized dumps every core gets work.
-    * Session-wide side effect by design: the SQL conf is the only
-    * per-scan split control Spark exposes. */
-  private[wikidata] def autosplit(s: SparkSession, path: String): Unit = {
-    val on = s.conf.getOption("spark.graft.wd.autosplit")
+    * Round-16 (r15 advice 4 / what's-wrong 3): implemented as a
+    * PER-SCAN minPartitions on the text read — the session-wide
+    * `spark.sql.files.maxPartitionBytes` is never touched, so the
+    * shrunken split size can no longer leak into unrelated scans
+    * later in the same session. */
+  private def autosplitOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.wd.autosplit")
       .orElse(sys.env.get("SPARK_GRAFT_WD_AUTOSPLIT"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    if (!on) return
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
-    val par = math.max(1, s.sparkContext.defaultParallelism)
-    val target = math.min(128L << 20, math.max(4L << 20, bytes / (4L * par)))
-    s.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+
+  /** Split count for an autosplit dump read: total bytes over the
+    * clamped per-split target. Pure math, unit-tested directly. */
+  private[graft] def splitParts(bytes: Long, par: Int): Int = {
+    val target = math.min(128L << 20,
+      math.max(4L << 20, bytes / (4L * math.max(1, par))))
+    math.max(1L, (bytes + target - 1) / target).toInt
   }
 
-  /** Parse the NDJSON with the explicit entity schema — EVERY dump
+  private[graft] def autosplitParts(s: SparkSession, path: String): Option[Int] =
+    if (!autosplitOn(s)) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      Some(splitParts(bytes, s.sparkContext.defaultParallelism))
+    }
+
+  /** Dump file-format detection (round-16 verdict 1). The LIVE export
+    * and our fixtures are clean NDJSON, but the published
+    * `latest-all.json[.bz2]` is ONE JSON ARRAY: a `[` line, one entity
+    * per line each terminated by `,`, a `]` line — fed to a plain
+    * per-line JSON parse, every line is malformed and the scan returns
+    * all-null rows silently. `spark.graft.wd.format` (auto | ndjson |
+    * array) pins the mode; `auto` (the default) peeks the first
+    * non-whitespace byte of the lexicographically-first data file —
+    * one driver-side read of ≤256 decompressed bytes, cached per path. */
+  private val fmtCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private[graft] def isArrayDump(s: SparkSession, path: String): Boolean =
+    s.conf.getOption("spark.graft.wd.format").getOrElse("auto") match {
+      case "ndjson" => false
+      case "array"  => true
+      case "auto"   => fmtCache.computeIfAbsent(path, _ => peekIsArray(s, path))
+      case other => sys.error(s"spark.graft.wd.format=$other (want auto|ndjson|array)")
+    }
+
+  private def peekIsArray(s: SparkSession, path: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (!fs.getFileStatus(p).isDirectory) p
+      else {
+        val parts = fs.listStatus(p).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(parts.nonEmpty, s"no data files under $path")
+        parts.map(_.getPath).minBy(_.getName)
+      }
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      .getCodec(file)
+    val raw = fs.open(file)
+    val in = if (codec == null) raw else codec.createInputStream(raw)
+    try {
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      var i = 0
+      while (i < n && Character.isWhitespace(buf(i).toChar)) i += 1
+      i < n && buf(i) == '['
+    } finally in.close()
+  }
+
+  /** Read a dump at `path` with `schema`, handling BOTH public file
+    * shapes. Clean NDJSON without autosplit keeps the native json
+    * scan (unchanged plans for every existing key); the array-wrapped
+    * format — and any autosplit read — goes text → drop the `[`/`]`
+    * wrapper lines → strip the trailing comma (one codegen'd
+    * regexp_replace) → the same explicit-schema from_json (the same
+    * Jackson parse the native scan runs, so raw-JSON StringType
+    * capture and permissive nulls behave identically). At 100 TB both
+    * paths are one narrow parse pipeline with zero shuffle. */
+  private[graft] def readDump(s: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val parts = autosplitParts(s, path)
+    if (!isArrayDump(s, path) && parts.isEmpty)
+      s.read.schema(schema).json(path)
+    else {
+      val lines = parts match {
+        case Some(n) => s.createDataset(s.sparkContext.textFile(path, n))(Encoders.STRING)
+        case None    => s.read.textFile(path)
+      }
+      val t = trim(col("value"))
+      lines.toDF()
+        .filter(t =!= "[" && t =!= "]" && t =!= "")
+        .select(from_json(regexp_replace(col("value"), ",\\s*$", ""), schema).as("e"))
+        .select(col("e.*"))
+    }
+  }
+
+  /** Parse the dump with the explicit entity schema — EVERY dump
     * line, including redirect stubs. Use [[entities]] for the entity
     * surface; this raw frame exists for the redirect relation. */
   def entitiesRaw(s: SparkSession): DataFrame = {
     val path = dumpOverride(s).getOrElse(ensureFixture(s))
-    autosplit(s, path)
-    s.read.schema(EntitySchema.entity).json(path)
+    readDump(s, path, EntitySchema.entity)
   }
 
   /** The entity surface: redirect stubs routed OUT (they carry no
@@ -113,6 +234,44 @@ object Wd {
         coalesce(size(col("sitelinks")), lit(0)).as("n_sitelinks"),
         col("lastrevid"))
         .orderBy("id")
+    }),
+
+    // The REAL dump file format (round-16 verdict 1): the published
+    // latest-all.json is one JSON ARRAY — `[` line, entity lines each
+    // terminated by `,`, `]` line — which a per-line parse silently
+    // nulls. This key reads the array-wrapped twin of the fixture
+    // through the wrapper-strip path (auto-detected from the first
+    // byte, so spark.graft.wd.path aimed at a real dump Just Works)
+    // and must profile identically to scan_ndjson_entities; the
+    // oracle re-parses the twin as STRICT whole-file JSON.
+    "wd_scan_arraydump" -> ((s, _) =>
+      readDump(s, ensureArrayFixture(s), EntitySchema.entity)
+        .filter(col("redirect").isNull)
+        .select(
+          col("id"), col("type"),
+          coalesce(size(col("labels")), lit(0)).as("n_labels"),
+          coalesce(size(col("claims")), lit(0)).as("n_claim_props"),
+          coalesce(size(col("sitelinks")), lit(0)).as("n_sitelinks"),
+          col("lastrevid"))
+        .orderBy("id")),
+
+    // Malformed-line accounting — the ingest DQ gate: a truncated
+    // download or corrupt block must SURFACE as counted bad lines,
+    // never as silently-nulled rows. Per-class line counts (wrapper /
+    // entity / malformed) over a dirty wrapped dump; try_parse_json
+    // is the validity probe (NULL for broken JSON) — one narrow text
+    // scan, one output-sized groupBy, trivially linear at 100 TB.
+    "wd_arraydump_stats" -> ((s, _) => {
+      val t = trim(col("value"))
+      s.read.textFile(ensureDirtyArrayFixture(s)).toDF()
+        .filter(t =!= "")
+        .select(
+          when(t.isin("[", "]"), "wrapper")
+            .when(try_parse_json(
+              regexp_replace(col("value"), ",\\s*$", "")).isNull, "malformed")
+            .otherwise("entity").as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n"))
+        .orderBy("cls")
     }),
 
     // The signature transform: one row per (entity, language, label).
@@ -402,6 +561,37 @@ object Wd {
                                  redirect: 'VARCHAR'})
          WHERE redirect IS NULL
          ORDER BY id""",
+
+    "wd_scan_arraydump" ->
+      """SELECT id, type,
+             CAST(coalesce(len(json_keys(labels)), 0) AS INTEGER) AS n_labels,
+             CAST(coalesce(len(json_keys(claims)), 0) AS INTEGER) AS n_claim_props,
+             CAST(coalesce(len(json_keys(sitelinks)), 0) AS INTEGER) AS n_sitelinks,
+             lastrevid
+         FROM read_json('/tmp/graft_wd_entities_array.json',
+                        format='array',
+                        columns={id: 'VARCHAR', type: 'VARCHAR',
+                                 labels: 'JSON', claims: 'JSON',
+                                 sitelinks: 'JSON', lastrevid: 'BIGINT',
+                                 redirect: 'VARCHAR'})
+         WHERE redirect IS NULL
+         ORDER BY id""",
+
+    // Line classification replayed over the raw file text: read_text +
+    // split on newlines, the same trim/wrapper/strip/validity rules
+    // (TRY_CAST to JSON ≡ try_parse_json: NULL iff the text is not
+    // valid JSON; every injected bad line is unambiguously broken).
+    "wd_arraydump_stats" ->
+      """WITH lines AS (
+           SELECT unnest(string_split(content, chr(10))) AS line
+           FROM read_text('/tmp/graft_wd_entities_array_dirty.json')),
+         nz AS (SELECT line FROM lines WHERE trim(line) <> '')
+         SELECT CASE WHEN trim(line) IN ('[', ']') THEN 'wrapper'
+                     WHEN TRY_CAST(regexp_replace(line, ',\s*$', '') AS JSON)
+                       IS NULL THEN 'malformed'
+                     ELSE 'entity' END AS cls,
+                count(*) AS n
+         FROM nz GROUP BY cls ORDER BY cls""",
 
     "wd_redirects" ->
       """SELECT id, redirect AS target, lastrevid

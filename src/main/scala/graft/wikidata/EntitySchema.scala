@@ -40,6 +40,10 @@ object EntitySchema {
   val entity: StructType = StructType(Seq(
     StructField("type", StringType), // item | property
     StructField("id", StringType),
+    // P-entities declare their value datatype at the top level — the
+    // registry wd_datatype_check validates every observed mainsnak
+    // datatype against (round-16 verdict 4). Null on items.
+    StructField("datatype", StringType),
     StructField("labels", MapType(StringType, langValue)),
     StructField("descriptions", MapType(StringType, langValue)),
     StructField("aliases", MapType(StringType, ArrayType(langValue))),

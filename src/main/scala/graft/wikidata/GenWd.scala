@@ -289,7 +289,12 @@ object GenWd {
       }
       val nFeat = fm(gf >>> 4, 4)
       val feats = (0 until nFeat).map(f => s""""Q${3910000 + fm(mix(gf + f), 9000)}"""")
-      s"""{"id":"$lid-F${j + 1}","representations":{${reps.mkString(",")}},"grammaticalFeatures":[${feats.mkString(",")}],"claims":{}}"""
+      // every 4th form carries a statement (pronunciation-audio shape)
+      // so wd_lexeme_form_claims has scale-dump coverage (round-16)
+      val fc = if (fm(gf >>> 9, 4) == 0)
+        s"""{"P443":[{"mainsnak":${snak("P443", mix(gf + 11))},"type":"statement","id":"$lid-F${j + 1}${"$"}st0","rank":"normal"}]}"""
+      else "{}"
+      s"""{"id":"$lid-F${j + 1}","representations":{${reps.mkString(",")}},"grammaticalFeatures":[${feats.mkString(",")}],"claims":$fc}"""
     }
     sb.append(s""","forms":[${fs.mkString(",")}]""")
     val nS = fm(h >>> 17, 4) // 0..3 senses
@@ -300,7 +305,11 @@ object GenWd {
         val lg = langs((off + j + r) % langs.length)
         s""""$lg":${langValue(lg, s"gloss $lid S${j + 1} $lg")}"""
       }
-      s"""{"id":"$lid-S${j + 1}","glosses":{${gls.mkString(",")}},"claims":{}}"""
+      // every 3rd sense links into the item graph (item-for-this-sense)
+      val sc = if (fm(gs >>> 7, 3) == 0)
+        s"""{"P5137":[{"mainsnak":${snak("P5137", mix(gs + 13))},"type":"statement","id":"$lid-S${j + 1}${"$"}st0","rank":"normal"}]}"""
+      else "{}"
+      s"""{"id":"$lid-S${j + 1}","glosses":{${gls.mkString(",")}},"claims":$sc}"""
     }
     sb.append(s""","senses":[${ss.mkString(",")}]""")
     sb.append(s""","lastrevid":${3000 + i},"modified":"2024-02-01T00:00:00Z"}""")

@@ -74,6 +74,43 @@ object Lexemes {
           col("n_features"), col("features"))
         .orderBy("id", "fpos", "lang")),
 
+    // Form STATEMENTS (round-16 verdict 3): the claims each form
+    // carries (pronunciation audio, IPA, …) — the claimsFlatten shape
+    // keyed by form id. Same zero-shuffle explode chain as the entity
+    // claims flatten; a dictionary consumer needs these as much as
+    // the representations.
+    "wd_lexeme_form_claims" -> ((s, _) =>
+      lexemes(s)
+        .select(col("id"), posexplode(col("forms")).as(Seq("fpos", "f")))
+        .select(col("id"), col("f.id").as("form_id"), col("fpos"),
+          explode(col("f.claims")).as(Seq("pid", "stmts")))
+        .select(col("id"), col("form_id"), col("fpos"), col("pid"),
+          explode(col("stmts")).as("st"))
+        .select(col("id"), col("form_id"), col("fpos"), col("pid"),
+          col("st.id").as("statement_id"),
+          col("st.rank").as("rank"),
+          col("st.mainsnak.snaktype").as("snaktype"),
+          col("st.mainsnak.datavalue.type").as("dv_type"),
+          col("st.mainsnak.datavalue.value").as("dv_raw"))
+        .orderBy("id", "fpos", "pid", "statement_id")),
+
+    // Sense STATEMENTS: item-for-this-sense (P5137) and friends —
+    // what links a sense into the item graph; keyed by sense id.
+    "wd_lexeme_sense_claims" -> ((s, _) =>
+      lexemes(s)
+        .select(col("id"), posexplode(col("senses")).as(Seq("spos", "sn")))
+        .select(col("id"), col("sn.id").as("sense_id"), col("spos"),
+          explode(col("sn.claims")).as(Seq("pid", "stmts")))
+        .select(col("id"), col("sense_id"), col("spos"), col("pid"),
+          explode(col("stmts")).as("st"))
+        .select(col("id"), col("sense_id"), col("spos"), col("pid"),
+          col("st.id").as("statement_id"),
+          col("st.rank").as("rank"),
+          col("st.mainsnak.snaktype").as("snaktype"),
+          col("st.mainsnak.datavalue.type").as("dv_type"),
+          col("st.mainsnak.datavalue.value").as("dv_raw"))
+        .orderBy("id", "spos", "pid", "statement_id")),
+
     // One row per (sense, gloss language), sense position kept.
     "wd_lexeme_senses" -> ((s, _) =>
       lexemes(s)
@@ -125,6 +162,56 @@ object Lexemes {
                CAST(json_extract(fj, '$.grammaticalFeatures') AS VARCHAR[])), ','), '')
                AS features
          FROM r ORDER BY id, fpos, lang""",
+
+    // pids carry no dots, so '$.claims.' || pid addresses the property
+    // array directly; dv_raw minification parity per wd_claims_flatten.
+    "wd_lexeme_form_claims" ->
+      """WITH lex AS (
+           SELECT id, forms FROM read_json('/tmp/graft_wd_lexemes.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', forms: 'JSON'})),
+         f AS (SELECT id,
+                 unnest(CAST(forms AS JSON[])) AS fj,
+                 unnest(range(0, CAST(coalesce(json_array_length(forms), 0) AS BIGINT))) AS fpos
+               FROM lex),
+         pids AS (SELECT id, fpos,
+                    json_extract_string(fj, '$.id') AS form_id, fj,
+                    unnest(json_keys(json_extract(fj, '$.claims'))) AS pid
+                  FROM f),
+         st AS (SELECT id, form_id, fpos, pid,
+                  unnest(CAST(json_extract(fj, '$.claims.' || pid) AS JSON[])) AS stj
+                FROM pids)
+         SELECT id, form_id, CAST(fpos AS INTEGER) AS fpos, pid,
+             json_extract_string(stj, '$.id') AS statement_id,
+             json_extract_string(stj, '$.rank') AS rank,
+             json_extract_string(stj, '$.mainsnak.snaktype') AS snaktype,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             json_extract_string(stj, '$.mainsnak.datavalue.value') AS dv_raw
+         FROM st ORDER BY id, fpos, pid, statement_id""",
+
+    "wd_lexeme_sense_claims" ->
+      """WITH lex AS (
+           SELECT id, senses FROM read_json('/tmp/graft_wd_lexemes.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', senses: 'JSON'})),
+         sn AS (SELECT id,
+                  unnest(CAST(senses AS JSON[])) AS sj,
+                  unnest(range(0, CAST(coalesce(json_array_length(senses), 0) AS BIGINT))) AS spos
+                FROM lex),
+         pids AS (SELECT id, spos,
+                    json_extract_string(sj, '$.id') AS sense_id, sj,
+                    unnest(json_keys(json_extract(sj, '$.claims'))) AS pid
+                  FROM sn),
+         st AS (SELECT id, sense_id, spos, pid,
+                  unnest(CAST(json_extract(sj, '$.claims.' || pid) AS JSON[])) AS stj
+                FROM pids)
+         SELECT id, sense_id, CAST(spos AS INTEGER) AS spos, pid,
+             json_extract_string(stj, '$.id') AS statement_id,
+             json_extract_string(stj, '$.rank') AS rank,
+             json_extract_string(stj, '$.mainsnak.snaktype') AS snaktype,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             json_extract_string(stj, '$.mainsnak.datavalue.value') AS dv_raw
+         FROM st ORDER BY id, spos, pid, statement_id""",
 
     "wd_lexeme_senses" ->
       """WITH lex AS (

@@ -323,6 +323,31 @@ object Wd {
         .orderBy("id", "pid", "statement_id")
     }),
 
+    // Property-datatype conformance (round-16 verdict 4): P-entities
+    // declare a datatype, and every mainsnak observed under that pid
+    // must agree — the importer DQ gate that quarantines miscoded
+    // statements (the wd twin of etl_quarantine). The registry comes
+    // from the SAME dump (type='property' rows): ~12k properties in
+    // the real dump, always broadcast-able, so the statement surface
+    // never shuffles on the registry's account; the groupBy output is
+    // (pid × datatype-pair)-sized, driver-safe at any corpus scale.
+    "wd_datatype_check" -> ((s, _) => {
+      val obs = entities(s)
+        .select(explode(col("claims")).as(Seq("pid", "stmts")))
+        .select(col("pid"), explode(col("stmts")).as("st"))
+        .select(col("pid"), col("st.mainsnak.datatype").as("observed"))
+      val registry = entities(s).filter(col("type") === "property")
+        .select(col("id").as("pid"), col("datatype").as("declared"))
+      obs.join(broadcast(registry), Seq("pid"), "left")
+        .groupBy(col("pid"), col("declared"), col("observed"))
+        .agg(count(lit(1)).as("n_statements"))
+        .withColumn("mismatch",
+          col("declared").isNotNull && col("observed").isNotNull &&
+            col("declared") =!= col("observed"))
+        .orderBy(col("pid"), coalesce(col("declared"), lit("")),
+          coalesce(col("observed"), lit("")))
+    }),
+
     "wd_property_stats" -> ((s, _) => {
       // Per-property dump profile — the warehouse stats page a Wikidata
       // consumer reads first: statement volume, entity coverage,
@@ -712,6 +737,32 @@ object Wd {
                AS n_qualifier_props,
              CAST(coalesce(json_array_length(stj, '$.references'), 0) AS INTEGER) AS n_refs
          FROM st ORDER BY id, pid, statement_id""",
+
+    // Null-safe ORDER BY via coalesce('') on BOTH sides — Spark sorts
+    // nulls first, DuckDB last, and the gate compares rows in order.
+    "wd_datatype_check" ->
+      """WITH ent AS (
+           SELECT id, type, claims, datatype
+           FROM read_json('/tmp/graft_wd_entities.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', type: 'VARCHAR', claims: 'JSON',
+                      datatype: 'VARCHAR', redirect: 'VARCHAR'})
+           WHERE redirect IS NULL),
+         pids AS (SELECT id, unnest(json_keys(claims)) AS pid, claims FROM ent),
+         st AS (SELECT pid,
+                  unnest(CAST(json_extract(claims, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         obs AS (SELECT pid,
+                   json_extract_string(stj, '$.mainsnak.datatype') AS observed
+                 FROM st),
+         reg AS (SELECT id AS pid, datatype AS declared FROM ent
+                 WHERE type = 'property')
+         SELECT o.pid, r.declared, o.observed, count(*) AS n_statements,
+             (r.declared IS NOT NULL AND o.observed IS NOT NULL
+              AND r.declared <> o.observed) AS mismatch
+         FROM obs o LEFT JOIN reg r ON o.pid = r.pid
+         GROUP BY o.pid, r.declared, o.observed
+         ORDER BY o.pid, coalesce(r.declared, ''), coalesce(o.observed, '')""",
 
     "wd_property_stats" ->
       """WITH ent AS (

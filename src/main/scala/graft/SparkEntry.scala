@@ -21,6 +21,7 @@ object SparkEntry {
       graft.sources.Sources.queries ++
       graft.wikidata.Wd.queries ++
       graft.wikidata.Lexemes.queries ++
+      graft.wikidata.Mediainfo.queries ++
       graft.wikidata.TypedValues.queries ++
       graft.wikidata.Etl.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.sources.Sources.oracles ++
       graft.wikidata.Wd.oracles ++
       graft.wikidata.Lexemes.oracles ++
+      graft.wikidata.Mediainfo.oracles ++
       graft.wikidata.TypedValues.oracles ++
       graft.wikidata.Etl.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimOps.oracles ++

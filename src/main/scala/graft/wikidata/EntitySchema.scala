@@ -87,4 +87,19 @@ object EntitySchema {
       StructField("claims", MapType(StringType, ArrayType(statement))))))),
     StructField("lastrevid", LongType),
     StructField("modified", StringType)))
+
+  /** MediaInfo (M-) entity schema — Wikimedia Commons structured data
+    * (round-16 verdict 7; public MediaInfo extension JSON). Captions
+    * are the `labels` map; the claims key is named `statements` in
+    * this dump family (same statement shape underneath); descriptions
+    * exist but are unsupported (always empty) and M-entities carry no
+    * aliases or sitelinks. */
+  val mediainfo: StructType = StructType(Seq(
+    StructField("type", StringType), // always "mediainfo"
+    StructField("id", StringType),   // M-id
+    StructField("labels", MapType(StringType, langValue)), // captions
+    StructField("descriptions", MapType(StringType, langValue)),
+    StructField("statements", MapType(StringType, ArrayType(statement))),
+    StructField("lastrevid", LongType),
+    StructField("modified", StringType)))
 }

@@ -316,6 +316,44 @@ object GenWd {
     sb.toString
   }
 
+  /** One deterministic mediainfo dump line (round-16: the M-entity
+    * twin of entityJson — Commons structured data, public MediaInfo
+    * extension JSON: captions in `labels`, claims under `statements`,
+    * empty descriptions). Depicts-heavy property mix like the real
+    * Commons corpus (P180 dominates). */
+  def mediainfoJson(i: Long): String = {
+    val mid = s"M${i + 1}"
+    val h = mix(i ^ 0x3ED1A1F0L)
+    val sb = new StringBuilder(768)
+    sb.append(s"""{"type":"mediainfo","id":"$mid"""")
+    // captions: 0–3 languages (most Commons files have none)
+    val nC = fm(h, 4) match { case 3 => 0; case k => k } // 0,1,2,0 mix
+    val off = fm(h >>> 4, langs.length)
+    val cs = (0 until nC).map { j =>
+      val lg = langs((off + j) % langs.length)
+      s""""$lg":${langValue(lg, s"cap $mid $lg")}"""
+    }
+    sb.append(s""","labels":{${cs.mkString(",")}},"descriptions":{}""")
+    // statements: 0–4 slots, P180-heavy (60%), tail of other media pids
+    val nP = fm(h >>> 7, 5)
+    val byPid = new scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]
+    var j = 0
+    while (j < nP) {
+      val gp = mix(i * 37 + j)
+      val tail = Array("P6216", "P7482", "P571", "P1259")
+      val p = if (fm(gp, 5) < 3) "P180" else tail(fm(gp >>> 3, 4))
+      val rank = if (fm(gp, 11) == 0) "preferred" else "normal"
+      val stJson =
+        s"""{"mainsnak":${snak(p, gp)},"type":"statement","id":"$mid${"$"}st$j","rank":"$rank"}"""
+      byPid.getOrElseUpdate(p, new scala.collection.mutable.ArrayBuffer[String]) += stJson
+      j += 1
+    }
+    val ss = byPid.map { case (p, sts) => s""""$p":[${sts.mkString(",")}]""" }
+    sb.append(s""","statements":{${ss.mkString(",")}}""")
+    sb.append(s""","lastrevid":${5000 + i},"modified":"2024-03-01T00:00:00Z"}""")
+    sb.toString
+  }
+
   /** Wrap one dump line into the published array layout: entity i of n
     * gets a trailing `,` (except the last), the first is preceded by a
     * `[` line, the last followed by a `]` line. Emitted inline from the
@@ -342,13 +380,14 @@ object GenWd {
       case Array(o, nn, pp, m)  => (o, nn.toLong, pp.toInt,
         m.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       case _ => sys.error(
-        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf[,lexemes[,arraywrap]]]]")
+        "usage: GenWd <outDir> <nEntities> [partitions] [bz2only[,zipf[,lexemes[,mediainfo[,arraywrap]]]]]")
     }
-    val unknown = flags -- Set("bz2only", "zipf", "lexemes", "arraywrap")
+    val unknown = flags -- Set("bz2only", "zipf", "lexemes", "mediainfo", "arraywrap")
     require(unknown.isEmpty, s"unknown GenWd flags: ${unknown.mkString(",")}")
     val bz2only = flags("bz2only")
     val zipf = flags("zipf")
     val lexemes = flags("lexemes") // emit a lexeme dump instead of entities
+    val minfo = flags("mediainfo")     // emit a Commons mediainfo dump
     val arraywrap = flags("arraywrap") // published latest-all.json array layout
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -359,7 +398,9 @@ object GenWd {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     def lines = spark.range(0, n, 1, parts).map { i =>
-      val body = if (lexemes) lexemeJson(i) else entityJson(i, zipf)
+      val body = if (lexemes) lexemeJson(i)
+                 else if (minfo) mediainfoJson(i)
+                 else entityJson(i, zipf)
       if (arraywrap) wrapLine(body, i, n) else body
     }
     if (!bz2only) lines.write.mode("overwrite").text(s"$out/plain")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-tool main (round 16): MEASURED evidence that the pHash
+  * hot-bucket cap removes the LSH quadratic blowup under mass media
+  * duplication — the r15 verdict's two `weak` marks, closed the same
+  * way HotBandProbe closed the minhash one in r14.
+  *
+  * The injected twin is the crawl-media shape the cap exists for: D
+  * exact copies of ONE payload (one logo, re-hosted everywhere). All
+  * D copies share one 60-bit pHash, hence ALL 6 band keys — each of
+  * the 6 (bd, key) buckets holds the full cluster. Uncapped, the band
+  * self-join emits 6·D²/2 candidate rows before distinct; capped, the
+  * hot buckets degrade clique→star and emit 6·(D−1). Expected DISTINCT
+  * pair counts among injected docs are ASSERTED exactly, not just
+  * timed:
+  *   capped,  D ≤ cap: C(D,2)   (clique — below the cap)
+  *   capped,  D > cap: D−1      (star around the min-id rep, hamming 0)
+  *   uncapped, any D:  C(D,2)
+  * and coverage is asserted: ALL D injected docs appear in ≥1 pair in
+  * both plans (hamming 0 ≤ 5, so multimodal_dedup's radius-5 drop set
+  * still removes every non-rep copy — the recall-1.0-for-exact-copies
+  * argument the apply step rests on).
+  *
+  * Uncapped stops at D=10⁴ (6·10⁸ candidate rows through one join);
+  * the 10⁵ point would be 6·10¹⁰ rows — quadratic extrapolation is
+  * printed instead. One JSON line per (D, mode) for SCALE.md.
+  *
+  * Usage: runMain graft.PhashCapProbe <srcSfDir> [Ds]
+  *   Ds: comma list, default 100,2000,10000,100000
+  */
+object PhashCapProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val ds = if (args.length > 1) args(1).split(",").map(_.trim.toLong).toSeq
+             else Seq(100L, 2000L, 10000L, 100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val baseDocs = Tables.documents(spark, src).select(col("doc_id"), col("text"))
+    val maxId = baseDocs.agg(max(col("doc_id"))).head().getLong(0)
+    // one fixed 256-byte "payload" (ASCII, like the corpus); every
+    // injected doc carries the identical bytes -> identical pHash
+    val payload = (0 until 256).map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+
+    ds.foreach { d =>
+      val injected = spark.range(0, d).select(
+        (col("id") + maxId + 1).as("doc_id"), lit(payload).as("text"))
+      val docs = baseDocs.union(injected)
+      docs.persist()
+      val nDocs = docs.count() // materialize once so both modes read warm
+
+      def run(cap: Int, label: String, expectInjected: Long): Unit = {
+        val t0 = System.nanoTime()
+        val pairs = operators.Multimodal.phashPairs(docs, cap)
+          .persist()
+        val nPairs = pairs.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // injected-cluster pair count (both endpoints injected), exact
+        val inj = pairs.filter(col("a") > maxId && col("b") > maxId).count()
+        require(inj == expectInjected,
+          s"$label D=$d: injected pairs $inj != expected $expectInjected")
+        // coverage: every injected doc appears in >=1 pair
+        val covered = pairs.filter(col("a") > maxId || col("b") > maxId)
+          .select(explode(array(col("a"), col("b"))).as("x"))
+          .filter(col("x") > maxId).distinct().count()
+        require(covered == d, s"$label D=$d: covered $covered != $d")
+        pairs.unpersist()
+        println(s"""{"probe":"phashcap","mode":"$label","d":$d,""" +
+          s""""docs":$nDocs,"pairs":$nPairs,"injected_pairs":$inj,""" +
+          s""""sec":${f"$sec%.2f"}}""")
+      }
+
+      val cap = 1000
+      val clique = d * (d - 1) / 2
+      run(cap, "capped", if (d <= cap) clique else d - 1)
+      if (d <= 10000L) run(Int.MaxValue, "uncapped", clique)
+      else println(s"""{"probe":"phashcap","mode":"uncapped","d":$d,""" +
+        s""""skipped":"~${6 * clique} candidate rows; quadratic"}""")
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

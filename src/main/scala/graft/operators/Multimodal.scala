@@ -70,6 +70,52 @@ object Multimodal {
     h
   }
 
+  /** pHash LSH near-dup pairs with the clique→star hot-bucket cap —
+    * the multimodal_phash pipeline, factored out so HotBandProbe-style
+    * measurement can run it capped vs uncapped on an injected
+    * mass-duplicate corpus (docs needs doc_id + text). */
+  private[graft] def phashPairs(docs: DataFrame,
+      bucketCap: Int = PhashBandCap): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val media = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+      .as[(Long, Array[Byte])]
+    val hashed = media.map { case (id, bytes) => (id, phash60(bytes)) }
+      .toDF("doc_id", "phash")
+    val bands = hashed.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(5))).as("bd"))
+      .withColumn("key",
+        expr("shiftright(phash, bd * 10)").bitwiseAND(lit(1023L)))
+    val wBucket = Window.partitionBy("bd", "key")
+    val wOrd = wBucket.orderBy("doc_id")
+    val annotated = bands
+      .withColumn("bn", count(lit(1)).over(wBucket))
+      .withColumn("rep", first(col("doc_id")).over(wOrd))
+      .withColumn("rephash", first(col("phash")).over(wOrd))
+    val cold = annotated.filter(col("bn") <= bucketCap)
+    val l = cold.select(col("bd"), col("key"),
+      col("doc_id").as("a"), col("phash").as("ha"))
+    val r = cold.select(col("bd").as("bd2"), col("key").as("key2"),
+      col("doc_id").as("bid"), col("phash").as("hb"))
+    val coldPairs = l.join(r,
+        col("bd") === col("bd2") && col("key") === col("key2") &&
+          col("a") < col("bid"))
+      .select(col("a"), col("bid"), col("ha"), col("hb"))
+    // hot band → star around the min-doc_id rep; rep < member by
+    // construction, so a < b holds without a join
+    val hotPairs = annotated
+      .filter(col("bn") > bucketCap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("bid"),
+        col("rephash").as("ha"), col("phash").as("hb"))
+    coldPairs.union(hotPairs).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(IntegerType))
+      .filter(col("hamming") <= 14)
+      .select(col("a"), col("bid").as("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_binaryfile" -> ((s, _) => {
       // The multimodal INGEST path: raw media files enter Spark through
@@ -202,43 +248,7 @@ object Multimodal {
       // cold — the same bounded recall loss the minhash family
       // documents. One (bd, key) shuffle feeds both window passes AND
       // the cold self-join.
-      import s.implicits._
-      val media = Tables.documents(s, d)
-        .filter(length(col("text")) > 0)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
-        .as[(Long, Array[Byte])]
-      val hashed = media.map { case (id, bytes) => (id, phash60(bytes)) }
-        .toDF("doc_id", "phash")
-      val bands = hashed.select(col("doc_id"), col("phash"),
-          explode(sequence(lit(0), lit(5))).as("bd"))
-        .withColumn("key",
-          expr("shiftright(phash, bd * 10)").bitwiseAND(lit(1023L)))
-      val wBucket = Window.partitionBy("bd", "key")
-      val wOrd = wBucket.orderBy("doc_id")
-      val annotated = bands
-        .withColumn("bn", count(lit(1)).over(wBucket))
-        .withColumn("rep", first(col("doc_id")).over(wOrd))
-        .withColumn("rephash", first(col("phash")).over(wOrd))
-      val cold = annotated.filter(col("bn") <= PhashBandCap)
-      val l = cold.select(col("bd"), col("key"),
-        col("doc_id").as("a"), col("phash").as("ha"))
-      val r = cold.select(col("bd").as("bd2"), col("key").as("key2"),
-        col("doc_id").as("bid"), col("phash").as("hb"))
-      val coldPairs = l.join(r,
-          col("bd") === col("bd2") && col("key") === col("key2") &&
-            col("a") < col("bid"))
-        .select(col("a"), col("bid"), col("ha"), col("hb"))
-      // hot band → star around the min-doc_id rep; rep < member by
-      // construction, so a < b holds without a join
-      val hotPairs = annotated
-        .filter(col("bn") > PhashBandCap && col("doc_id") =!= col("rep"))
-        .select(col("rep").as("a"), col("doc_id").as("bid"),
-          col("rephash").as("ha"), col("phash").as("hb"))
-      coldPairs.union(hotPairs).distinct()
-        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(IntegerType))
-        .filter(col("hamming") <= 14)
-        .select(col("a"), col("bid").as("b"), col("hamming"))
-        .orderBy("a", "b")
+      phashPairs(Tables.documents(s, d))
     }),
 
     "multimodal_dedup" -> ((s, d) => {

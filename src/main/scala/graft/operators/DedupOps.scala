@@ -34,21 +34,22 @@ object DedupOps {
     *
     * `bucketCap` bounds hot buckets: a popular chunk value (e.g. 0x0000
     * from a sparse vocab) makes its (chunk, cv) bucket go quadratic in
-    * the self-join. A bucket over the cap degrades from CLIQUE to STAR:
-    * members pair only with the bucket's min-doc_id representative, so
-    * its join cost is O(bucket), not O(bucket²). Crucially this keeps
-    * coverage for the case that matters most at 100 TB — a duplicate
-    * cluster larger than the cap, whose members share the SAME simhash
-    * and therefore blow all 4 of their chunk buckets hot simultaneously
-    * (hot chunks are correlated, not independent; dropping hot buckets
-    * outright would report zero pairs for exactly those mega-clusters).
-    * Every member still pairs with the representative (hamming 0), so
-    * cluster membership survives via rep connectivity. The bounded loss
-    * is a near-dup pair (x, y) inside a hot bucket where neither x nor
-    * y is the rep and hamming(rep, ·) > 1 — a star can't see it; the
-    * other 3 chunks still catch it unless they are hot too. The bucket
-    * stats run in the same (chunk, cv) shuffle the self-join needs
-    * anyway. */
+    * the self-join. A bucket over the cap degrades from CLIQUE to STAR,
+    * each SIMHASH GROUP within it around its own min-doc_id
+    * representative, so the bucket's join cost is O(bucket), not
+    * O(bucket²). Crucially this keeps coverage for the case that
+    * matters most at 100 TB — a duplicate cluster larger than the cap,
+    * whose members share the SAME simhash and therefore blow all 4 of
+    * their chunk buckets hot simultaneously (hot chunks are correlated,
+    * not independent; dropping hot buckets outright would report zero
+    * pairs for exactly those mega-clusters). Every member pairs with
+    * its group rep at hamming 0 BY CONSTRUCTION — a bucket-GLOBAL rep
+    * would break exactly this when a lower-id foreign doc collides
+    * into the hot 16-bit bucket (the round-16 PhashCapProbe finding).
+    * The bounded loss is a near-dup pair (x, y) inside a hot bucket
+    * with different simhashes — a star can't see it; the other 3
+    * chunks still catch it unless they are hot too. The bucket stats
+    * run in the same (chunk, cv) shuffle the self-join needs anyway. */
   def simhashPairs(docs: DataFrame, bucketCap: Int = 1000): DataFrame = {
     // 60-bit token hash from md5's first 15 hex chars — md5 produces
     // identical hex on every engine, so the DuckDB oracle can replay
@@ -75,13 +76,20 @@ object DedupOps {
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "cv")))
+    // Hotness is per BUCKET, the star rep per (bucket, simhash) GROUP
+    // (round-16, the PhashCapProbe finding applied here too): a 16-bit
+    // chunk value collides freely, so a hot bucket can contain docs
+    // foreign to the mega-cluster that made it hot — a bucket-global
+    // min-id rep could be a foreign doc at hamming > 1, severing every
+    // cluster member after the radius filter. Group-rep pins
+    // hamming(rep, member) = 0 by construction; the group window
+    // reuses the (chunk, cv) shuffle (prefix partitioning satisfies
+    // the clustered distribution — only an extra in-partition sort).
     val wBucket = Window.partitionBy("chunk", "cv")
-    val wOrd = wBucket.orderBy("doc_id")
-    // one shuffle on (chunk, cv) feeds both window passes
+    val wGroup = Window.partitionBy("chunk", "cv", "simhash").orderBy("doc_id")
     val annotated = chunked
       .withColumn("bn", count(lit(1)).over(wBucket))
-      .withColumn("rep", first(col("doc_id")).over(wOrd))
-      .withColumn("repsh", first(col("simhash")).over(wOrd))
+      .withColumn("rep", first(col("doc_id")).over(wGroup))
     val cold = annotated.filter(col("bn") <= bucketCap)
     val a = cold.select(col("doc_id").as("a"), col("simhash").as("sha"),
       col("chunk"), col("cv"))
@@ -91,12 +99,12 @@ object DedupOps {
       .join(b, col("chunk") === col("chunk2") && col("cv") === col("cv2")
         && col("a") < col("b"))
       .select(col("a"), col("b"), col("sha"), col("shb"))
-    // hot bucket → star around the min-doc_id representative: rep < every
-    // other member by construction, so a < b holds without a join
+    // hot bucket → star around each simhash group's min-id rep: rep <
+    // member by construction, so a < b holds without a join; sha = shb
     val hotPairs = annotated
       .filter(col("bn") > bucketCap && col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("b"),
-        col("repsh").as("sha"), col("simhash").as("shb"))
+        col("simhash").as("sha"), col("simhash").as("shb"))
     coldPairs.union(hotPairs)
       .distinct()
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
@@ -675,10 +683,8 @@ object DedupOps {
          ann AS (
            SELECT doc_id, simhash, chunk, cv,
                   count(*) OVER (PARTITION BY chunk, cv) AS bn,
-                  first_value(doc_id) OVER
-                    (PARTITION BY chunk, cv ORDER BY doc_id) AS rep,
-                  first_value(simhash) OVER
-                    (PARTITION BY chunk, cv ORDER BY doc_id) AS repsh
+                  min(doc_id) OVER
+                    (PARTITION BY chunk, cv, simhash) AS rep
            FROM chunked),
          coldpairs AS (
            SELECT pa.doc_id AS a, pb.doc_id AS b,
@@ -687,7 +693,7 @@ object DedupOps {
              ON pa.chunk = pb.chunk AND pa.cv = pb.cv AND pa.doc_id < pb.doc_id
            WHERE pa.bn <= 1000 AND pb.bn <= 1000),
          hotpairs AS (
-           SELECT rep AS a, doc_id AS b, repsh AS sha, simhash AS shb
+           SELECT rep AS a, doc_id AS b, simhash AS sha, simhash AS shb
            FROM ann WHERE bn > 1000 AND doc_id <> rep),
          candpairs AS (
            SELECT DISTINCT a, b, sha, shb FROM (

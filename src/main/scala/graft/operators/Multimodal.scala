@@ -88,12 +88,21 @@ object Multimodal {
         explode(sequence(lit(0), lit(5))).as("bd"))
       .withColumn("key",
         expr("shiftright(phash, bd * 10)").bitwiseAND(lit(1023L)))
+    // Hotness is per BUCKET, but the star rep is per (bucket, phash)
+    // GROUP: a 10-bit band key collides freely, so a hot bucket can
+    // contain docs unrelated to the mega-cluster that made it hot —
+    // a bucket-global min-id rep could then be a FOREIGN doc whose
+    // hamming to the cluster exceeds the radius, silently severing
+    // every cluster member (caught by PhashCapProbe, round-16).
+    // Grouping the star by phash pins hamming(rep, member) = 0 by
+    // construction; the group window reuses the (bd, key) shuffle
+    // (partitioning on a prefix satisfies the clustered distribution
+    // — only an extra in-partition sort).
     val wBucket = Window.partitionBy("bd", "key")
-    val wOrd = wBucket.orderBy("doc_id")
+    val wGroup = Window.partitionBy("bd", "key", "phash").orderBy("doc_id")
     val annotated = bands
       .withColumn("bn", count(lit(1)).over(wBucket))
-      .withColumn("rep", first(col("doc_id")).over(wOrd))
-      .withColumn("rephash", first(col("phash")).over(wOrd))
+      .withColumn("rep", first(col("doc_id")).over(wGroup))
     val cold = annotated.filter(col("bn") <= bucketCap)
     val l = cold.select(col("bd"), col("key"),
       col("doc_id").as("a"), col("phash").as("ha"))
@@ -103,12 +112,12 @@ object Multimodal {
         col("bd") === col("bd2") && col("key") === col("key2") &&
           col("a") < col("bid"))
       .select(col("a"), col("bid"), col("ha"), col("hb"))
-    // hot band → star around the min-doc_id rep; rep < member by
-    // construction, so a < b holds without a join
+    // hot bucket → star around each phash group's min-id rep (rep <
+    // member by construction, so a < b without a join; ha = hb)
     val hotPairs = annotated
       .filter(col("bn") > bucketCap && col("doc_id") =!= col("rep"))
       .select(col("rep").as("a"), col("doc_id").as("bid"),
-        col("rephash").as("ha"), col("phash").as("hb"))
+        col("phash").as("ha"), col("phash").as("hb"))
     coldPairs.union(hotPairs).distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast(IntegerType))
       .filter(col("hamming") <= 14)
@@ -237,12 +246,13 @@ object Multimodal {
       // probabilistic recall never touches the hash gate. At 100 TB
       // the band join shuffles (band, key) buckets of ~N/2¹⁰ docs;
       // hot buckets (giant near-dup clusters — one logo, 10⁶ copies)
-      // get the dedup_near_minhash clique→star cap (round-16): a
-      // (band, key) bucket over the cap pairs members only with the
-      // bucket's min-doc_id representative, bounding its join cost to
+      // get the dedup_near_minhash clique→star cap (round-16): inside
+      // a bucket over the cap, each PHASH GROUP stars around its own
+      // min-doc_id representative, bounding the bucket's join cost to
       // O(bucket) instead of O(bucket²). Exact copies share an
-      // identical pHash, so every member still pairs with the rep at
-      // hamming 0 and the radius-5 drop set multimodal_dedup consumes
+      // identical pHash, so every member pairs with its rep at
+      // hamming 0 REGARDLESS of what else collided into the 10-bit
+      // bucket, and the radius-5 drop set multimodal_dedup consumes
       // stays complete for them; a genuinely-near-but-unequal pair
       // inside a hot bucket survives iff any of its 5 other bands is
       // cold — the same bounded recall loss the minhash family
@@ -392,10 +402,7 @@ object Multimodal {
                                 unnest(range(0, 6)) AS bd FROM ph)),
          ann AS (SELECT doc_id, phash, key, bd,
                         count(*) OVER (PARTITION BY bd, key) AS bn,
-                        min(doc_id) OVER (PARTITION BY bd, key) AS rep,
-                        first_value(phash) OVER (PARTITION BY bd, key
-                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND UNBOUNDED FOLLOWING) AS rephash
+                        min(doc_id) OVER (PARTITION BY bd, key, phash) AS rep
                  FROM bands),
          cold AS (SELECT x.doc_id AS a, y.doc_id AS b,
                          x.phash AS ha, y.phash AS hb
@@ -403,7 +410,7 @@ object Multimodal {
                     ON x.bd = y.bd AND x.key = y.key
                    AND x.doc_id < y.doc_id
                   WHERE x.bn <= 1000 AND y.bn <= 1000),
-         hot AS (SELECT rep AS a, doc_id AS b, rephash AS ha, phash AS hb
+         hot AS (SELECT rep AS a, doc_id AS b, phash AS ha, phash AS hb
                  FROM ann WHERE bn > 1000 AND doc_id <> rep),
          cand AS (SELECT DISTINCT a, b, ha, hb FROM
                   (SELECT * FROM cold UNION ALL SELECT * FROM hot))"""

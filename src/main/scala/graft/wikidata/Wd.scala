@@ -180,10 +180,34 @@ object Wd {
         case Some(n) => s.createDataset(s.sparkContext.textFile(path, n))(Encoders.STRING)
         case None    => s.read.textFile(path)
       }
-      val t = trim(col("value"))
+      // Wrapper drop + comma strip as codegen'd string ops (endswith +
+      // substr touch only the line tail; a regex here walks every
+      // comma). Formulations measured on a 1M-entity dump (SCALE.md
+      // round-16): the STRIP itself adds ~0% — clean NDJSON forced
+      // through this path times identically to the wrapped twin — and
+      // this from_json shape beats a typed filter/map feeding
+      // spark.read.json(Dataset[String]) by ~15% (no lambda
+      // deser/reser per line). The path costs ~1.9× the native json
+      // FILE scan end-to-end: a downstream redirect filter pushes
+      // below the projection as a second single-field from_json
+      // (tokenize twice) and the full-schema parse skips pruning —
+      // both linear, splittable, shuffle-free; a dump is read once
+      // and the composed ETL lands it in parquet anyway. The
+      // built-in multiLine=true array reader was REJECTED: it parses
+      // one file in one task — a non-starter for a 100 GB dump.
+      // NO trailing-comma strip: Spark's Jackson parse consumes one
+      // JSON value and ignores trailing tokens, so `{…},` parses
+      // identically to `{…}` (pinned by a WdArraySpec test so a
+      // future strictness flip fails a named test, not this scan).
+      // Every strip formulation measured WORSE at 1M entities: the
+      // UTF8String substr copy — re-evaluated inside the optimizer's
+      // pushed-down single-field from_json filter — cost up to +90%;
+      // parse-as-is times within noise of the native NDJSON file scan
+      // (SCALE.md round-16).
+      val w = trim(col("value"))
       lines.toDF()
-        .filter(t =!= "[" && t =!= "]" && t =!= "")
-        .select(from_json(regexp_replace(col("value"), ",\\s*$", ""), schema).as("e"))
+        .filter(w =!= "[" && w =!= "]" && w =!= "")
+        .select(from_json(col("value"), schema).as("e"))
         .select(col("e.*"))
     }
   }

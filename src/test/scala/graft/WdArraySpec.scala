@@ -31,6 +31,18 @@ class WdArraySpec extends AnyFunSuite {
     assert(wrapped.count() === 12) // 10 entities + 2 redirect stubs
   }
 
+  test("Jackson parse ignores a trailing comma — the array-line contract") {
+    // readDump deliberately does NOT strip the `,` terminating each
+    // wrapped dump line: Spark's Jackson parse consumes one JSON value
+    // and ignores trailing tokens (every strip formulation measured
+    // worse — SCALE.md round-16). If a Spark upgrade flips this to
+    // strict (FAIL_ON_TRAILING_TOKENS semantics), THIS test names the
+    // cause instead of the array scan silently nulling every row.
+    val r = spark.sql("""SELECT from_json('{"a":1},', 'a INT').a AS v""")
+      .head.getInt(0)
+    assert(r === 1)
+  }
+
   test("format auto-detection picks the array path only for wrapped files") {
     assert(Wd.isArrayDump(spark, Wd.ensureArrayFixture(spark)))
     assert(!Wd.isArrayDump(spark, Wd.ensureFixture(spark)))

@@ -87,9 +87,12 @@ object DedupOps {
     // the clustered distribution — only an extra in-partition sort).
     val wBucket = Window.partitionBy("chunk", "cv")
     val wGroup = Window.partitionBy("chunk", "cv", "simhash").orderBy("doc_id")
+    // rep (ordered window) FIRST, bn (orderless) second: bn's required
+    // ordering is just the partition keys, a prefix of rep's sort, so
+    // the two windows share ONE sort; the reverse order plans two.
     val annotated = chunked
-      .withColumn("bn", count(lit(1)).over(wBucket))
       .withColumn("rep", first(col("doc_id")).over(wGroup))
+      .withColumn("bn", count(lit(1)).over(wBucket))
     val cold = annotated.filter(col("bn") <= bucketCap)
     val a = cold.select(col("doc_id").as("a"), col("simhash").as("sha"),
       col("chunk"), col("cv"))

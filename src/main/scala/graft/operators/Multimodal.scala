@@ -100,9 +100,12 @@ object Multimodal {
     // — only an extra in-partition sort).
     val wBucket = Window.partitionBy("bd", "key")
     val wGroup = Window.partitionBy("bd", "key", "phash").orderBy("doc_id")
+    // rep (ordered window) FIRST, bn (orderless) second: bn's required
+    // ordering is just the partition keys, a prefix of rep's sort, so
+    // the two windows share ONE sort; the reverse order plans two.
     val annotated = bands
-      .withColumn("bn", count(lit(1)).over(wBucket))
       .withColumn("rep", first(col("doc_id")).over(wGroup))
+      .withColumn("bn", count(lit(1)).over(wBucket))
     val cold = annotated.filter(col("bn") <= bucketCap)
     val l = cold.select(col("bd"), col("key"),
       col("doc_id").as("a"), col("phash").as("ha"))

@@ -1559,6 +1559,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(operators.Multimodal.phash60(Array.emptyByteArray) === 0L)
   }
 
+  test("phash hot-bucket star reps group by hash — a foreign min-id " +
+      "collider cannot sever an exact-copy cluster") {
+    // Deterministic reconstruction of the PhashCapProbe finding
+    // (round-16): band keys are 10 bits, so a hot bucket can contain a
+    // doc FOREIGN to the cluster that made it hot. Six crafted
+    // payloads each zero exactly ONE band of their pHash (low byte in
+    // that band's 10 segments, high elsewhere) while the cluster's
+    // constant payload hashes to 0 — so EVERY cluster bucket (bd, 0)
+    // holds a lower-id foreign doc at hamming 50. A bucket-GLOBAL rep
+    // would star every member around a foreign doc and the radius
+    // filter would emit ZERO cluster pairs; the shipped per-(bucket,
+    // phash) group rep must emit exactly the 5-star around id 11.
+    import spark.implicits._
+    def bandZero(k: Int): String =
+      (0 until 60).map(i => if (i >= 10 * k && i < 10 * (k + 1)) '!' else '~')
+        .mkString
+    val foreign = (0 until 6).map(k => ((k + 1).toLong, bandZero(k)))
+    val cluster = (11 to 16).map(i => (i.toLong, "A" * 60))
+    val docs = (foreign ++ cluster).toDF("doc_id", "text")
+    // sanity on the crafted hashes: cluster at 0, each foreign zeroes
+    // only its own band and sits far outside the reporting radius
+    assert(operators.Multimodal.phash60(("A" * 60).getBytes("UTF-8")) === 0L)
+    (0 until 6).foreach { k =>
+      val h = operators.Multimodal.phash60(bandZero(k).getBytes("UTF-8"))
+      assert((h >> (10 * k) & 1023L) === 0L, s"band $k not zeroed")
+      assert(java.lang.Long.bitCount(h) === 50, s"foreign $k bitcount")
+    }
+    val pairs = operators.Multimodal.phashPairs(docs, bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === (12 to 16).map(b => (11L, b.toLong, 0)).toSet,
+      s"expected the 5-pair star around 11, got $pairs")
+  }
+
   test("sample_temperature flattens the language skew toward sqrt shares") {
     val kept = q("sample_temperature").collect()
       .map(_.getString(1)).groupBy(identity).view.mapValues(_.size).toMap

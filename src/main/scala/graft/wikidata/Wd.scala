@@ -1,6 +1,6 @@
 package graft.wikidata
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -89,8 +89,8 @@ object Wd {
     * the dump read targets input/(4×parallelism) bytes per split,
     * clamped to [4 MiB, 128 MiB] — at 100 TB the clamp leaves the
     * default untouched; on probe-sized dumps every core gets work.
-    * Round-16 (r15 advice 4 / what's-wrong 3): implemented as a
-    * PER-SCAN minPartitions on the text read — the session-wide
+    * Round-16 (r15 advice 4 / what's-wrong 3): the knob now lives in
+    * an isolated CHILD session (see [[readerSession]]) — the caller's
     * `spark.sql.files.maxPartitionBytes` is never touched, so the
     * shrunken split size can no longer leak into unrelated scans
     * later in the same session. */
@@ -99,21 +99,32 @@ object Wd {
       .orElse(sys.env.get("SPARK_GRAFT_WD_AUTOSPLIT"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
-  /** Split count for an autosplit dump read: total bytes over the
-    * clamped per-split target. Pure math, unit-tested directly. */
-  private[graft] def splitParts(bytes: Long, par: Int): Int = {
-    val target = math.min(128L << 20,
+  /** Per-split byte target for an autosplit dump read: input over
+    * 4× parallelism, clamped. Pure math, unit-tested directly. */
+  private[graft] def splitTarget(bytes: Long, par: Int): Long =
+    math.min(128L << 20,
       math.max(4L << 20, bytes / (4L * math.max(1, par))))
-    math.max(1L, (bytes + target - 1) / target).toInt
-  }
 
-  private[graft] def autosplitParts(s: SparkSession, path: String): Option[Int] =
-    if (!autosplitOn(s)) None
+  /** The session the dump read should plan in: the caller's, or — with
+    * autosplit on — an ISOLATED child session (`newSession()`: private
+    * SQLConf, shared SparkContext) carrying the shrunken
+    * maxPartitionBytes. This is the join_bloom_pruned per-workload-
+    * tuning pattern: the split knob reaches the file scan without
+    * mutating the caller's session (r15 advice 4), and it applies to
+    * BOTH the native json scan and the text scan of the array path.
+    * (A textFile(minPartitions) formulation was measured and REJECTED:
+    * on a 1M-entity bz2 dump it ran ×1.6 SLOWER than no autosplit at
+    * all — RDD-line ingest forfeits the file-source's batched reader.) */
+  private def readerSession(s: SparkSession, path: String): SparkSession =
+    if (!autosplitOn(s)) s
     else {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val bytes = fs.getContentSummary(p).getLength
-      Some(splitParts(bytes, s.sparkContext.defaultParallelism))
+      val child = s.newSession()
+      child.conf.set("spark.sql.files.maxPartitionBytes",
+        splitTarget(bytes, s.sparkContext.defaultParallelism).toString)
+      child
     }
 
   /** Dump file-format detection (round-16 verdict 1). The LIVE export
@@ -172,14 +183,11 @@ object Wd {
     * paths are one narrow parse pipeline with zero shuffle. */
   private[graft] def readDump(s: SparkSession, path: String,
       schema: StructType): DataFrame = {
-    val parts = autosplitParts(s, path)
-    if (!isArrayDump(s, path) && parts.isEmpty)
-      s.read.schema(schema).json(path)
+    val rs = readerSession(s, path)
+    if (!isArrayDump(s, path))
+      rs.read.schema(schema).json(path)
     else {
-      val lines = parts match {
-        case Some(n) => s.createDataset(s.sparkContext.textFile(path, n))(Encoders.STRING)
-        case None    => s.read.textFile(path)
-      }
+      val lines = rs.read.textFile(path)
       // Wrapper drop + comma strip as codegen'd string ops (endswith +
       // substr touch only the line tail; a regex here walks every
       // comma). Formulations measured on a 1M-entity dump (SCALE.md

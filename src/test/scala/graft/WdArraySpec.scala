@@ -82,14 +82,14 @@ class WdArraySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.wd.autosplit")
   }
 
-  test("splitParts math: clamped target, every core fed on probe dumps") {
-    // 1 GiB on 32 cores: target = max(4 MiB, 1 GiB/128) = 8 MiB -> 128
-    assert(Wd.splitParts(1L << 30, 32) === 128)
-    // tiny fixture: one split
-    assert(Wd.splitParts(16 * 1024, 32) === 1)
-    // 100 TB on 1000 cores: target clamps to 128 MiB (the default) —
+  test("splitTarget math: clamped per-split bytes, every core fed") {
+    // 1 GiB on 32 cores: 1 GiB/128 = 8 MiB per split -> 128 splits
+    assert(Wd.splitTarget(1L << 30, 32) === (8L << 20))
+    // tiny fixture: clamps up to the 4 MiB floor (one split)
+    assert(Wd.splitTarget(16 * 1024, 32) === (4L << 20))
+    // 100 TB on 1000 cores: clamps to 128 MiB (the stock default) —
     // autosplit is a no-op at the scale the clamp protects
-    assert(Wd.splitParts(100L << 40, 1000) === ((100L << 40) / (128L << 20)).toInt)
+    assert(Wd.splitTarget(100L << 40, 1000) === (128L << 20))
   }
 
   test("dirty wrapped dump classifies wrapper/entity/malformed exactly") {

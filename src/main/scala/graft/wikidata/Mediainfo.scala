@@ -1,7 +1,11 @@
 package graft.wikidata
 
+import java.io.BufferedOutputStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Stage
+import graft.sources.{ParquetSink, PgCopySink, PgDdl, PgServer}
 
 /** MediaInfo (M-) entity support — the third public dump family
   * (round-16 verdict 7): Wikimedia Commons structured data, i.e.
@@ -42,7 +46,98 @@ object Mediainfo {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private def bz2Path(s: SparkSession): String =
+    Stage.p(s, "graft_wd_mediainfo.ndjson.bz2")
+
+  /** Stage the fixture twice, like Etl.ensureBz2: the bz2 the composed
+    * pipeline ingests and the plain twin the DuckDB oracle reads. */
+  private def ensureBz2(s: SparkSession): String = synchronized {
+    ensureFixture(s)
+    val in = getClass.getResourceAsStream("/wd_mediainfo.ndjson")
+    require(in != null, "wd_mediainfo.ndjson missing from classpath")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(s.sparkContext.hadoopConfiguration)
+    val out = codec.createOutputStream(
+      new BufferedOutputStream(Stage.create(s, bz2Path(s))))
+    try out.write(in.readAllBytes())
+    finally { out.close(); in.close() }
+    bz2Path(s)
+  }
+
+  private def dumpMi(s: SparkSession): DataFrame = {
+    val bz2 = s.conf.getOption("spark.graft.wd.mediainfo.bz2")
+      .orElse(sys.env.get("SPARK_GRAFT_WD_MEDIAINFO_BZ2"))
+      .getOrElse(ensureBz2(s))
+    Wd.readDump(s, bz2, EntitySchema.mediainfo)
+  }
+
+  /** Target/readback schema — Postgres DDL column order. */
+  private val miSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("en_caption", StringType),
+    StructField("pid", StringType),
+    StructField("statement_id", StringType),
+    StructField("dv_type", StringType),
+    StructField("v_string", StringType),
+    StructField("v_entity", StringType),
+    StructField("v_time_raw", StringType),
+    StructField("v_ts", TimestampType),
+    StructField("v_amount", StringType),
+    StructField("v_lat", DoubleType),
+    StructField("v_lon", DoubleType),
+    StructField("v_mono", StringType)))
+
+  /** The mediainfo dump → warehouse-row frame: bz2 ingest → statements
+    * flatten → the SAME typed datavalue extraction the entity ETL uses
+    * (TypedValues.typed — mediainfo statements are ordinary statements)
+    * → English caption enrichment, in DDL order. */
+  def loadFrame(s: SparkSession): DataFrame = {
+    val mi = dumpMi(s)
+    val cf = mi
+      .select(col("id"), explode(col("statements")).as(Seq("pid", "stmts")))
+      .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
+      .select(col("id"), col("pid"),
+        col("st.id").as("statement_id"),
+        col("st.mainsnak.datavalue.type").as("dv_type"),
+        col("st.mainsnak.datavalue.value").as("dv_raw"))
+    val caps = mi.select(col("id"),
+      col("labels").getItem("en").getField("value").as("en_caption"))
+    TypedValues.typed(cf)
+      .join(caps, Seq("id"), "left")
+      .select(miSchema.fieldNames.map(col).toSeq: _*)
+  }
+
   val queries: Map[String, Q] = Map(
+    // The reference pipeline shape applied to the THIRD dump family:
+    // Commons mediainfo bz2 → explicit-schema parse → statements
+    // flatten → typed extraction → caption enrichment → per-partition
+    // COPY into Postgres → read-back (parquet twin when no server
+    // boots). Same scaling posture as etl_wikidata_pg: narrow
+    // codegen'd pipeline, zero shuffle before the read-back sort, N
+    // concurrent executor COPY streams.
+    "etl_mediainfo_pg" -> ((s, _) => {
+      val load = loadFrame(s)
+      if (PgServer.ensure()) {
+        val t = "graft_wd_mediainfo"
+        PgServer.psql(s"""DROP TABLE IF EXISTS "$t"""")
+        PgServer.psql(PgDdl.createTable(t, miSchema))
+        PgCopySink(PgServer.sockDir, PgServer.port, PgServer.db, t,
+          perPartition = true).write(load)
+        val out = "/tmp/graft_wd_mediainfo_roundtrip.csv"
+        PgServer.psql(
+          s"""\\copy (SELECT * FROM "$t" ORDER BY id, pid, statement_id) TO '$out' WITH (FORMAT csv)""")
+        s.read.schema(miSchema)
+          .option("header", "false")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(out)
+          .orderBy("id", "pid", "statement_id")
+      } else {
+        val out = Stage.p(s, "graft_wd_mediainfo_etl_twin")
+        ParquetSink(out).write(load)
+        s.read.parquet(out).orderBy("id", "pid", "statement_id")
+      }
+    }),
+
     // Caption surface: one row per (file, caption language) plus the
     // structural statement count — what a media-search warehouse
     // indexes. Caption-less files (most of Commons) keep one NULL row
@@ -80,6 +175,48 @@ object Mediainfo {
   // Hyphen-safe json paths ('$."' || lang || '"...') as in the lexeme
   // oracles; dv_raw minification parity per wd_claims_flatten.
   val oracles: Map[String, String] = Map(
+    // DuckDB replays the whole chain over the plain-NDJSON twin of the
+    // same bytes: statements flatten + the per-type extraction of the
+    // etl_wikidata_pg oracle + the en-caption left join.
+    "etl_mediainfo_pg" ->
+      """WITH m AS (
+           SELECT id, labels, statements
+           FROM read_json('/tmp/graft_wd_mediainfo.ndjson',
+             format='newline_delimited',
+             columns={id: 'VARCHAR', labels: 'JSON', statements: 'JSON'})),
+         pids AS (SELECT id, unnest(json_keys(statements)) AS pid, statements
+                  FROM m),
+         st AS (SELECT id, pid,
+                  unnest(CAST(json_extract(statements, '$.' || pid) AS JSON[])) AS stj
+                FROM pids),
+         flat AS (SELECT id, pid,
+             json_extract_string(stj, '$.id') AS statement_id,
+             json_extract_string(stj, '$.mainsnak.datavalue.type') AS dv_type,
+             json_extract_string(stj, '$.mainsnak.datavalue.value') AS dv_raw,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.id') AS j_entity,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.time') AS j_time,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.amount') AS j_amount,
+             json_extract(stj, '$.mainsnak.datavalue.value.latitude') AS j_lat,
+             json_extract(stj, '$.mainsnak.datavalue.value.longitude') AS j_lon,
+             json_extract_string(stj, '$.mainsnak.datavalue.value.text') AS j_text
+           FROM st),
+         cap AS (SELECT id, json_extract_string(labels, '$.en.value') AS en_caption
+                 FROM m)
+         SELECT f.id, cap.en_caption, f.pid, f.statement_id, f.dv_type,
+             CASE WHEN dv_type = 'string' THEN dv_raw END AS v_string,
+             CASE WHEN dv_type = 'wikibase-entityid' THEN j_entity END AS v_entity,
+             CASE WHEN dv_type = 'time' THEN j_time END AS v_time_raw,
+             TRY_CAST(regexp_extract(
+               CASE WHEN dv_type = 'time' THEN j_time END,
+               '^\+([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9:]{8})Z$', 1) AS TIMESTAMP) AS v_ts,
+             CAST(TRY_CAST(CASE WHEN dv_type = 'quantity' THEN j_amount END
+                           AS DECIMAL(38,6)) AS VARCHAR) AS v_amount,
+             CASE WHEN dv_type = 'globecoordinate' THEN CAST(j_lat AS DOUBLE) END AS v_lat,
+             CASE WHEN dv_type = 'globecoordinate' THEN CAST(j_lon AS DOUBLE) END AS v_lon,
+             CASE WHEN dv_type = 'monolingualtext' THEN j_text END AS v_mono
+         FROM flat f LEFT JOIN cap ON f.id = cap.id
+         ORDER BY f.id, f.pid, f.statement_id""",
+
     "wd_mediainfo_flatten" ->
       """WITH m AS (
            SELECT id, labels, statements, lastrevid

@@ -116,6 +116,21 @@ class PgSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_mediainfo_pg composes the mediainfo dump->Postgres pipeline") {
+    val rows = SparkEntry.queries("etl_mediainfo_pg")(spark, Spec.sf001).collect()
+    assert(rows.length === 7) // one row per fixture statement
+    val byId = rows.groupBy(_.getString(0))
+    // caption enrichment: M1 carries its en caption, M3 has none
+    assert(byId("M1").forall(_.getString(1) === "Sunset over the harbor"))
+    assert(byId("M3").forall(_.isNullAt(1)))
+    // typed arms: the 1891 time parsed, the POV coordinate landed,
+    // somevalue snak (M3 P7482) keeps every value column NULL
+    assert(rows.count(r => !r.isNullAt(8)) === 1)  // v_ts
+    assert(rows.count(r => !r.isNullAt(10)) === 1) // v_lat
+    val m3 = byId("M3").head
+    assert((5 to 12).forall(m3.isNullAt))
+  }
+
   test("etl_wikidata_pg ingests the array-wrapped public dump layout " +
       "end-to-end (round-16 verdict 8)") {
     // stage a bz2 twin of the ARRAY-WRAPPED fixture — the literal shape

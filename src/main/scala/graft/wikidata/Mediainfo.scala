@@ -90,20 +90,26 @@ object Mediainfo {
   /** The mediainfo dump → warehouse-row frame: bz2 ingest → statements
     * flatten → the SAME typed datavalue extraction the entity ETL uses
     * (TypedValues.typed — mediainfo statements are ordinary statements)
-    * → English caption enrichment, in DDL order. */
+    * → English caption enrichment, in DDL order.
+    *
+    * ONE dump scan (round-17 verdict 4): the caption is a map lookup on
+    * the already-parsed entity row, so it rides the statements explode
+    * as a pass-through column instead of a second scan + id join —
+    * hash-identical (the old left join only ever reattached the
+    * caption to statement rows of the same entity), and the plan drops
+    * from two file scans + a join to one narrow codegen'd pipeline. */
   def loadFrame(s: SparkSession): DataFrame = {
-    val mi = dumpMi(s)
-    val cf = mi
-      .select(col("id"), explode(col("statements")).as(Seq("pid", "stmts")))
-      .select(col("id"), col("pid"), explode(col("stmts")).as("st"))
-      .select(col("id"), col("pid"),
+    val cf = dumpMi(s)
+      .select(col("id"),
+        col("labels").getItem("en").getField("value").as("en_caption"),
+        explode(col("statements")).as(Seq("pid", "stmts")))
+      .select(col("id"), col("en_caption"), col("pid"),
+        explode(col("stmts")).as("st"))
+      .select(col("id"), col("en_caption"), col("pid"),
         col("st.id").as("statement_id"),
         col("st.mainsnak.datavalue.type").as("dv_type"),
         col("st.mainsnak.datavalue.value").as("dv_raw"))
-    val caps = mi.select(col("id"),
-      col("labels").getItem("en").getField("value").as("en_caption"))
-    TypedValues.typed(cf)
-      .join(caps, Seq("id"), "left")
+    TypedValues.typed(cf, passThrough = Seq("en_caption"))
       .select(miSchema.fieldNames.map(col).toSeq: _*)
   }
 
@@ -141,19 +147,19 @@ object Mediainfo {
     // Caption surface: one row per (file, caption language) plus the
     // structural statement count — what a media-search warehouse
     // indexes. Caption-less files (most of Commons) keep one NULL row
-    // via the left join so the key is a complete file inventory.
-    "wd_mediainfo_flatten" -> ((s, _) => {
-      val m = mediainfo(s)
-      val caps = m.select(col("id"), explode(col("labels")).as(Seq("lang", "lv")))
-        .select(col("id"), col("lang"), col("lv.value").as("caption"))
-      m.select(col("id"),
+    // via explode_outer so the key is a complete file inventory — ONE
+    // dump scan (round-17 verdict 4; the former caption left join was
+    // a second scan of the same file, and its NULL-preserving
+    // semantics are exactly explode_outer's).
+    "wd_mediainfo_flatten" -> ((s, _) =>
+      mediainfo(s)
+        .select(col("id"),
           coalesce(size(col("statements")), lit(0)).as("n_statement_props"),
-          col("lastrevid"))
-        .join(caps, Seq("id"), "left")
-        .select(col("id"), col("lang"), col("caption"),
+          col("lastrevid"),
+          explode_outer(col("labels")).as(Seq("lang", "lv")))
+        .select(col("id"), col("lang"), col("lv.value").as("caption"),
           col("n_statement_props"), col("lastrevid"))
-        .orderBy("id", "lang")
-    }),
+        .orderBy("id", "lang")),
 
     // Statement surface: the claimsFlatten shape over the `statements`
     // map — depicts (P180), copyright status, coordinates of the point

@@ -45,33 +45,37 @@ object TypedValues {
   type Q = (SparkSession, String) => DataFrame
 
   /** Typed-extraction core (unsorted) over a claims-flatten frame —
-    * shared by the standalone key and the composed ETL chain. */
-  def typed(claims: DataFrame): DataFrame =
+    * shared by the standalone key and the composed ETL chains.
+    * `passThrough` columns ride along unchanged (round-17 verdict 4:
+    * lets the mediainfo ETL carry its caption through ONE dump scan
+    * instead of re-scanning for a caption join). */
+  def typed(claims: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
     claims.select(
-        col("id"), col("pid"), col("statement_id"), col("dv_type"),
+        Seq(col("id"), col("pid"), col("statement_id"), col("dv_type")) ++
+        passThrough.map(col) :+
         // string: the raw payload IS the value (quotes stripped by the
         // JSON parser only when the payload was a JSON string literal —
         // it is kept verbatim otherwise)
-        when(col("dv_type") === "string", col("dv_raw")).as("v_string"),
+        when(col("dv_type") === "string", col("dv_raw")).as("v_string") :+
         from_json(when(col("dv_type") === "wikibase-entityid", col("dv_raw")),
-          entityIdSchema).getField("id").as("v_entity"),
+          entityIdSchema).getField("id").as("v_entity") :+
         from_json(when(col("dv_type") === "time", col("dv_raw")),
-          timeSchema).getField("time").as("v_time_raw"),
+          timeSchema).getField("time").as("v_time_raw") :+
         // best-effort: in-range ISO instants only; year-12000 etc stay null
         try_to_timestamp(
           regexp_extract(
             from_json(when(col("dv_type") === "time", col("dv_raw")), timeSchema)
               .getField("time"),
             "^\\+([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9:]{8})Z$", 1),
-          lit("yyyy-MM-dd'T'HH:mm:ss")).as("v_ts"),
+          lit("yyyy-MM-dd'T'HH:mm:ss")).as("v_ts") :+
         from_json(when(col("dv_type") === "quantity", col("dv_raw")),
-          quantitySchema).getField("amount").as("v_amount_raw"),
+          quantitySchema).getField("amount").as("v_amount_raw") :+
         from_json(when(col("dv_type") === "globecoordinate", col("dv_raw")),
-          coordSchema).getField("latitude").as("v_lat"),
+          coordSchema).getField("latitude").as("v_lat") :+
         from_json(when(col("dv_type") === "globecoordinate", col("dv_raw")),
-          coordSchema).getField("longitude").as("v_lon"),
+          coordSchema).getField("longitude").as("v_lon") :+
         from_json(when(col("dv_type") === "monolingualtext", col("dv_raw")),
-          monoSchema).getField("text").as("v_mono"))
+          monoSchema).getField("text").as("v_mono"): _*)
       // try_cast (never-throwing under ANSI): >38-digit amounts → null.
       // Surfaced as the decimal's canonical string so the cross-engine
       // hash gate compares text, not engine decimal wire formats.

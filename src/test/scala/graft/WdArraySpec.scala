@@ -43,6 +43,21 @@ class WdArraySpec extends AnyFunSuite {
     assert(r === 1)
   }
 
+  test("array path parses each line ONCE — the stub filter is fenced") {
+    // Round-17 verdict 2: unfenced, the optimizer pushes a caller's
+    // `redirect IS NULL` below the parse projection as a SECOND
+    // single-field from_json — every wrapped line tokenized twice
+    // (~1.9× the native scan at 1M entities, SCALE.md round-16). The
+    // ParseFence pins the filter ABOVE one full-schema parse.
+    val df = Wd.readDump(spark, Wd.ensureArrayFixture(spark),
+        EntitySchema.entity)
+      .filter(col("redirect").isNull)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(plan).size === 1, s"plan:\n$plan")
+    assert(plan.contains("parse_fence"), s"plan:\n$plan")
+    assert(df.count() === 10) // stubs still filtered, above the parse
+  }
+
   test("format auto-detection picks the array path only for wrapped files") {
     assert(Wd.isArrayDump(spark, Wd.ensureArrayFixture(spark)))
     assert(!Wd.isArrayDump(spark, Wd.ensureFixture(spark)))
@@ -76,7 +91,9 @@ class WdArraySpec extends AnyFunSuite {
     spark.conf.set("spark.graft.wd.autosplit", "true")
     try {
       val df = Wd.readDump(spark, Wd.ensureFixture(spark), EntitySchema.entity)
-      assert(df.count() === 12) // parse still correct through textFile path
+      // autosplit NDJSON keeps the NATIVE json scan, planned in the
+      // isolated child session (only array dumps take the text path)
+      assert(df.count() === 12)
       assert(spark.conf.getOption(key) === before,
         "autosplit leaked a session-wide maxPartitionBytes")
     } finally spark.conf.unset("spark.graft.wd.autosplit")

@@ -422,11 +422,26 @@ object DedupOps {
       // first (the one sanctioned persist in this codebase; checkpoint
       // files own the data, so the block is short-lived) and the loop
       // unpersists each round's RDD once its successor is materialized.
+      // `spark.graft.fixpoint.serStorage=true` stores the fixpoint's
+      // RDD[(Long, Long)] blocks SERIALIZED (round-17 verdict 5): a
+      // deserialized block holds ~48-64 B of Tuple2/boxed-Long objects
+      // per pair where the serialized stream holds a fraction of that,
+      // which matters when the constrained-heap sweep pins the edge
+      // list + two label generations at once. localCheckpoint keeps a
+      // pre-set level, only adding the disk bit
+      // (LocalRDDCheckpointData.transformStorageLevel), so the knob
+      // reaches both the durable and local modes. Default follows the
+      // measured heap story in SCALE.md round-17.
+      val blockLvl =
+        if (s.conf.getOption("spark.graft.fixpoint.serStorage")
+              .exists(v => v == "1" || v.equalsIgnoreCase("true")))
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       def ckpt(r: org.apache.spark.rdd.RDD[_]): Unit =
         if (ckptDir.isDefined) {
-          r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.persist(blockLvl)
           r.checkpoint()
-        } else { r.localCheckpoint(); () }
+        } else { r.persist(blockLvl); r.localCheckpoint(); () }
       // unck releases BOTH the persisted blocks and the superseded
       // round's reliable checkpoint FILES (round-11): by the time it
       // runs, the successor is materialized and the change count — the

@@ -422,21 +422,25 @@ object DedupOps {
       // first (the one sanctioned persist in this codebase; checkpoint
       // files own the data, so the block is short-lived) and the loop
       // unpersists each round's RDD once its successor is materialized.
-      // `spark.graft.fixpoint.serStorage=true` stores the fixpoint's
-      // RDD[(Long, Long)] blocks SERIALIZED (round-17 verdict 5): a
-      // deserialized block holds ~48-64 B of Tuple2/boxed-Long objects
-      // per pair where the serialized stream holds a fraction of that,
-      // which matters when the constrained-heap sweep pins the edge
-      // list + two label generations at once. localCheckpoint keeps a
-      // pre-set level, only adding the disk bit
+      // The fixpoint's RDD[(Long, Long)] blocks are stored SERIALIZED
+      // by default (round-17 verdict 5, measured in SCALE.md round-17):
+      // a deserialized block holds ~48-64 B of Tuple2/boxed-Long
+      // objects per pair where the serialized stream holds a fraction
+      // of that, which matters when a constrained heap pins the edge
+      // list + two label generations at once. sf10, solo, 3-pass
+      // medians: 8 g SER 122.0 s vs deser 167.2 s (-27%, the GC tax of
+      // boxed pairs in a knee-regime heap); 16 g SER 155.5 s vs deser
+      // 150.3 s (+3%, box noise) — SER wins where memory is tight and
+      // costs noise where it isn't. `spark.graft.fixpoint.serStorage=
+      // false` opts back into deserialized blocks. localCheckpoint
+      // keeps a pre-set level, only adding the disk bit
       // (LocalRDDCheckpointData.transformStorageLevel), so the knob
-      // reaches both the durable and local modes. Default follows the
-      // measured heap story in SCALE.md round-17.
+      // reaches both the durable and local modes.
       val blockLvl =
         if (s.conf.getOption("spark.graft.fixpoint.serStorage")
-              .exists(v => v == "1" || v.equalsIgnoreCase("true")))
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+              .exists(v => v == "0" || v.equalsIgnoreCase("false")))
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       def ckpt(r: org.apache.spark.rdd.RDD[_]): Unit =
         if (ckptDir.isDefined) {
           r.persist(blockLvl)

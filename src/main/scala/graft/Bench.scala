@@ -22,6 +22,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // Kryo (round 17): raw-RDD fixpoint loops (components, sssp,
+      // khop, kcore) serialize boxed pairs through spark.serializer for
+      // both shuffle and persisted blocks; the Java default measured
+      // ~2x slower on exactly those stages (OPTIMIZATION_r17.md). SQL
+      // paths (UnsafeRow) are unaffected. Standard production setting.
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       // UTC parity with Verify/RunOne: the NTZ→TimestampType cast in
       // Tables.events is session-TZ dependent, so an unpinned TZ would
       // shift event-time filter selectivity (and timings) on a

@@ -14,6 +14,8 @@ object RunOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer") // round 17, see Bench
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

@@ -24,6 +24,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer") // round 17, see Bench
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

@@ -67,11 +67,21 @@ object DedupOps {
         "CAST(conv(substring(md5(concat('simhash:', t)), 1, 15), 16, 10) AS BIGINT)"))
     val bitSums = (0 until 64).map(bit =>
       sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1)).as(s"b$bit"))
-    val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // Round-17 (opt): the signature table is materialized ONCE
+    // (localCheckpoint; durable under spark.graft.checkpointDir). The
+    // self-join's two arms plus the hot arm are THREE consumers of this
+    // subtree, and the planner does not reuse the exchanges across them
+    // (AQE replans each side), so the corpus-scale tokenize → distinct
+    // → 64-bit-sum pipeline executed 3x per run — measured in the r17
+    // before-plan (plans/r17/dedup_simhash_before.txt: the full
+    // aggregate chain appears three times). Checkpointing 1 row/doc of
+    // (doc_id, simhash) makes it once; everything downstream is
+    // band-bucket-sized. Results identical (same rows, same hash).
+    val sim = Ckpt.df(th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(bit =>
           when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+          .reduce(_ + _).as("simhash")))
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
@@ -148,7 +158,16 @@ object DedupOps {
     * delta joins against the stored base index (dedup_incremental),
     * recomputing nothing.
     */
-  private def minhashBanded(docs: DataFrame): DataFrame = {
+  private def minhashBanded(docs: DataFrame, ckptSigs: Boolean = true)
+      : DataFrame = {
+    // Round-17 note: a map-side array-transform shingle formulation
+    // (the bigramPairs shape) was built and MEASURED AGAINST at sf1 —
+    // it removed the token shuffle (write 6.1 → 3.4 MB at sf0.1) but
+    // the per-shingle transform/concat_ws lambda is CodegenFallback
+    // and cost ~2.5x the window form's warm CPU at sf1 (220 s vs 88 s
+    // summed task time), exactly the HOF-on-the-hot-path trap the
+    // header documents. The codegen'd posexplode + lead() windows
+    // stay.
     val wpos = Window.partitionBy("doc_id").orderBy("pos")
     val shingled = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -165,7 +184,15 @@ object DedupOps {
       .withColumn("h2", expr("CAST(conv(substring(d, 17, 14), 16, 10) AS BIGINT)"))
     val sigAggs = (1 to MinhashSigs).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-    val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // Round-17 (opt): signature table checkpointed once — same
+    // rationale as simhashPairs' sim table (three downstream consumers
+    // of the corpus-scale shingle → md5 → 16-min pipeline, no planner
+    // exchange reuse across the self-join arms). 1 row/doc, 16 longs.
+    // incrementalMatches passes ckptSigs=false: each of its two banded
+    // indexes has ONE consumer, so a checkpoint there is a pure extra
+    // materialization.
+    val sigs0 = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = if (ckptSigs) Ckpt.df(sigs0) else sigs0
     val bandCols = (0 until MinhashBands).map(b =>
       md5(concat_ws("|", lit(s"band$b") +:
         (1 to MinhashRows).map(i => col(s"m${b * MinhashRows + i}")): _*)))
@@ -269,13 +296,13 @@ object DedupOps {
       bucketCap: Int = MinhashBandCap): DataFrame = {
     val docs = allDocs.withColumn("b", SampleOps.hashBucket)
     val wBucket = Window.partitionBy("band", "bh")
-    val base = minhashBanded(docs.filter(col("b") < 8))
+    val base = minhashBanded(docs.filter(col("b") < 8), ckptSigs = false)
       .withColumn("bn", count(lit(1)).over(wBucket))
       .withColumn("rep", first(col("doc_id")).over(wBucket.orderBy("doc_id")))
       .filter(col("bn") <= bucketCap || col("doc_id") === col("rep"))
       .select(col("doc_id").as("base_id"),
         col("band").as("band2"), col("bh").as("bh2"))
-    val delta = minhashBanded(docs.filter(col("b") >= 8))
+    val delta = minhashBanded(docs.filter(col("b") >= 8), ckptSigs = false)
       .select(col("doc_id"), col("band"), col("bh"))
     broadcast(delta)
       .join(base, col("band") === col("band2") && col("bh") === col("bh2"))

@@ -77,6 +77,100 @@ object GraphOps {
     Stage.p(s, s"graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}_" +
       Stage.inputStamp(s, s"$d/lineitem.parquet"))
 
+  /** Round-17 RDD-fixpoint helpers — the dedup_components execution
+    * model (co-partitioned RDDs under one shared HashPartitioner)
+    * generalized to the bounded-round graph loops. Why (measured,
+    * OPTIMIZATION_r17.md): the DataFrame formulation of a round plans
+    * 2 eager checkpoints plus ~6 AQE stage-jobs, so the 3-round keys
+    * ran 27-30 driver-barrier jobs each at any scale; with every
+    * per-round join narrow (shared partitioner) and persist-only
+    * lineage (rounds are FIXED, so lineage depth is bounded and every
+    * generation stays recomputable on block loss) the whole fixpoint
+    * executes as ONE job at action time with exactly one wide shuffle
+    * per round (the re-key by neighbor). Storage level defaults to
+    * serialized blocks (the round-17 components measurement: -27% at
+    * the 8g knee, noise at 16g); `spark.graft.fixpoint.serStorage=
+    * false` opts back into deserialized. */
+  private def fxLevel(s: SparkSession): org.apache.spark.storage.StorageLevel =
+    if (s.conf.getOption("spark.graft.fixpoint.serStorage")
+          .exists(v => v == "0" || v.equalsIgnoreCase("false")))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  /** Scale-adaptive fixpoint partitioner width: rows-per-task sized
+    * (conf `spark.graft.fixpoint.rowsPerTask`), floored at min(8,
+    * parallelism) so a tiny graph doesn't pay 32 tasks of scheduling
+    * per round, capped at 4x defaultParallelism so a 100 TB graph fans
+    * out with the cluster instead of funneling through a fixed count.
+    * Default 500k pairs/task (~10-25 MB serialized) — the guide §2.2
+    * block-count rule: these loops shuffle bare long pairs, so the
+    * components rule's 20k rows/task made per-task fixed costs (fetch
+    * of M×R tiny blocks, combiner setup) dominate the actual work
+    * (measured ~5x on the round-17 sssp rewrite, OPTIMIZATION_r17.md). */
+  private def fxParts(s: SparkSession, rows: Long): Int = {
+    val per = s.conf.getOption("spark.graft.fixpoint.rowsPerTask")
+      .map(_.toLong).getOrElse(500000L)
+    val byData = (rows / per).toInt + 1
+    math.max(
+      math.min(byData, s.sparkContext.defaultParallelism * 4),
+      math.min(8, s.sparkContext.defaultParallelism))
+  }
+
+  /** Durable-mode hygiene for the raw-RDD fixpoints, mirroring the
+    * components loop and Ckpt.Chain at the RDD level. Default (no
+    * `spark.graft.checkpointDir`): `pin` persists only — the loop body
+    * stays LAZY and the fixed-round lineage is intact, so the single
+    * action job recomputes any lost block; `done` is a no-op (zero
+    * per-round driver barriers). Durable mode: `pin` also marks a
+    * reliable checkpoint, `done` materializes the generation (the
+    * persist means the checkpoint job reads blocks, not lineage) and
+    * deletes generation N-2's files + blocks once N lands —
+    * keep-last-2, exactly the Ckpt.Chain contract the specs pin. */
+  private final class RddRounds(s: SparkSession) {
+    private val base = Ckpt.dir(s)
+    base.foreach(Ckpt.ensure(s, _))
+    private val lvl = fxLevel(s)
+    private val pinned =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    private var older: Option[org.apache.spark.rdd.RDD[_]] = None
+    private var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    def pin[T](r: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+      r.persist(lvl)
+      pinned += r
+      if (base.isDefined) r.checkpoint()
+      r
+    }
+    def done(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (base.isDefined) {
+        r.count()
+        older.foreach { o =>
+          o.unpersist(false)
+          o.getCheckpointFile.foreach(f => Ckpt.deleteFile(s, f))
+        }
+        older = prev
+        prev = Some(r)
+      }
+    /** Close the loop: default mode runs the ONE materializing action
+      * (localCheckpoint keeps `pin`'s storage level and truncates the
+      * whole loop's lineage), then every superseded generation's blocks
+      * are released eagerly — the old eager-checkpoint loops unpersisted
+      * as they went; a lazy loop that leaked its generations across
+      * bench passes measurably thrashed the heap (OPTIMIZATION_r17.md).
+      * Durable mode: `done` already materialized + cleaned; the result
+      * stays file-backed, so releasing blocks is safe there too. */
+    def finish[T](result: org.apache.spark.rdd.RDD[T],
+        alsoRelease: org.apache.spark.rdd.RDD[_]*)
+        : org.apache.spark.rdd.RDD[T] = {
+      if (base.isEmpty) {
+        result.localCheckpoint()
+        result.count()
+      }
+      pinned.filter(_ ne result).foreach(_.unpersist(false))
+      alsoRelease.foreach(_.unpersist(false))
+      result
+    }
+  }
+
   /** Canonical undirected edge list (a < b), built once per fixture dir
     * and stored — all graph keys read the stored table. */
   private def edges(s: SparkSession, d: String): DataFrame = {
@@ -401,26 +495,42 @@ object GraphOps {
       // scalar read (the documented per-round-scalar exception, like
       // the components convergence count) instead of a per-round
       // broadcast crossJoin re-running the percentile job.
+      // Round-17 (opt): delta peeling on co-partitioned RDDs (see
+      // fxLevel/RddRounds and the sssp note). Per peel the only wide
+      // shuffle is the per-neighbor subtraction count (reduceByKey sum
+      // = the old groupBy count); the dead filter, the edge⋈dead fan
+      // and the survivor update are narrow under the shared
+      // partitioner, and with persist-only lineage the fixed 3+1
+      // rounds run as ONE job instead of ~30 AQE stage-jobs + eager
+      // checkpoints (OPTIMIZATION_r17.md). Same integer arithmetic.
+      import org.apache.spark.HashPartitioner
       val e = edges(s, d)
       val dg = degrees(s, d)
       val kth = dg.agg(
         ceil(expr("percentile(degree, 0.5)") * lit(0.7))
           .cast(LongType).as("kth")).head().getLong(0)
-      val ck = Ckpt.chain()
-      var deg = ck.df(dg)
-      def dead: DataFrame = deg.filter(col("degree") < kth).select("node")
+      val rounds = new RddRounds(s)
+      val part = new HashPartitioner(fxParts(s, e.count() * 2))
+      val und = e.rdd.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Seq((a, b), (b, a))
+      }.partitionBy(part).persist(fxLevel(s))
+      var deg = rounds.pin(
+        dg.rdd.map(r => (r.getLong(0), r.getLong(1))).partitionBy(part))
+      rounds.done(deg)
+      def dead: org.apache.spark.rdd.RDD[(Long, Long)] =
+        deg.filter { case (_, dgr) => dgr < kth }
       // one peel step: survivors lose their edges into the dead set
       def step(): Unit = {
-        val dd = dead
-        val delta = e.join(dd.withColumnRenamed("node", "a"), "a")
-          .select(col("b").as("node"))
-          .union(e.join(dd.withColumnRenamed("node", "b"), "b")
-            .select(col("a").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("minus"))
-        deg = ck.df(deg.filter(col("degree") >= kth)
-          .join(delta, Seq("node"), "left")
-          .select(col("node"),
-            (col("degree") - coalesce(col("minus"), lit(0L))).as("degree")))
+        val delta = und.join(dead)
+          .map { case (_, (nbr, _)) => (nbr, 1L) }
+          .reduceByKey(part, (a: Long, b: Long) => a + b)
+        val nxt = rounds.pin(
+          deg.filter { case (_, dgr) => dgr >= kth }
+            .leftOuterJoin(delta) // narrow: survivors keyed like delta
+            .mapValues { case (dgr, m) => dgr - m.getOrElse(0L) })
+        rounds.done(nxt)
+        deg = nxt
       }
       // Config gate (spark.graft.kcore.converge=true): peel to the true
       // k-core fixed point instead of the oracle-replayable 3 rounds.
@@ -428,10 +538,10 @@ object GraphOps {
       // the same exact-integer discipline as the components fixpoint.
       if (s.conf.get("spark.graft.kcore.converge", "false").toBoolean) {
         val cap = s.conf.get("spark.graft.kcore.maxRounds", "50").toInt
-        var rounds = 0
-        while (dead.limit(1).count() > 0 && rounds < cap) {
+        var r = 0
+        while (!dead.isEmpty() && r < cap) {
           step()
-          rounds += 1
+          r += 1
         }
       } else {
         for (_ <- 1 to KCoreRounds) step()
@@ -441,8 +551,11 @@ object GraphOps {
       // nodes isolated by it leave the output (degree 0 never appears
       // in an induced-degree aggregation)
       step()
-      deg.filter(col("degree") > 0)
-        .select(col("node"), col("degree").as("core_degree"))
+      val out = rounds.finish(deg, und)
+      val sess = s
+      import sess.implicits._
+      out.filter { case (_, dgr) => dgr > 0 }
+        .toDF("node", "core_degree")
         .orderBy("node")
     }),
 
@@ -660,39 +773,47 @@ object GraphOps {
       // frontier moves per round — the iterative-graph discipline
       // that holds at 10⁹ edges (MEMORY_AND_DISK spills, never
       // recomputes). sortWithinPartitions makes the SMJ sort a no-op.
-      val u = und(s, d).repartition(col("src"))
-        .sortWithinPartitions("src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Round-17 (opt): co-partitioned RDD frontier loop (see
+      // fxLevel/RddRounds and the sssp note). Per hop the only wide
+      // shuffle is the re-key of expanded neighbors (reduceByKey keep-
+      // one = the old distinct); the anti-join against visited and the
+      // visited merge are narrow under the shared partitioner, and with
+      // persist-only lineage the whole BFS runs as ONE job instead of
+      // ~27 AQE stage-jobs + 7 eager checkpoints (OPTIMIZATION_r17.md).
+      // Semantics bit-identical: first-reaching hop claims the node.
+      import org.apache.spark.HashPartitioner
+      val e = edges(s, d)
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
-      // Iterative lineage truncation (same rationale as the
-      // dedup_components fixpoint): without it, hop k's plan re-derives
-      // hops 1..k-1 — the anti-join target AND the frontier each embed
-      // the full prior chain, so work grows quadratically in depth.
-      // Each hop's (small) frontier and visited set are pinned via
-      // Ckpt — durable (spark.graft.checkpointDir) on clusters, eager
-      // localCheckpoint locally.
-      // one chain for the alternating visited/next generations: by the
-      // time generation N is materialized, N-2 (the pre-union visited
-      // or the already-expanded frontier) is unreferenced, so its
-      // durable checkpoint files are deleted (Ckpt.Chain keep-last-2)
-      val ck = Ckpt.chain()
-      var visited = ck.df(seeds.withColumn("dist", lit(0)))
-      // hop 1 reads the CHECKPOINTED seed blocks — `seeds` itself would
-      // re-derive the part-filter ⋈ degrees subplan a second time
-      var frontier = visited.select("node")
+      val rounds = new RddRounds(s)
+      val part = new HashPartitioner(fxParts(s, e.count() * 2))
+      val u = e.rdd.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Seq((a, b), (b, a))
+      }.partitionBy(part).persist(fxLevel(s))
+      var visited = rounds.pin(
+        seeds.rdd.map(r => (r.getLong(0), 0)).partitionBy(part))
+      rounds.done(visited)
+      var frontier: org.apache.spark.rdd.RDD[(Long, Int)] = visited
       for (k <- 1 to 3) {
-        val next = ck.df(u.join(frontier, col("src") === col("node"))
-          .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti"))
-        visited = ck.df(visited.union(next.withColumn("dist", lit(k))))
+        val next = rounds.pin(
+          u.join(frontier)
+            .map { case (_, (dst, _)) => (dst, k) }
+            .reduceByKey(part, (a: Int, _: Int) => a) // = distinct
+            .leftOuterJoin(visited) // narrow: anti-join against visited
+            .filter { case (_, (_, seen)) => seen.isEmpty }
+            .mapValues(_._1))
+        rounds.done(next)
+        val merged = rounds.pin(visited.union(next)) // PartitionerAwareUnion
+        rounds.done(merged)
+        visited = merged
         frontier = next
       }
-      // every hop is already materialized (Ckpt is eager), so the edge
-      // cache has served its purpose by the time the result plan runs
-      u.unpersist(blocking = false)
-      visited.orderBy("node")
+      val out = rounds.finish(visited, u)
+      val sess = s
+      import sess.implicits._
+      out.toDF("node", "dist").orderBy("node")
     }),
 
     "graph_sssp" -> ((s, d) => {
@@ -710,41 +831,53 @@ object GraphOps {
       // equi-join + two aggregations — no driver-side state; Ckpt
       // truncates the per-round lineage exactly like khop/components
       // (durable under spark.graft.checkpointDir at 100 TB).
+      // Round-17 (opt): the DataFrame loop above in spirit, executed on
+      // co-partitioned RDDs (the components model, see fxLevel/RddRounds)
+      // — per round the ONLY wide shuffle is the re-key of candidate
+      // labels by dst (reduceByKey min = the old groupBy min); the
+      // improvement filter, the dist merge and the frontier join are all
+      // narrow under the one shared partitioner, and with persist-only
+      // lineage the fixpoint runs as ONE job instead of ~30 AQE
+      // stage-jobs + 7 eager checkpoints (measured: OPTIMIZATION_r17.md).
+      // Semantics bit-identical: same integer relaxation, same rounds.
+      import org.apache.spark.HashPartitioner
       val e = wedges(s, d)
-      // same pinned-partitioning discipline as khop: one src shuffle
-      // of the weighted edges up front, then every relaxation round
-      // moves only the frontier (the checkpointed frontier's stats
-      // can't justify a broadcast, so the planner would otherwise
-      // re-shuffle the full edge list each round)
-      val wu = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
-        .repartition(col("src")).sortWithinPartitions("src")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey").as("node"))
         .join(degrees(s, d).select("node"), Seq("node"), "left_semi")
-      // shared chain over the dist/improved generations (keep-last-2
-      // file hygiene; see khop) — a durable run holds two round
-      // snapshots on the checkpoint FS instead of one per round
-      val ck = Ckpt.chain()
-      var dist = ck.df(seeds.withColumn("dist", lit(0L)))
+      val rounds = new RddRounds(s)
+      val part = new HashPartitioner(fxParts(s, e.count() * 2))
+      val wu = e.rdd.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1); val w = r.getLong(2)
+        Seq((a, (b, w)), (b, (a, w)))
+      }.partitionBy(part).persist(fxLevel(s))
+      var dist = rounds.pin(
+        seeds.rdd.map(r => (r.getLong(0), 0L)).partitionBy(part))
+      rounds.done(dist)
       var frontier = dist
       for (_ <- 1 to 3) {
         // candidate labels out of the frontier, combined per node BEFORE
-        // the dist join (partial agg collapses the ×degree expansion)
-        val relax = wu.join(frontier, col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-          .groupBy("node").agg(min(col("dist")).as("dist"))
-        val improved = ck.df(relax.as("r")
-          .join(dist.as("dd"), col("r.node") === col("dd.node"), "left_outer")
-          .filter(col("dd.dist").isNull || col("r.dist") < col("dd.dist"))
-          .select(col("r.node").as("node"), col("r.dist").as("dist")))
-        dist = ck.df(dist.union(improved)
-          .groupBy("node").agg(min(col("dist")).as("dist")))
+        // the dist merge (reduceByKey's map-side combine collapses the
+        // ×degree expansion, as the old partial agg did)
+        val relax = wu.join(frontier)
+          .map { case (_, ((dst, w), dv)) => (dst, dv + w) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val improved = rounds.pin(
+          relax.leftOuterJoin(dist)
+            .filter { case (_, (nd, od)) => od.forall(nd < _) }
+            .mapValues(_._1))
+        rounds.done(improved)
+        val merged = rounds.pin(
+          dist.union(improved) // PartitionerAwareUnion: stays narrow
+            .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)))
+        rounds.done(merged)
+        dist = merged
         frontier = improved
       }
-      wu.unpersist(blocking = false)
-      dist.orderBy("node")
+      val out = rounds.finish(dist, wu)
+      val sess = s
+      import sess.implicits._
+      out.toDF("node", "dist").orderBy("node")
     }),
 
     "graph_lpa" -> ((s, d) => {

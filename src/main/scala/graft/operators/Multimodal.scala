@@ -82,8 +82,13 @@ object Multimodal {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
       .as[(Long, Array[Byte])]
-    val hashed = media.map { case (id, bytes) => (id, phash60(bytes)) }
-      .toDF("doc_id", "phash")
+    // Round-17 (opt): checkpointed once — the decode+hash map is this
+    // pipeline's expensive per-row work and the self-join arms plus the
+    // hot arm are three consumers with no planner exchange reuse (the
+    // simhashPairs finding); 1 row/doc of (doc_id, phash).
+    val hashed = graft.Ckpt.df(
+      media.map { case (id, bytes) => (id, phash60(bytes)) }
+        .toDF("doc_id", "phash"))
     val bands = hashed.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(5))).as("bd"))
       .withColumn("key",

@@ -596,41 +596,66 @@ object SimOps {
         .select(col("i"), col("j"),
           ((col("sl").cast(DoubleType) / fx) / col("nn"))
             .cast(FloatType).cast(DoubleType).as("cval"))
-      // Materialize the 4 096-row matrix ONCE: every one of the 5
-      // rounds (and the Rayleigh contraction) references covFull, and
-      // each round references its input twice (w and ‖w‖) — without
-      // truncation Spark would recompute the covariance scan 2⁵⁺ times
-      // (the iterative-lineage explosion the graph rounds checkpoint
-      // against; measured 60 s → ~2 s at sf0.1).
-      val covFull = Ckpt.df(cov.union(
-        cov.filter(col("i") < col("j"))
-          .select(col("j"), col("i"), col("cval"))))
-      val v0 = s.range(1, 65).select(col("id").as("pos"),
-        lit(0.125).as("vv")) // uniform unit start: 64·(1/8)² = 1 exactly
-      def step(v: DataFrame): DataFrame = {
-        val w = covFull.join(broadcast(v), covFull("j") === v("pos"))
-          .groupBy(col("i").as("pos"))
-          .agg((sum(floor(col("cval") * col("vv") * fx))
-            .cast(DoubleType) / fx).as("w"))
-        val nrm = w.agg(
-          sqrt(sum(floor(col("w") * col("w") * fx)).cast(DoubleType) / fx)
-            .as("nr"))
-        Ckpt.df(w.crossJoin(broadcast(nrm))
-          .select(col("pos"),
-            (col("w") / col("nr")).cast(FloatType).cast(DoubleType)
-              .as("vv"))) // 64 rows; truncates the doubled lineage
+      // Round-17 (opt): the five power-iteration rounds and the
+      // Rayleigh contraction run inside ONE projection over a
+      // single-row array image of the d×d matrix, replacing 5 rounds ×
+      // (broadcast + agg + eager checkpoint) jobs over a 4096-row frame
+      // (41 jobs → ~9 measured; OPTIMIZATION_r17.md). The matrix is
+      // corpus-size-independent (64×64 — only the covariance pass above
+      // touches the corpus), so one-task evaluation IS the production
+      // shape (the step a driver hands to LAPACK). The arithmetic is
+      // replayed TERM FOR TERM: per-cell floor((c·v)·2⁴⁰) LONG sums,
+      // the same double divisions, the same per-round FLOAT rounding —
+      // bit-identical output, oracle unchanged. Intermediates (w, ‖w‖,
+      // v_k) are LET-BOUND via 1-element transform() arrays so nothing
+      // re-inlines; HOFs are CodegenFallback, irrelevant on one row.
+      // (The old covFull checkpoint existed only because each round
+      // referenced its input twice — with the rounds fused into one
+      // expression there is nothing left to truncate.)
+      val cmRow = cov.unionAll(
+          cov.filter(col("i") < col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("cval")))
+        .agg(expr("transform(array_sort(collect_list(struct(i, j, cval)))," +
+          " x -> x.cval)").as("cm"))
+      val fxD = "1099511627776.0" // 2^40, the ZipfSums literal
+      // one power step over a bound vector expression: w = C·v (LONG
+      // fixed-point row sums, ascending j — order-free), then
+      // float-round(w / ‖w‖); each lambda var is evaluated once
+      def stepExpr(v: String): String = {
+        // the INCOMING vector is let-bound first (vb): without that
+        // binding it would sit inside the row-sum lambda and be
+        // re-evaluated per (i, j) cell — 4096^round blowup (measured
+        // the hard way this round: a single row hung for minutes)
+        val w = s"transform(sequence(1, 64), i -> CAST(aggregate(" +
+          s"sequence(1, 64), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+          s"floor(element_at(cm, (i - 1) * 64 + j) * element_at(vb, j)" +
+          s" * $fxD)) AS DOUBLE) / $fxD)"
+        val nr = s"sqrt(CAST(aggregate(wa, CAST(0 AS BIGINT), " +
+          s"(acc, x) -> acc + floor(x * x * $fxD)) AS DOUBLE) / $fxD)"
+        s"element_at(transform(array($v), vb -> " +
+          s"element_at(transform(array($w), wa -> " +
+          s"element_at(transform(array($nr), nr -> " +
+          s"transform(wa, x -> CAST(CAST(x / nr AS FLOAT) AS DOUBLE))" +
+          s"), 1)), 1)), 1)"
       }
-      val v5 = step(step(step(step(step(v0)))))
-      val vj = v5.select(col("pos").as("jp"), col("vv").as("vvj"))
-      val vi = v5.select(col("pos").as("ip"), col("vv").as("vvi"))
-      val lam = covFull
-        .join(broadcast(vj), col("j") === col("jp"))
-        .join(broadcast(vi), col("i") === col("ip"))
-        .agg((sum(floor(col("vvi") * col("cval") * col("vvj") * fx))
-          .cast(DoubleType) / fx).as("eig"))
-      v5.join(mu, "pos").crossJoin(broadcast(lam))
-        .select(col("pos"), round(col("mu"), 6).as("mu"),
-          round(col("vv"), 6).as("loading"),
+      val v0 = "array_repeat(CAST(0.125 AS DOUBLE), 64)" // 64·(1/8)² = 1
+      val v5 = (1 to 5).foldLeft(v0)((v, _) => stepExpr(v))
+      // Rayleigh vᵀCv over the SAME full-matrix cell order as the old
+      // covFull sum (both triangles, diagonal once; ((vᵢ·c)·vⱼ)·2⁴⁰
+      // floored per cell, LONG total)
+      val eig = s"CAST(aggregate(sequence(1, 4096), CAST(0 AS BIGINT), " +
+        s"(acc, k) -> acc + floor(element_at(va, CAST((k - 1) div 64 AS INT)" +
+        s" + 1) * element_at(cm, k) * element_at(va, CAST((k - 1) % 64 AS " +
+        s"INT) + 1) * $fxD)) AS DOUBLE) / $fxD"
+      val solved = cmRow.select(expr(
+        s"element_at(transform(array($v5), va -> " +
+          s"struct(va AS v5, $eig AS eig)), 1)").as("r"))
+      solved.crossJoin(broadcast(muArr))
+        .select(posexplode(expr("arrays_zip(muv, r.v5)")).as(Seq("p0", "z")),
+          col("r.eig").as("eig"))
+        .select((col("p0") + 1).cast(LongType).as("pos"),
+          round(col("z.muv"), 6).as("mu"),
+          round(col("z.v5"), 6).as("loading"),
           round(col("eig"), 6).as("eigval"))
         .orderBy("pos")
     }),

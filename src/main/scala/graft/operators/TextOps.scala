@@ -244,22 +244,41 @@ object TextOps {
       // vocab-bounded aggregate of ONE corpus pass (checkpointed —
       // every step reads it); each step is a 1-row broadcast probe
       // into it, the TakeOrdered argmax never sorts the table.
+      // Round-17 (opt): the decode loop used to run 8 × (broadcast
+      // probe + eager checkpoint) = 23 jobs. The greedy policy is a
+      // pure function of the bigram table — next(w1) = argmax_(c12
+      // DESC, w2) — so the policy table folds out of ONE vocab-keyed
+      // min_by aggregate (same shuffle the bigram groupBy already
+      // pays), the seed falls out of the same pass (c1 = Σ c12 per
+      // w1), and the 8-step walk is one bound-map expression over a
+      // single row (~6 jobs; OPTIMIZATION_r17.md). Selection identical:
+      // min_by on (-c12, w2) replays the old per-step (c12 DESC, w2)
+      // TakeOrdered, min_by on (-c1, w1) the seed's; a walk reaching a
+      // word with no outgoing bigram stalls exactly like the old empty
+      // join. The one-row map is VOCAB-sized — the same bound as the
+      // old checkpointed bigram table (smaller: one entry per w1).
       val grams = bigramPairs(Tables.documents(s, d))
-      val bi = Ckpt.df(grams.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c12")))
-      val seed = grams.groupBy(col("w1").as("tok"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("tok")).limit(1)
-        .select(col("tok").as("word"))
-      var cur = seed
-      var out = seed.select(lit(0).as("step"), col("word"))
-      for (t <- 1 to 8) {
-        cur = Ckpt.df(bi.join(broadcast(cur), col("w1") === col("word"))
-          .orderBy(col("c12").desc, col("w2")).limit(1)
-          .select(col("w2").as("word")))
-        out = out.unionAll(cur.select(lit(t).as("step"), col("word")))
-      }
-      out.orderBy("step")
+      val bi = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val pol = bi.groupBy(col("w1"))
+        .agg(min_by(col("w2"),
+            struct((-col("c12")).as("nc"), col("w2"))).as("nxt"),
+          sum(col("c12")).as("c1"))
+      val one = pol.agg(
+        expr("map_from_entries(collect_list(struct(w1, nxt)))").as("m"),
+        min_by(col("w1"), struct((-col("c1")).as("nc"), col("w1")))
+          .as("seed"))
+      one.select(posexplode(expr(
+          // walk: start at the seed, append try_element_at(m, last)
+          // while it resolves; a missing key leaves acc unchanged
+          "aggregate(sequence(1, 8), array(seed), (acc, t) -> " +
+            "CASE WHEN try_element_at(m, element_at(acc, -1)) IS NULL " +
+            "THEN acc ELSE concat(acc, " +
+            "array(try_element_at(m, element_at(acc, -1)))) END)"))
+          .as(Seq("step", "word")))
+        .select(col("step").cast(IntegerType).as("step"), col("word"))
+        .filter(col("word").isNotNull)
+        .orderBy("step")
     }),
 
     "text_zipf_fit" -> ((s, d) => {

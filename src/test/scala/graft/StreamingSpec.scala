@@ -497,6 +497,8 @@ object Spec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer") // parity with Bench/Verify
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")

@@ -89,6 +89,18 @@ object SimOps {
     * (pairwise cos σ ≈ 1/√64); production tightens per use case. */
   private val RangeT = 0.2
 
+  /** Round-17 (opt): the greedy loops' per-round 1-row pick frames are
+    * eagerly checkpointed ONLY in durable mode. There the chained
+    * `state` generations' files are deleted keep-last-2, so an
+    * un-pinned pick (a TakeOrdered over a superseded state generation)
+    * would read deleted files; locally the superseded state's
+    * localCheckpoint blocks stay alive exactly as long as the lazy
+    * pick plan references them, and skipping the eager pin removes one
+    * driver-barrier job per round (sample_kcenter 21 → 16 jobs,
+    * sim_mmr_rerank 19 → 14 — OPTIMIZATION_r17.md). */
+  private def pinPick(df: DataFrame): DataFrame =
+    if (Ckpt.dir(df.sparkSession).isEmpty) df else Ckpt.df(df)
+
   /** (vec_id, pos, v:double) exploded view of the embedding table. */
   private def exploded(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -683,9 +695,10 @@ object SimOps {
         .limit(1)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
       // `state` is the one evolving frame — chained (keep-last-2 file
-      // hygiene). `center` is NOT: each round's center row feeds the
-      // lazily-accumulated `rules` union, so its checkpoint files stay
-      // referenced until the final result is consumed (Ckpt header).
+      // hygiene). `center` is pinned via pinPick: eagerly checkpointed
+      // in durable mode only (its files must outlive the chained state
+      // generations the lazily-accumulated `rules` union reads
+      // through), lazy locally (see pinPick).
       val ckS = Ckpt.chain()
       var state = ckS.df(emb.crossJoin(broadcast(c0))
         .select(col("vec_id"), col("embedding"),
@@ -694,7 +707,7 @@ object SimOps {
       var rules = c0.select(lit(0).as("rnd"), col("cid").as("center_id"),
         lit(null).cast(DoubleType).as("radius"))
       for (r <- 1 to 5) {
-        val center = Ckpt.df(state
+        val center = pinPick(state
           .orderBy(col("mindl").desc, col("vec_id")).limit(1)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
             col("mindl")))
@@ -783,13 +796,14 @@ object SimOps {
         .orderBy(col("rel").desc, col("vec_id")).limit(20)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"),
           lit(0.0).as("red"))
-        // `state` chained (evolving frame, keep-last-2); `pick` stays
-        // on plain Ckpt.df — each round's rule row is lazily unioned
-        // into the result, keeping old pick files referenced
+        // `state` chained (evolving frame, keep-last-2); `pick` goes
+        // through pinPick — durable-only eager checkpoint (each
+        // round's rule row is lazily unioned into the result, keeping
+        // old pick files referenced there), lazy locally
         .transform(f => ckM.df(f))
       var rules: DataFrame = null
       for (r <- 1 to 5) {
-        val pick = Ckpt.df(state
+        val pick = pinPick(state
           .withColumn("score",
             lit(0.7) * col("rel") - lit(0.3) * col("red"))
           .orderBy(col("score").desc, col("vec_id")).limit(1))

@@ -781,18 +781,19 @@ object TextOps {
           concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')"))
             .as("repr"))
         // vocab-sized; materialized once — every round reads its
-        // predecessor twice (pair count + merge apply), so without THIS
-        // checkpoint the corpus pass would re-run up to 2⁶ times.
-        // Coalesced hard: after the corpus collapses to word
-        // frequencies the table is vocab-sized, and rounds over 32
-        // near-empty partitions are pure scheduling overhead (15 s →
-        // 2.6 s at sf0.1 for the two fixes together; production sizes
-        // partitions to vocab/64Ki). Round 17 dropped the PER-ROUND
-        // checkpoint that used to sit on `applied`: with the corpus
-        // fenced off here, the doubled-reference recompute is bounded
-        // by vocab-sized 1-partition work (≤2⁶ × ms), while each eager
-        // checkpoint was a driver barrier — 28 jobs → 10 measured,
-        // per-round job wall 961 → 580 ms at sf0.1
+        // predecessor twice (pair count + merge apply), so untruncated
+        // lineage would rescan the corpus 2⁶ times (the graph-rounds
+        // checkpoint discipline). Coalesced hard: after the corpus
+        // collapses to word frequencies the table is vocab-sized, and
+        // 6 rounds × 3 jobs over 32 near-empty partitions is pure
+        // scheduling overhead (15 s → 2.6 s at sf0.1 for the two fixes
+        // together; production sizes partitions to vocab/64Ki).
+        // Round 17 TRIED dropping the per-round `applied` checkpoint
+        // (28 → 10 jobs standalone) but the full-bench context showed
+        // a NET REGRESSION (med 2.88 → 3.24 s: six nested
+        // crossJoin+agg levels re-optimize per broadcast build, and
+        // the deepening plan costs more driver time than the barriers
+        // saved) — reverted, measured, documented
         // (OPTIMIZATION_r17.md).
         .coalesce(1)
         .transform(f => Ckpt.df(f))
@@ -823,6 +824,7 @@ object TextOps {
               " pat, rep), pat, rep), pat, rep), pat, rep)"))
           .select(col("w"), col("cnt"), col("repr"))
           .coalesce(1)
+          .transform(f => Ckpt.df(f)) // per-round truncation, same rationale
         val rule = best.select(lit(step).as("step"), col("a").as("lhs"),
           col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
           col("pcnt").as("pair_cnt"))

@@ -303,6 +303,45 @@ object GraphOps {
     s.read.parquet(p)
   }
 
+  /** graph_bipartite_project's capped per-customer part array
+    * (c, ps) — the corpus-scale half of the projection. `ps`: this
+    * customer's capped parts, ascending (the aggregate emits (md5, p)
+    * ascending by md5; pair generation wants p-order). ord is
+    * unhex(md5(...)): the 16-byte digest under BinaryType's
+    * unsigned-lexicographic ordering selects IDENTICALLY to the
+    * 32-char hex string (hex encoding is order-preserving) while
+    * halving the dominant term of each serialized buffer entry
+    * crossing the shuffle.
+    *
+    * Round 17 (opt): the frame is MATERIALIZED once (Ckpt.df, fresh
+    * per invocation — the dedup signature-table discipline,
+    * OPTIMIZATION_r17.md). The key has THREE consumers of this
+    * aggregate (the pair generator plus the degree frame joined as
+    * deg_a and deg_b), and neither the planner nor AQE reused the
+    * exchange across them — the before-plan carries the full
+    * orders⋈lineitem + bottomk chain three times
+    * (plans/r17/graph_bipartite_project_{before,after}.txt), i.e. 3×
+    * the join work and 3× the c-keyed shuffle (key shuffle read
+    * 42.4 → 35.3 MB at sf0.1 together with the rank-before-attach fix
+    * below — the remainder is the pair-count exchange, inherent to
+    * global pair counts). `checkpoint = false` exists for PlanSpec, which pins
+    * the aggregate's shape (bottomk, no window, no self-join) — the
+    * checkpoint would hide it behind an ExistingRDD scan. */
+  private[graft] def bipartiteCapped(s: SparkSession, d: String,
+      checkpoint: Boolean = true): DataFrame = {
+    graft.functions.BottomKDistinctByAgg.register(s)
+    val cp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    val capped = cp.groupBy(col("c"))
+      .agg(expr("bottomk_distinct_by(unhex(md5(cast(p as string))), p, 20)")
+        .as("ks"))
+      .select(col("c"),
+        array_sort(expr("transform(ks, x -> x.payload)")).as("ps"))
+    if (checkpoint) Ckpt.df(capped) else capped
+  }
+
   /** Oriented triangle list (s, t1, t2) — the third stored graph
     * artifact. Enumeration is the expensive pass (wedge generation is
     * O(Σ out-deg²) ≈ 41M rows at sf0.1 vs 1.2M edges), and THREE keys
@@ -576,13 +615,18 @@ object GraphOps {
       val probes = degrees(s, d)
         .orderBy(md5(col("node").cast(StringType)), col("node"))
         .select(col("node").as("u")).limit(20)
-      val uv = u.join(broadcast(probes), col("src") === col("u"))
-        .select(col("u"), col("dst").as("v"))
-      // uv is probe-batch-bounded (probes × max degree) — the same
-      // reason the anti-join below broadcasts it. Hinting it here too
-      // keeps the wedge expansion a broadcast probe over the streamed
-      // edge table instead of a full-edge-list shuffle (the planner
-      // can't see the bound through the join-derived stats).
+      // uv is probe-batch-bounded (probes × max degree) and has TWO
+      // consumers (the wedge-expansion broadcast and the existing-edge
+      // anti-join broadcast); round 17 materializes it once (Ckpt.df,
+      // fresh per invocation) — unmaterialized, each broadcast build
+      // re-ran the full und scan + the probes TakeOrdered
+      // (plans/r17/graph_link_predict_{before,after}.txt).
+      val uv = Ckpt.df(u.join(broadcast(probes), col("src") === col("u"))
+        .select(col("u"), col("dst").as("v")))
+      // broadcast(uv): keeps the wedge expansion a broadcast probe
+      // over the streamed edge table instead of a full-edge-list
+      // shuffle (the planner can't see the bound through the
+      // join-derived stats).
       val wedges = broadcast(uv).join(u, col("v") === col("src"))
         .filter(col("dst") =!= col("u"))
         .select(col("u"), col("dst").as("w"))
@@ -613,8 +657,9 @@ object GraphOps {
       val probes = degrees(s, d)
         .orderBy(md5(col("node").cast(StringType)), col("node"))
         .select(col("node").as("u")).limit(20)
-      val uv = u.join(broadcast(probes), col("src") === col("u"))
-        .select(col("u"), col("dst").as("v"))
+      // Ckpt: two broadcast consumers, same as link_predict (round 17)
+      val uv = Ckpt.df(u.join(broadcast(probes), col("src") === col("u"))
+        .select(col("u"), col("dst").as("v")))
       val deg = degrees(s, d).select(col("node").as("v"), col("degree"))
       // broadcast(uv): probe-batch-bounded, same as link_predict
       val wedges = broadcast(uv).join(u, col("v") === col("src"))
@@ -667,25 +712,10 @@ object GraphOps {
       // (2.9×; the remainder is the orders⋈lineitem join and the
       // pair-count partial agg); warm 4.3 → 3.3 s. The win is the
       // shuffle law, which is what survives 1000×.
-      graft.functions.BottomKDistinctByAgg.register(s)
-      val cp = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      // `ps`: this customer's capped parts, ascending (the aggregate
-      // emits (md5, p) ascending by md5; pair generation wants p-order)
-      // ord is unhex(md5(...)): the 16-byte digest under BinaryType's
-      // unsigned-lexicographic ordering selects IDENTICALLY to the
-      // 32-char hex string (hex encoding is order-preserving) while
-      // halving the dominant term of each serialized buffer entry
-      // crossing the shuffle.
-      val capped = cp.groupBy(col("c"))
-        .agg(expr("bottomk_distinct_by(unhex(md5(cast(p as string))), p, 20)")
-          .as("ks"))
-        .select(col("c"),
-          array_sort(expr("transform(ks, x -> x.payload)")).as("ps"))
-      // Two consumers (deg, pairs) of the same aggregate subplan:
-      // ReuseExchange serves both from the one c-keyed shuffle.
+      val capped = bipartiteCapped(s, d)
+      // Three consumers (pairs, deg-as-a, deg-as-b) of the capped
+      // aggregate: `capped` is checkpointed in bipartiteCapped — see
+      // the note there (round 17).
       val deg = capped.select(explode(col("ps")).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("dg"))
       val pairs = capped.select(explode(expr(
@@ -695,8 +725,24 @@ object GraphOps {
           .as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
-      pairs
+      // Round 17 (opt): rank FIRST, attach degrees AFTER (guide §8 —
+      // decide on the small proxy, then attach attributes). The final
+      // order (cooc DESC, a, b) is a pure function of the pair table,
+      // and the degree joins are inner joins that can never drop a
+      // pair (every a/b in `pairs` came from the same capped arrays
+      // `deg` aggregates over), so taking the top-20 before the joins
+      // selects exactly the same rows — while turning two FULL
+      // pair-table exchanges (a-keyed + b-keyed SMJ sorts of the
+      // Σdeg²-sized co-occurrence table: at 10⁹ customers that table
+      // is the biggest frame in the key) into two broadcast probes of
+      // a 20-row frame. Measured at sf0.1: shuffle read 42.4 → 16.4
+      // MB, med 3.65 → 2.0 s (plans/r17/..._{before,after}.txt).
+      val top = pairs
+        .orderBy(col("cooc").desc, col("a"), col("b"))
+        .limit(20)
+      val withDa = broadcast(top)
         .join(deg.select(col("p").as("a"), col("dg").as("da")), "a")
+      broadcast(withDa)
         .join(deg.select(col("p").as("b"), col("dg").as("db")), "b")
         .select(col("a"), col("b"), col("cooc"),
           round(col("cooc").cast(DoubleType)
@@ -740,11 +786,12 @@ object GraphOps {
           s"${Det.md5SliceExpr(s"concat(walk, ':', $t, ':', cur)", 1, 8)}" +
             " % degree").as("pick")
         // No broadcast() hint on the frontier: at the declared 20-seed
-        // probe scale AQE broadcasts it anyway (it's tiny), and at 10⁹
-        // walks a FORCED frontier broadcast would be exactly the
-        // scale-killer this shape is designed to avoid — the step must
-        // stay a plain equi-join so the planner can pick shuffle-hash
-        // when the frontier is walks-sized.
+        // probe scale AQE broadcasts it anyway (from runtime sizes —
+        // the child session above disables the static decision), and
+        // at 10⁹ walks a FORCED frontier broadcast would be exactly
+        // the scale-killer this shape is designed to avoid — the step
+        // must stay a plain equi-join so the planner can pick
+        // shuffle-hash when the frontier is walks-sized.
         state = state
           .join(dg, col("cur") === col("node"))
           .select(col("walk"), col("cur"), col("path"), pick)
@@ -753,6 +800,23 @@ object GraphOps {
           .select(col("walk"), col("dst").as("cur"),
             concat(col("path"), lit("->"),
               col("dst").cast(StringType)).as("path"))
+        // Round 17 examined this key's build sides and REVERTED both
+        // candidate fixes with measurements (OPTIMIZATION_r17.md):
+        // the static planner broadcasts the ADJACENCY after step 1
+        // (join size estimation is multiplicative, so the ≤20-row
+        // frontier's estimate explodes), which looks wrong — but (a)
+        // a child session with static broadcast off (AQE picks from
+        // runtime sizes: frontier broadcast, adjacency streamed)
+        // moved the shuffle fingerprint 0.9 KB → 82.8 MB and 8×'d
+        // executor time for a ~0.3 s median win, and (b) identity
+        // .limit(20) bound re-statements produced the textbook plan
+        // (all six joins frontier-built, ZERO adjacency exchange) yet
+        // measured NO faster (5-pass solo med 2.57 vs 2.48 committed)
+        // because the six broadcast builds serialize into a 6-deep
+        // job chain. The key sits near its local floor (3 serial
+        // steps × scan+build+plan); at real scale the adjacency
+        // estimate exceeds the threshold and the planner takes the
+        // frontier-broadcast shape on its own.
       }
       state.select(col("walk"), col("cur").as("final_node"), col("path"))
         .orderBy("walk")

@@ -698,6 +698,14 @@ object StatOps {
       val baskets = graft.Ckpt.df(li.groupBy("ok")
         .agg(sort_array(collect_set(col("pk"))).as("items")))
       val nOrd = baskets.agg(count(lit(1)).as("nn"))
+      // Round 17 examined the doubled c1 subtree (the static plan
+      // carries the explode+aggregate chain once per join side) and
+      // REVERTED a Ckpt.df(c1) materialization as a measured no-op:
+      // the scoped A/B showed byte-identical shuffle fingerprints
+      // (18,113.9 KB both ways) and no timing move — AQE's
+      // ReuseExchangeAndSubquery already serves both sides from the
+      // one exchange at runtime, so the checkpoint only added a
+      // barrier job (OPTIMIZATION_r17.md).
       val c1 = baskets.select(explode(col("items")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("c1"))
       val pairs = baskets.select(explode(expr(

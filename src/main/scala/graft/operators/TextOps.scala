@@ -780,57 +780,97 @@ object TextOps {
         .select(col("w"), col("cnt"),
           concat(lit(" "), expr("regexp_replace(w, '(.)', '$1 ')"))
             .as("repr"))
-        // vocab-sized; materialized once — every round reads its
-        // predecessor twice (pair count + merge apply), so untruncated
-        // lineage would rescan the corpus 2⁶ times (the graph-rounds
-        // checkpoint discipline). Coalesced hard: after the corpus
-        // collapses to word frequencies the table is vocab-sized, and
-        // 6 rounds × 3 jobs over 32 near-empty partitions is pure
-        // scheduling overhead (15 s → 2.6 s at sf0.1 for the two fixes
-        // together; production sizes partitions to vocab/64Ki).
-        // Round 17 TRIED dropping the per-round `applied` checkpoint
-        // (28 → 10 jobs standalone) but the full-bench context showed
-        // a NET REGRESSION (med 2.88 → 3.24 s: six nested
-        // crossJoin+agg levels re-optimize per broadcast build, and
-        // the deepening plan costs more driver time than the barriers
-        // saved) — reverted, measured, documented
-        // (OPTIMIZATION_r17.md).
-        .coalesce(1)
-        .transform(f => Ckpt.df(f))
-      def mergeRound(state: (DataFrame, Seq[DataFrame]),
-                     step: Int): (DataFrame, Seq[DataFrame]) = {
-        val (wr, acc) = state
-        val pairs = wr
-          .withColumn("sy", expr(
-            "filter(split(trim(repr), ' '), x -> x != '')"))
-          // single-symbol words hold no pairs — and Spark's sequence()
-          // would DESCEND for size 1 (sequence(0,-1) = [0,-1]), so the
-          // guard is correctness, not just economy
-          .filter(size(col("sy")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(sy) - 2)," +
-              " i -> struct(sy[i] AS a, sy[i + 1] AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("cnt")).as("pcnt"))
-        val best = pairs.orderBy(col("pcnt").desc, col("a"), col("b"))
-          .limit(1)
-          .select(col("a"), col("b"), col("pcnt"),
-            concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
-              .as("pat"),
-            concat(lit(" "), col("a"), col("b"), lit(" ")).as("rep"))
-        val applied = wr.crossJoin(broadcast(best))
-          .withColumn("repr",
-            expr("replace(replace(replace(replace(repr," +
-              " pat, rep), pat, rep), pat, rep), pat, rep)"))
-          .select(col("w"), col("cnt"), col("repr"))
-          .coalesce(1)
-          .transform(f => Ckpt.df(f)) // per-round truncation, same rationale
-        val rule = best.select(lit(step).as("step"), col("a").as("lhs"),
-          col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
-          col("pcnt").as("pair_cnt"))
-        (applied, acc :+ rule)
-      }
-      (1 to 6).foldLeft((words, Seq.empty[DataFrame]))(mergeRound)
+      // Round 17 (second formulation): the whole 6-round merge loop
+      // runs inside ONE expression over a single-row array image of
+      // the word-frequency table — the lm_generate/pca_power idiom.
+      // The previous shape (6 rounds of pair-agg → argmax-limit(1) →
+      // crossJoin(broadcast) merge apply, each round coalesce(1) +
+      // eagerly checkpointed) cost 28 driver-barrier jobs over a
+      // vocab-sized table at EVERY scale; the first round-17 attempt
+      // (drop only the checkpoints) measured a NET regression (med
+      // 2.88 → 3.24 s: six nested crossJoin+agg levels re-optimize per
+      // broadcast build). Folding the rounds into one `aggregate(
+      // sequence(1, 6), ...)` removes both the barriers AND the
+      // deepening plan: the corpus pays exactly its one word-frequency
+      // groupBy (unchanged — the 100 TB-critical part), and training
+      // then runs where fastBPE/HuggingFace run it — on the collapsed
+      // vocab-bounded table in one task (the old loop was already
+      // coalesce(1): single-task rounds, just with 28 barriers around
+      // them). Arithmetic is replayed term for term:
+      //  - per-round pair counts: each word emits its adjacent symbol
+      //    pairs weighted by cnt (same transform/sequence expansion);
+      //    counts fold by a linear walk over the (a, b)-sorted pair
+      //    array — run-length sum == the old groupBy sum;
+      //  - argmax: the walk keeps a run only when STRICTLY greater, so
+      //    ties resolve to the smallest (a, b) — identical to the old
+      //    ORDER BY pcnt DESC, a, b LIMIT 1 under the same binary
+      //    string order (array_sort == ORDER BY for these fields);
+      //  - merge apply: the same 4 chained replace() calls with the
+      //    same ' a b ' → ' ab ' sentinel patterns.
+      // Every intermediate (the symbol array, the sorted pair array,
+      // the winning rule) is LET-BOUND via 1-element transform()
+      // arrays (the pca_power lesson: an unbound vector re-evaluates
+      // per use). HOFs are CodegenFallback — irrelevant on one row.
+      val one = words.agg(
+        expr("array_sort(collect_list(struct(w, cnt, repr)))").as("ws0"))
+      // best pair of the CURRENT word array st.ws: expand, sort, walk.
+      // Accumulator: (ba, bb, bc) = best closed run, (ca, cb, cc) =
+      // current run. bc starts at -1 so an empty pair array yields the
+      // ('', '', 0) sentinel (unreachable on any fixture: every SF has
+      // multi-symbol words, same as the old empty-limit(1) edge).
+      val bestExpr =
+        "aggregate(" +
+          "array_sort(flatten(transform(st.ws, r -> " +
+            "element_at(transform(array(" +
+              "filter(split(trim(r.repr), ' '), x -> x != '')), sy -> " +
+              // single-symbol words hold no pairs — and sequence()
+              // would DESCEND for size 1 (sequence(0,-1) = [0,-1]), so
+              // the guard is correctness, not just economy
+              "IF(size(sy) < 2, " +
+                "CAST(array() AS array<struct<a:string,b:string,cnt:bigint>>), " +
+                "transform(sequence(0, size(sy) - 2), " +
+                  "i -> struct(sy[i] AS a, sy[i + 1] AS b, r.cnt AS cnt)))" +
+            "), 1)))), " +
+          "struct(CAST('' AS STRING) AS ba, CAST('' AS STRING) AS bb, " +
+            "CAST(-1 AS BIGINT) AS bc, CAST('' AS STRING) AS ca, " +
+            "CAST('' AS STRING) AS cb, CAST(0 AS BIGINT) AS cc), " +
+          "(ac, p) -> IF(p.a = ac.ca AND p.b = ac.cb, " +
+            "struct(ac.ba AS ba, ac.bb AS bb, ac.bc AS bc, " +
+              "ac.ca AS ca, ac.cb AS cb, (ac.cc + p.cnt) AS cc), " +
+            "IF(ac.cc > ac.bc, " +
+              "struct(ac.ca AS ba, ac.cb AS bb, ac.cc AS bc, " +
+                "p.a AS ca, p.b AS cb, p.cnt AS cc), " +
+              "struct(ac.ba AS ba, ac.bb AS bb, ac.bc AS bc, " +
+                "p.a AS ca, p.b AS cb, p.cnt AS cc))), " +
+          "ac -> IF(ac.cc > ac.bc, " +
+            "struct(ac.ca AS a, ac.cb AS b, ac.cc AS pcnt), " +
+            "struct(ac.ba AS a, ac.bb AS b, ac.bc AS pcnt)))"
+      val patExpr = "concat(' ', best.a, ' ', best.b, ' ')"
+      val repExpr = "concat(' ', best.a, best.b, ' ')"
+      val foldExpr =
+        "aggregate(sequence(1, 6), " +
+          "struct(ws0 AS ws, CAST(array() AS array<struct<" +
+            "step:int,lhs:string,rhs:string,merged:string," +
+            "pair_cnt:bigint>>) AS rules), " +
+          "(st, step) -> element_at(transform(array(" + bestExpr +
+            "), best -> struct(" +
+            "transform(st.ws, r -> struct(r.w AS w, r.cnt AS cnt, " +
+              s"replace(replace(replace(replace(r.repr, $patExpr, " +
+              s"$repExpr), $patExpr, $repExpr), $patExpr, $repExpr), " +
+              s"$patExpr, $repExpr) AS repr)) AS ws, " +
+            "concat(st.rules, array(struct(step AS step, " +
+              "best.a AS lhs, best.b AS rhs, " +
+              "concat(best.a, best.b) AS merged, " +
+              "best.pcnt AS pair_cnt))) AS rules)), 1))"
+      val folded = one.select(expr(foldExpr).as("st"))
+      val fin = folded.select(explode(col("st.ws")).as("r"))
+        .select(col("r.w").as("w"), col("r.cnt").as("cnt"),
+          col("r.repr").as("repr"))
+      val rules = folded.select(explode(col("st.rules")).as("r"))
+        .select(col("r.step").as("step"), col("r.lhs").as("lhs"),
+          col("r.rhs").as("rhs"), col("r.merged").as("merged"),
+          col("r.pair_cnt").as("pair_cnt"))
+      (fin, Seq(rules))
   }
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"

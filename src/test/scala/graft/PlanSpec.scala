@@ -584,17 +584,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "projection pairs must never cartesian")
-    // round-10 shape: the per-customer cap is the mergeable
-    // bottomk_distinct_by aggregate (ObjectHashAggregate with partial
-    // map-side combine), and the ≤190 pairs/customer explode from the
-    // capped array (Generate) — the distinct() + rank window + c-keyed
-    // self-join are gone. A Window or a third SortMergeJoin here means
-    // the two-extra-corpus-shuffles plan is back.
-    assert(p.contains("bottomk_distinct_by"),
-      "cap must be the mergeable bounded aggregate")
+    // round-10 shape, round-17 split: the capped array is materialized
+    // once (Ckpt in bipartiteCapped — three consumers shared one
+    // aggregate chain that the planner otherwise ran 3×), so the
+    // declared plan sees it as an ExistingRDD scan; the ≤190
+    // pairs/customer still explode from the capped array (Generate).
     assert(p.contains("Generate"), "pairs must explode map-side")
     assert(!p.contains("Window"),
       "rank-window cap regressed — ships every distinct (c,p) through a per-group sort")
+    // the cap itself is pinned on the pre-checkpoint subplan: the
+    // mergeable bottomk_distinct_by aggregate (ObjectHashAggregate
+    // with partial map-side combine) — the distinct() + rank window +
+    // c-keyed self-join must stay gone.
+    val cap = operators.GraphOps
+      .bipartiteCapped(spark, Spec.sf001, checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(cap.contains("bottomk_distinct_by"),
+      "cap must be the mergeable bounded aggregate")
+    assert(!cap.contains("Window") && !cap.contains("CartesianProduct"))
   }
 
   test("aggregate-cap keys carry no rank window: caps/argmax fold map-side") {

@@ -478,11 +478,21 @@ object DedupOps {
       // runs, the successor is materialized and the change count — the
       // last reader of this generation — has completed, so a durable
       // fixpoint run keeps O(1) checkpoints on the FS, not O(rounds).
-      def unck(r: org.apache.spark.rdd.RDD[_]): Unit =
-        if (ckptDir.isDefined) {
-          r.unpersist(false)
+      // Round 17: blocks are released in the LOCAL mode too (the old
+      // guard skipped everything when no checkpoint dir was set, so a
+      // default-mode run left EVERY round's label generation persisted
+      // until the ContextCleaner got to it — ~rounds × label-table
+      // blocks of dead weight per invocation, which is exactly the
+      // suite-context churn the round-17 profiling isolated: the
+      // fixpoint keys ran ~2× their solo time inside a full bench
+      // pass). Releasing is safe at the call point in both modes: the
+      // successor generation is materialized and the change count has
+      // completed, so the superseded generation has no readers left.
+      def unck(r: org.apache.spark.rdd.RDD[_]): Unit = {
+        r.unpersist(false)
+        if (ckptDir.isDefined)
           r.getCheckpointFile.foreach(f => Ckpt.deleteFile(s, f))
-        }
+      }
       // (y, x): keyed by the neighbor whose label flows to x
       val byY = und.rdd.map(r => (r.getLong(1), r.getLong(0))).partitionBy(part)
       ckpt(byY); byY.count()
@@ -515,6 +525,16 @@ object DedupOps {
         lab = jumped
         rounds += 1
       }
+      // Round 17 block hygiene: the loop's inputs are dead once the
+      // fixpoint converges — the output depends ONLY on the final
+      // label generation's own (checkpointed) blocks — so the edge
+      // structures release here instead of lingering until a GC cycle
+      // feeds the ContextCleaner (und is read exactly twice, both
+      // materializations above; byY's last reader is the final round's
+      // nmin join).
+      byY.unpersist(false)
+      org.apache.spark.sql.GraftSqlBridge.backingRdd(und)
+        .foreach(_.unpersist(false))
       val sess = s
       import sess.implicits._
       lab.toDF("doc_id", "component").orderBy("doc_id")

@@ -487,13 +487,22 @@ object TextOps {
         .filter(col("b") < 8).drop("b")
       val english = predLang(s, train)
         .filter(col("pred_lang") === "en").select("doc_id")
-      val scored = train
-        .select(col("doc_id"), size(toks).as("n_tokens"),
-          qualityScore.as("quality"))
-        .filter(col("n_tokens") >= 30 && col("quality") >= 0.3)
+      // Round 17 (opt): the quality gate is a MAP-ONLY projection of
+      // train, but as a separate frame it re-joined train on doc_id —
+      // a self-join the optimizer cannot fuse (it can't prove doc_id
+      // unique), i.e. one extra full corpus scan + join at any scale.
+      // Inlining the two per-row columns keeps rows identical (the
+      // doc_id join against a unique-keyed projection of the same
+      // frame IS column attachment) and drops the chain to its
+      // minimum: one gated base pass + the one aggregate pass
+      // predLang needs. Oracle hash-identical at sf0.001 + sf0.01.
       // keep-first per content hash via the dedup_exact min_by shape
       // (fold map-side; no per-group sort for a viral duplicate)
-      val deduped = train.join(english, "doc_id").join(scored, "doc_id")
+      val deduped = train
+        .select(col("doc_id"), col("text"), size(toks).as("n_tokens"),
+          qualityScore.as("quality"))
+        .filter(col("n_tokens") >= 30 && col("quality") >= 0.3)
+        .join(english, "doc_id")
         .groupBy(md5(lower(trim(col("text")))).as("h"))
         .agg(min_by(struct(col("doc_id"), col("n_tokens"), col("quality")),
           col("doc_id")).as("k"))

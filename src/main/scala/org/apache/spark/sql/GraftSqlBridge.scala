@@ -28,4 +28,17 @@ object GraftSqlBridge {
         l.rdd.getCheckpointFile
       case _ => None
     }
+
+  /** The RDD backing a checkpoint-returned frame (same unwrap as
+    * [[checkpointFile]]). Lets an eager fixpoint release a consumed
+    * intermediate's storage blocks once its last reader has
+    * materialized — a localCheckpointed frame's blocks are otherwise
+    * pinned until the ContextCleaner happens to collect the RDD,
+    * which under a 279-key bench pass is long after the query
+    * finished (round-17 block-hygiene work, OPTIMIZATION_r17.md). */
+  def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

@@ -8,6 +8,39 @@ object Bench {
   // machine-readable JSON summary.
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
+  // Round 18 (VERDICT item 2): the final one-line JSON's per-query set
+  // is PINNED to this committed list — exactly the 55 keys visible in
+  // round 17's line (BENCH_r17.json) — instead of "slowest keys that
+  // fit 1500 chars". The old rule made the driver's round-over-round
+  // per-query comparison a moving, biased sample: when the visible
+  // cutoff drifted 0.80→1.02 s with box mood, 12 keys "dropped" and 14
+  // appeared without any code change (two of the phantom drops were
+  // the round's biggest WINS, leaving the line by getting fast).
+  // Membership now only changes by editing this list at a rebaseline;
+  // ordering stays slowest-first (human-readable) and the 1500-char
+  // budget guard stays as a backstop (worst case trims the FASTEST
+  // pinned keys, deterministically). Full per-key data is always in
+  // bench_detail.json regardless.
+  private val PinnedLineKeys: Set[String] = Set(
+    "agg_approx_quantile", "agg_assoc_rules", "agg_grouping_sets",
+    "agg_ks_test", "dedup_components", "dedup_embedding",
+    "dedup_incremental", "dedup_near_minhash", "dedup_semantic_apply",
+    "dedup_simhash", "etl_corpus_curate", "etl_quarantine",
+    "etl_shard_manifest", "etl_wikidata_pg", "graph_adamic_adar",
+    "graph_bipartite_project", "graph_kcore", "graph_khop",
+    "graph_link_predict", "graph_random_walk", "graph_sssp",
+    "join_asof_nearest", "join_bloom_pruned", "join_full_outer",
+    "join_geo_nearest", "join_lateral", "join_skew_salted",
+    "join_star_5way", "multimodal_dedup", "multimodal_phash",
+    "sim_ann_ivf", "sim_ann_lsh", "sim_pca_power", "sim_pq_search",
+    "sink_parquet_partitioned", "sink_pg_attach", "sink_pg_copy",
+    "sink_pg_sharded", "stream_sink_pg", "subquery_not_in",
+    "subquery_scalar", "text_bigram_prob", "text_decontaminate",
+    "text_feature_hash", "text_lm_generate", "text_perplexity",
+    "text_pii_mask", "text_pmi_collocations", "text_tfidf",
+    "win_autocorr", "win_funnel", "win_mann_kendall", "win_theil_sen",
+    "win_topk_native", "win_topk_per_group")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,6 +164,13 @@ object Bench {
           }
         }
         else failCount(name) = failCount.getOrElse(name, 0) + 1
+        // Round 18 block hygiene (guide §5): hand this key's scratch
+        // localCheckpoint blocks to the BlockManager now — outside the
+        // timed region, replacing the ContextCleaner's
+        // eventual-after-GC release whose backlog across 279 keys × 3
+        // passes was the round-17 suite-context churn. The result
+        // frame was just materialized by count() and is never re-read.
+        Ckpt.releaseScratch()
       }
     }
     def median(v: Vector[Double]): Double = {
@@ -195,16 +235,22 @@ object Bench {
       md.digest().map(b => String.format(Locale.ROOT, "%02x", b))
         .mkString.take(12)
     }
-    val stamp = java.time.Instant.now().toString
+    // Whole-second stamp: the ~8 chars the sub-second digits cost are
+    // line budget the pinned 55-key set needs (round 18).
+    val stamp = java.time.Instant.now()
+      .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${broken.size},"flaky":${flaky.size},"ts":"$stamp","src":"$srcHash","queries":{"""
     val tail = s"""},"sf":"$sfDir"}"""
     val budget = 1500 - head.length - tail.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
-    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      val e = s""""$k":${fmt(v)}"""
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
-    }
+    // Membership pinned (see PinnedLineKeys); slowest-first ordering
+    // kept for humans; budget guard kept as a deterministic backstop.
+    results.toSeq.filter(r => PinnedLineKeys(r._1)).sortBy(-_._2)
+      .foreach { case (k, v) =>
+        val e = s""""$k":${fmt(v)}"""
+        if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      }
     val json = head + entries.mkString(",") + tail
     // Belt and braces against build-tool log decoration: the JSON goes to
     // stdout (forked with StdoutOutput so no "[info] " prefix), to stderr,

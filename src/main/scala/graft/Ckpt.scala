@@ -114,8 +114,49 @@ object Ckpt {
         val out = frame.checkpoint(eager = true)
         frame.unpersist(blocking = false)
         out
-      case None => frame.localCheckpoint(eager = true)
+      case None =>
+        val out = frame.localCheckpoint(eager = true)
+        org.apache.spark.sql.GraftSqlBridge.backingRdd(out)
+          .foreach(registerScratch)
+        out
     }
+
+  /** Round 18 (suite-context churn, guide §5 "unpersist when done"):
+    * a local-mode truncation's blocks stay pinned until the
+    * ContextCleaner happens to GC the RDD — across a 279-key × 3-pass
+    * bench run that is thousands of dead block sets competing with
+    * execution memory, the round-17 "suite-context churn" (identical
+    * trees drifting 150→183 s, untouched keys ×1.3–1.6). Every
+    * local-mode scratch RDD registers here and the harnesses
+    * (Bench/Verify/RunOne/Profile) release the lot once a key's ONE
+    * action has materialized its result. Callers must not re-read a
+    * released frame — localCheckpoint blocks are gone, not
+    * recomputable — which holds in every harness (one action per key,
+    * frame discarded after; the specs' multi-action frames run under
+    * sessions that never call releaseScratch mid-key). Durable mode is
+    * exempt: its data lives in checkpoint FILES whose lifecycle
+    * Chain/unck already manage. */
+  private val scratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
+
+  private[graft] def registerScratch(
+      rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    scratch.add(rdd)
+    ()
+  }
+
+  /** Release every scratch block registered since the last call.
+    * Non-blocking unpersists: the point is to hand the blocks to the
+    * BlockManager for eviction now instead of after an eventual GC. */
+  def releaseScratch(): Unit = {
+    var r = scratch.poll()
+    while (r != null) {
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      r = scratch.poll()
+    }
+  }
 
   /** Conf-resolved form — the call every fixpoint site uses. */
   def df(frame: DataFrame): DataFrame =

@@ -99,6 +99,8 @@ object Profile {
         println(s"PROF $key $pass ${fmt(wall)} $planMs " +
           s"${jobs.get() - j0} ${jobWall.get() - jw0} ${stages.get() - s0} " +
           s"${tasks.get() - t0c} ${taskTime.get() - tt0}")
+        // Round 18 block hygiene, outside the timed region (see Bench)
+        Ckpt.releaseScratch()
       }
     }
     spark.stop()

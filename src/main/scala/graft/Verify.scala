@@ -69,6 +69,9 @@ object Verify {
           Files.writeString(dir.resolve("_FAILED"), msg)
         } catch { case _: Throwable => () }
       }
+      // Round 18 block hygiene: the key's result is on disk; its
+      // scratch localCheckpoint blocks have no readers left (see Bench).
+      Ckpt.releaseScratch()
     }
     println(s"[verify] FAILED $failedCount of ${selected.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

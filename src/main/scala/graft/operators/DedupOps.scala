@@ -493,34 +493,62 @@ object DedupOps {
         if (ckptDir.isDefined)
           r.getCheckpointFile.foreach(f => Ckpt.deleteFile(s, f))
       }
-      // (y, x): keyed by the neighbor whose label flows to x
+      // (y, x): keyed by the neighbor whose label flows to x.
+      // Round 18: no eager byY.count()/lab.count() — the prefix stays
+      // LAZY (persist + localCheckpoint marks only) and round 1's one
+      // action materializes byY, lab and round 1's own generation in a
+      // single job (guide §2/§7: two fewer driver barriers per run;
+      // correctness unchanged — localCheckpoint truncation happens at
+      // first materialization regardless of which action drives it).
       val byY = und.rdd.map(r => (r.getLong(1), r.getLong(0))).partitionBy(part)
-      ckpt(byY); byY.count()
+      ckpt(byY)
       // Fused round 0: with identity labels the first min-neighbor step
       // is just min(x, min over neighbors of x) — one reduceByKey, no
       // join, and the undirected edge list guarantees every vertex
       // appears as an x. Saves a full join+jump round per run.
       var lab = byY.map { case (y, x) => (x, math.min(x, y)) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      ckpt(lab); lab.count()
+      ckpt(lab)
       var changed = 1L
       var rounds = 0
       while (changed != 0L) {
         require(rounds < 50, "dedup_components: no convergence in 50 rounds")
         val nmin = byY.join(lab).map { case (_, (x, l)) => (x, l) }
           .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        // stepped carries (oldLabel, newLabel) so change detection can
+        // ride the jump join instead of paying a separate jumped⋈lab
+        // join per round (round 18; the old label adds 8 bytes/row to
+        // ONE side of the jump shuffle and deletes a whole
+        // co-partitioned join + its scan of both persisted tables).
         val stepped = lab.leftOuterJoin(nmin)
-          .mapValues { case (l, o) => math.min(l, o.getOrElse(l)) }
+          .mapValues { case (l, o) => (l, math.min(l, o.getOrElse(l))) }
         // pointer jump: labels only ever hold existing doc_ids, so
-        // label(label(x)) is a self-join on the label value
-        val jumped = stepped.map { case (x, c) => (c, x) }
-          .join(stepped)
-          .map { case (c, (x, cc)) => (x, math.min(c, cc)) }
+        // label(label(x)) is a self-join on the (new) label value.
+        // Change detection: a LongAccumulator bumped where the final
+        // label differs from the round-entry label. Accumulator updates
+        // in a transformation may double-apply under task retry, so the
+        // VALUE is only an upper bound on the true change count — but
+        // the loop tests exactly `!= 0`, and zero is retry-proof: a
+        // no-change task adds 0 no matter how often it reruns, and a
+        // changed task adds ≥1 on every successful run, so value == 0
+        // ⟺ true count == 0. The old exact-count join made the same
+        // loop decisions (its count was only ever compared to 0); the
+        // label arithmetic is untouched, so the fixpoint — and the
+        // output — is bit-identical.
+        val chAcc = s.sparkContext.longAccumulator("componentsChangedUB")
+        val jumped = stepped.map { case (x, (ol, c)) => (c, (x, ol)) }
+          .join(stepped.mapValues(_._2))
+          .map { case (c, ((x, ol), cc)) =>
+            val n = math.min(c, cc)
+            if (n != ol) chAcc.add(1L)
+            (x, n)
+          }
           .partitionBy(part)
         ckpt(jumped)
-        // exact change count; doubles as the checkpoint-materializing action
-        changed = jumped.join(lab)
-          .filter { case (_, (n, o)) => n != o }.count()
+        // the count is the checkpoint-materializing action; the
+        // accumulator is complete once it returns
+        jumped.count()
+        changed = chAcc.value
         unck(lab) // jumped is materialized; the old round's block can go
         lab = jumped
         rounds += 1
@@ -535,6 +563,9 @@ object DedupOps {
       byY.unpersist(false)
       org.apache.spark.sql.GraftSqlBridge.backingRdd(und)
         .foreach(_.unpersist(false))
+      // the final generation's blocks are released by the harness once
+      // the key's result is materialized (round 18, Ckpt.releaseScratch)
+      Ckpt.registerScratch(lab)
       val sess = s
       import sess.implicits._
       lab.toDF("doc_id", "component").orderBy("doc_id")

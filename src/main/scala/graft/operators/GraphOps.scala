@@ -70,6 +70,114 @@ object GraphOps {
     * (proven by agg_percentile) and identical IEEE double ops. */
   private val KCoreRounds = 3
 
+  /** Default edge-count gate between the two k-core peel executions
+    * (round 18; spark.graft.kcore.rddMinEdges overrides). Measured
+    * crossover evidence in OPTIMIZATION_r18.md: the SQL delta-peel wins
+    * at every fixture scale up to sf10 (~120M stored edges) because the
+    * per-round dead sets stay broadcast-sized; the RDD fixpoint's
+    * one-time 2|E| shuffle only pays off once a single round's dead set
+    * exceeds broadcast range (≥ hundreds of millions of nodes), so the
+    * default sits one decade above the largest measured-SQL-wins point. */
+  private val KCoreRddMinEdges = 1200000000L
+
+  /** k-core peel, r16 SQL shape (the delta peel on DataFrames): per
+    * round the stored edge list is SCANNED (columnar parquet, never
+    * shuffled) and joined against the newly-dead node set, which AQE
+    * broadcasts while it fits; the evolving checkpointed frame is the
+    * node-sized degree table. See the gate note at the graph_kcore
+    * entry for when this loses to the RDD shape. */
+  private def kcorePeelSql(s: SparkSession, e: DataFrame, dg: DataFrame,
+      kth: Long, converge: Boolean, cap: Int): DataFrame = {
+    val ck = Ckpt.chain()
+    var deg = ck.df(dg)
+    def dead: DataFrame = deg.filter(col("degree") < kth).select("node")
+    // one peel step: survivors lose their edges into the dead set
+    def step(): Unit = {
+      val dd = dead
+      val delta = e.join(dd.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"))
+        .union(e.join(dd.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("minus"))
+      deg = ck.df(deg.filter(col("degree") >= kth)
+        .join(delta, Seq("node"), "left")
+        .select(col("node"),
+          (col("degree") - coalesce(col("minus"), lit(0L))).as("degree")))
+    }
+    if (converge) {
+      var rounds = 0
+      while (dead.limit(1).count() > 0 && rounds < cap) {
+        step()
+        rounds += 1
+      }
+    } else {
+      for (_ <- 1 to KCoreRounds) step()
+    }
+    // final induction by the last survivor set: drop the last dead
+    // generation's edges; nodes isolated by it leave the output
+    step()
+    deg.filter(col("degree") > 0)
+      .select(col("node"), col("degree").as("core_degree"))
+      .orderBy("node")
+  }
+
+  /** k-core peel, r17 RDD fixpoint shape: the edge list is shuffled
+    * ONCE into the shared partitioning and every round's work is
+    * frontier-sized narrow joins plus one reduceByKey (see the gate
+    * note at the graph_kcore entry — this shape's regime is edge lists
+    * whose dead sets outgrow a broadcast). */
+  private def kcorePeelRdd(s: SparkSession, e: DataFrame, dg: DataFrame,
+      kth: Long, converge: Boolean, cap: Int, edgeCnt: Long): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    val rounds = new RddRounds(s)
+    val part = new HashPartitioner(fxParts(s, edgeCnt * 2))
+    val und = e.rdd.flatMap { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      Seq((a, b), (b, a))
+    }.partitionBy(part).persist(fxLevel(s))
+    var deg = rounds.pin(
+      dg.rdd.map(r => (r.getLong(0), r.getLong(1))).partitionBy(part))
+    rounds.done(deg)
+    def dead: org.apache.spark.rdd.RDD[(Long, Long)] =
+      deg.filter { case (_, dgr) => dgr < kth }
+    // one peel step: survivors lose their edges into the dead set
+    def step(): Unit = {
+      val delta = und.join(dead)
+        .map { case (_, (nbr, _)) => (nbr, 1L) }
+        .reduceByKey(part, (a: Long, b: Long) => a + b)
+      val nxt = rounds.pin(
+        deg.filter { case (_, dgr) => dgr >= kth }
+          .leftOuterJoin(delta) // narrow: survivors keyed like delta
+          .mapValues { case (dgr, m) => dgr - m.getOrElse(0L) })
+      rounds.done(nxt)
+      deg = nxt
+    }
+    // Config gate (spark.graft.kcore.converge=true): peel to the true
+    // k-core fixed point instead of the oracle-replayable 3 rounds.
+    // Peeling is monotone, so an empty dead set IS the fixed point —
+    // the same exact-integer discipline as the components fixpoint.
+    if (converge) {
+      var r = 0
+      while (!dead.isEmpty() && r < cap) {
+        step()
+        r += 1
+      }
+    } else {
+      for (_ <- 1 to KCoreRounds) step()
+    }
+    // final induction by the last survivor set (the old shape's
+    // trailing inducedDeg): drop the last dead generation's edges;
+    // nodes isolated by it leave the output (degree 0 never appears
+    // in an induced-degree aggregation)
+    step()
+    val out = rounds.finish(deg, und)
+    val sess = s
+    import sess.implicits._
+    out.filter { case (_, dgr) => dgr > 0 }
+      .toDF("node", "core_degree")
+      .orderBy("node")
+  }
+
   /** Derived-graph cache paths carry Stage.inputStamp(lineitem) so a
     * driver-side fixture regeneration rotates the path instead of
     * serving a stale `_SUCCESS`-marked snapshot. */
@@ -167,6 +275,10 @@ object GraphOps {
       }
       pinned.filter(_ ne result).foreach(_.unpersist(false))
       alsoRelease.foreach(_.unpersist(false))
+      // the result generation itself is released by the harness after
+      // the key's one action (round 18, Ckpt.releaseScratch) — in
+      // durable mode its data lives in checkpoint files anyway
+      Ckpt.registerScratch(result)
       result
     }
   }
@@ -337,8 +449,10 @@ object GraphOps {
     val capped = cp.groupBy(col("c"))
       .agg(expr("bottomk_distinct_by(unhex(md5(cast(p as string))), p, 20)")
         .as("ks"))
+      // ks.payload = GetArrayStructFields (codegen'd field pluck) —
+      // replaces an interpreted per-row transform() lambda (round 18)
       .select(col("c"),
-        array_sort(expr("transform(ks, x -> x.payload)")).as("ps"))
+        array_sort(col("ks").getField("payload")).as("ps"))
     if (checkpoint) Ckpt.df(capped) else capped
   }
 
@@ -534,68 +648,41 @@ object GraphOps {
       // scalar read (the documented per-round-scalar exception, like
       // the components convergence count) instead of a per-round
       // broadcast crossJoin re-running the percentile job.
-      // Round-17 (opt): delta peeling on co-partitioned RDDs (see
-      // fxLevel/RddRounds and the sssp note). Per peel the only wide
-      // shuffle is the per-neighbor subtraction count (reduceByKey sum
-      // = the old groupBy count); the dead filter, the edge⋈dead fan
-      // and the survivor update are narrow under the shared
-      // partitioner, and with persist-only lineage the fixed 3+1
-      // rounds run as ONE job instead of ~30 AQE stage-jobs + eager
-      // checkpoints (OPTIMIZATION_r17.md). Same integer arithmetic.
-      import org.apache.spark.HashPartitioner
+      // Round-17 (opt) built a co-partitioned RDD fixpoint (see
+      // fxLevel/RddRounds and the sssp note); round-18's verdict-driven
+      // A/B found its ONE-TIME edge shuffle (the 2|E| flatMap +
+      // partitionBy below, 19.3 MB at sf0.1 → ~2 GB at sf10) REGRESSES
+      // the key at every measured scale (sf0.1 ×1.35–1.9 on two boxes
+      // and two core counts, sf1 flat, sf10 measured this round —
+      // OPTIMIZATION_r18.md), because the SQL delta-peel never moves
+      // the edge list at all: per round it SCANS the columnar edge
+      // parquet and joins it against the (small, shrinking) dead set,
+      // which AQE broadcasts. The SQL shape's worst case is the moment
+      // a round's dead set outgrows a broadcast — then it degrades to
+      // one full-edge shuffle PER SUCH ROUND, while the RDD shape pays
+      // its full-edge shuffle exactly once and every round after is
+      // frontier-sized. So the shapes are gated on edge count
+      // (spark.graft.kcore.rddMinEdges): below it, the r16 SQL
+      // delta-peel (every measured point); above it, the RDD fixpoint
+      // (the regime where round-1 dead sets alone exceed broadcast
+      // range). Both branches replay the identical integer peel and
+      // are oracle-proven at sf0.001 + sf0.01.
       val e = edges(s, d)
       val dg = degrees(s, d)
       val kth = dg.agg(
         ceil(expr("percentile(degree, 0.5)") * lit(0.7))
           .cast(LongType).as("kth")).head().getLong(0)
-      val rounds = new RddRounds(s)
-      val part = new HashPartitioner(fxParts(s, e.count() * 2))
-      val und = e.rdd.flatMap { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        Seq((a, b), (b, a))
-      }.partitionBy(part).persist(fxLevel(s))
-      var deg = rounds.pin(
-        dg.rdd.map(r => (r.getLong(0), r.getLong(1))).partitionBy(part))
-      rounds.done(deg)
-      def dead: org.apache.spark.rdd.RDD[(Long, Long)] =
-        deg.filter { case (_, dgr) => dgr < kth }
-      // one peel step: survivors lose their edges into the dead set
-      def step(): Unit = {
-        val delta = und.join(dead)
-          .map { case (_, (nbr, _)) => (nbr, 1L) }
-          .reduceByKey(part, (a: Long, b: Long) => a + b)
-        val nxt = rounds.pin(
-          deg.filter { case (_, dgr) => dgr >= kth }
-            .leftOuterJoin(delta) // narrow: survivors keyed like delta
-            .mapValues { case (dgr, m) => dgr - m.getOrElse(0L) })
-        rounds.done(nxt)
-        deg = nxt
-      }
-      // Config gate (spark.graft.kcore.converge=true): peel to the true
-      // k-core fixed point instead of the oracle-replayable 3 rounds.
-      // Peeling is monotone, so an empty dead set IS the fixed point —
-      // the same exact-integer discipline as the components fixpoint.
-      if (s.conf.get("spark.graft.kcore.converge", "false").toBoolean) {
-        val cap = s.conf.get("spark.graft.kcore.maxRounds", "50").toInt
-        var r = 0
-        while (!dead.isEmpty() && r < cap) {
-          step()
-          r += 1
-        }
-      } else {
-        for (_ <- 1 to KCoreRounds) step()
-      }
-      // final induction by the last survivor set (the old shape's
-      // trailing inducedDeg): drop the last dead generation's edges;
-      // nodes isolated by it leave the output (degree 0 never appears
-      // in an induced-degree aggregation)
-      step()
-      val out = rounds.finish(deg, und)
-      val sess = s
-      import sess.implicits._
-      out.filter { case (_, dgr) => dgr > 0 }
-        .toDF("node", "core_degree")
-        .orderBy("node")
+      val converge = s.conf.get("spark.graft.kcore.converge", "false").toBoolean
+      val cap = s.conf.get("spark.graft.kcore.maxRounds", "50").toInt
+      // Parquet-metadata count — one ~40 ms job, shared by the gate and
+      // the RDD branch's partitioner sizing.
+      val edgeCnt = e.count()
+      val rddMin = s.conf.get("spark.graft.kcore.rddMinEdges",
+        KCoreRddMinEdges.toString).toLong
+      if (edgeCnt >= rddMin)
+        kcorePeelRdd(s, e, dg, kth, converge, cap, edgeCnt)
+      else
+        kcorePeelSql(s, e, dg, kth, converge, cap)
     }),
 
     "graph_link_predict" -> ((s, d) => {
@@ -718,12 +805,18 @@ object GraphOps {
       // the note there (round 17).
       val deg = capped.select(explode(col("ps")).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("dg"))
-      val pairs = capped.select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)),
-            |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
-          .as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      // Round 18: the pair generator is two STACKED GENERATORS plus a
+      // fused filter instead of the nested transform/slice lambda — the
+      // HOF path is CodegenFallback (interpreted eval + an array
+      // allocation per (row, i)), while explode×explode fuses into one
+      // whole-stage-codegen loop nest with zero allocations. `ps` is
+      // array_sort'ed and distinct (bottomk_distinct_by payloads), so
+      // {(a, b) : a < b} enumerates exactly the i < j position pairs
+      // the old lambda emitted — identical multiset into the aggregate.
+      val pairs = capped
+        .select(col("ps"), explode(col("ps")).as("a"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
       // Round 17 (opt): rank FIRST, attach degrees AFTER (guide §8 —
       // decide on the small proxy, then attach attributes). The final

@@ -708,12 +708,17 @@ object StatOps {
       // barrier job (OPTIMIZATION_r17.md).
       val c1 = baskets.select(explode(col("items")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("c1"))
-      val pairs = baskets.select(explode(expr(
-          """flatten(transform(items, (x, i) ->
-            |  transform(slice(items, i + 2, size(items)),
-            |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
-          .as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
+      // Round 18: stacked generators + fused filter instead of the
+      // nested transform/slice lambda — the HOF path is CodegenFallback
+      // (interpreted eval + an array allocation per (row, i)); two
+      // explodes fuse into one whole-stage-codegen loop nest with zero
+      // allocations. `items` is sort_array(collect_set(...)) — sorted
+      // ascending and distinct — so {(a, b) : a < b} enumerates exactly
+      // the i < j position pairs the old lambda emitted.
+      val pairs = baskets
+        .select(col("items"), explode(col("items")).as("a"))
+        .select(col("a"), explode(col("items")).as("b"))
+        .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 2)
       pairs

@@ -867,10 +867,17 @@ object TextOps {
               s"replace(replace(replace(replace(r.repr, $patExpr, " +
               s"$repExpr), $patExpr, $repExpr), $patExpr, $repExpr), " +
               s"$patExpr, $repExpr) AS repr)) AS ws, " +
-            "concat(st.rules, array(struct(step AS step, " +
+            // degenerate-round guard (round 18, ADVICE): an empty pair
+            // array yields the ('', '', 0) sentinel best — appending it
+            // would diverge from the old crossJoin-with-empty-limit(1)
+            // shape, whose rule frame stayed EMPTY on that edge. Keep
+            // st.rules unchanged instead (unreachable on any fixture:
+            // every SF has multi-symbol words; oracle hash-identical).
+            "IF(best.pcnt <= 0, st.rules, " +
+              "concat(st.rules, array(struct(step AS step, " +
               "best.a AS lhs, best.b AS rhs, " +
               "concat(best.a, best.b) AS merged, " +
-              "best.pcnt AS pair_cnt))) AS rules)), 1))"
+              "best.pcnt AS pair_cnt)))) AS rules)), 1))"
       val folded = one.select(expr(foldExpr).as("st"))
       val fin = folded.select(explode(col("st.ws")).as("r"))
         .select(col("r.w").as("w"), col("r.cnt").as("cnt"),

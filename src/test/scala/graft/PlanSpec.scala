@@ -601,7 +601,8 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(cap.contains("bottomk_distinct_by"),
       "cap must be the mergeable bounded aggregate")
-    assert(!cap.contains("Window") && !cap.contains("CartesianProduct"))
+    assert(!cap.contains("Window") && !cap.contains("CartesianProduct"),
+      "capped subplan must stay window/cartesian-free")
   }
 
   test("aggregate-cap keys carry no rank window: caps/argmax fold map-side") {
